@@ -1,0 +1,48 @@
+"""Framework-wide configuration: dtype policy and attention implementation choice.
+
+The reference (JOBR0/PerceiverIO_Pytorch) runs fp32 eager PyTorch with an
+optional ``torch.cuda.amp.autocast`` in the flow model
+(/root/reference/perceiver_io/flow_perceiver.py:14,129).  On TPU the native
+fast path is bfloat16 on the MXU with fp32 softmax/layer-norm accumulation,
+so we make the policy explicit and thread it through every module.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import jax.numpy as jnp
+
+# Attention implementation selector values.
+ATTN_XLA = "xla"  # reference-faithful jnp einsum/softmax path
+ATTN_FLASH = "flash"  # Pallas streaming-KV / blocked-Q kernel
+ATTN_AUTO = "auto"  # pick flash when the KV axis is long enough
+
+
+@dataclasses.dataclass(frozen=True)
+class Policy:
+    """Numerical policy for a model.
+
+    Attributes:
+      compute_dtype: dtype activations/matmuls run in (None = keep fp32).
+      param_dtype: dtype parameters are stored in.
+      softmax_dtype: accumulation dtype for attention softmax.
+      attn_impl: one of "xla" | "flash" | "auto".
+      flash_min_kv: minimum KV length before "auto" picks the Pallas kernel.
+    """
+
+    compute_dtype: Optional[Any] = None
+    param_dtype: Any = jnp.float32
+    softmax_dtype: Any = jnp.float32
+    attn_impl: str = ATTN_AUTO
+    flash_min_kv: int = 8192
+
+
+# fp32 everywhere; used by parity tests against the PyTorch reference.
+PARITY = Policy(compute_dtype=jnp.float32, attn_impl=ATTN_XLA)
+
+# bfloat16 compute with fp32 softmax: the TPU production policy.
+PERFORMANCE = Policy(compute_dtype=jnp.bfloat16, attn_impl=ATTN_AUTO)
+
+DEFAULT = Policy()

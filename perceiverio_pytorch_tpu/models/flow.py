@@ -1,0 +1,195 @@
+"""Optical-flow Perceiver with tiled test-mode inference.
+
+Reference: /root/reference/perceiver_io/flow_perceiver.py -- 3x3 patch
+features over 2 stacked frames, 2048 latents x 512, 24 self-attends with 16
+heads, a zero-initialised decoder projection, flow scale 0.2, and
+test-mode spatial tiling with centre-weighted overlap blending.
+
+Split TPU-first:
+  * ``FlowPerceiver`` (linen module): the jittable train-size single-tile
+    forward -- the 182k-token cross-attend / decode hot path.
+  * ``FlowInference`` (host wrapper): arbitrary-size images tiled into
+    train-size patches on the host, one jitted tile function compiled once,
+    centre-weighted blending accumulated on device.
+"""
+
+from __future__ import annotations
+
+import itertools
+from typing import Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from perceiverio_pytorch_tpu.config import DEFAULT, Policy
+from perceiverio_pytorch_tpu.core.perceiver import PerceiverIO
+from perceiverio_pytorch_tpu.core.position_encoding import PosEncodingType
+from perceiverio_pytorch_tpu.core.queries import FlowQuery
+from perceiverio_pytorch_tpu.io_processors.postprocessors import FlowPostprocessor
+from perceiverio_pytorch_tpu.io_processors.preprocessors import ImagePreprocessor
+from perceiverio_pytorch_tpu.io_processors.processor_utils import patches_for_flow
+
+
+class FlowPerceiver(nn.Module):
+    """Perceiver for optical flow (flow_perceiver.py:20-97)."""
+
+    img_size: Sequence[int] = (368, 496)
+    flow_scale_factor: float = 20 / 100
+    num_latents: int = 2048
+    num_latent_channels: int = 512
+    num_self_attends_per_block: int = 24
+    num_blocks: int = 1
+    policy: Policy = DEFAULT
+
+    def setup(self):
+        channels = 3
+        patch_size = 3
+        preprocessor_channels = 64
+
+        input_preprocessor = ImagePreprocessor(
+            img_size=tuple(self.img_size),
+            input_channels=channels * patch_size**2,
+            position_encoding_type=PosEncodingType.FOURIER,
+            fourier_position_encoding_kwargs=dict(
+                num_bands=64,
+                max_resolution=tuple(self.img_size),
+                sine_only=False,
+                concat_pos=True,
+            ),
+            n_extra_pos_mlp=0,
+            prep_type="patches",
+            spatial_downsample=1,
+            conv_after_patching=True,
+            temporal_downsample=2,
+            num_channels=preprocessor_channels,
+        )
+
+        output_query = FlowQuery(
+            preprocessed_input_channels=input_preprocessor.n_output_channels(),
+            output_img_size=tuple(self.img_size),
+            output_num_channels=2,
+        )
+        postprocessor = FlowPostprocessor(
+            img_size=tuple(self.img_size),
+            flow_scale_factor=self.flow_scale_factor,
+        )
+
+        self.perceiver = PerceiverIO(
+            final_project_out_channels=2,
+            num_blocks=self.num_blocks,
+            num_self_attends_per_block=self.num_self_attends_per_block,
+            num_latents=self.num_latents,
+            num_latent_channels=self.num_latent_channels,
+            perceiver_encoder_kwargs=dict(num_self_attend_heads=16),
+            perceiver_decoder_kwargs=dict(output_w_init="zeros"),
+            output_queries=output_query,
+            input_preprocessors=input_preprocessor,
+            output_postprocessors=postprocessor,
+            policy=self.policy,
+        )
+
+    def __call__(self, image1, image2, *, deterministic: bool = True):
+        """Flow for a train-size frame pair.
+
+        Args:
+          image1, image2: [B, 3, H, W] with (H, W) == img_size, normalised to
+            [-1, 1].
+        Returns:
+          [B, 2, H, W] flow field.
+        """
+        h, w = self.img_size
+        assert image1.shape[-2:] == (h, w), (
+            f"Images must have size {self.img_size}; use FlowInference for"
+            f" arbitrary sizes (got {image1.shape})."
+        )
+        # Stack frames in a time dim, then 3x3 patch features per frame
+        # (flow_perceiver.py:127-133); channel-last internally.
+        inputs = jnp.stack([image1, image2], axis=1)  # [B, 2, 3, H, W]
+        inputs = jnp.moveaxis(inputs, -3, -1)  # [B, 2, H, W, 3]
+        patches = patches_for_flow(inputs)  # [B, 2, H, W, 27]
+        patches = jnp.moveaxis(patches, -1, -3)  # [B, 2, 27, H, W]
+        return self.perceiver(patches, deterministic=deterministic)
+
+
+def compute_grid_indices(
+    image_shape: Sequence[int], patch_size: Sequence[int], min_overlap: int = 20
+):
+    """Top-left coordinates of train-size tiles covering ``image_shape``
+    (flow_perceiver.py:101-125)."""
+    ph, pw = patch_size
+    if min_overlap >= ph or min_overlap >= pw:
+        raise ValueError(
+            f"Overlap should be less than size of patch (got {min_overlap}"
+            f"for patch size {(ph, pw)})."
+        )
+    ys = list(range(0, image_shape[0], ph - min_overlap))
+    xs = list(range(0, image_shape[1], pw - min_overlap))
+    # Keep the final tiles flush with the image boundary.
+    ys[-1] = image_shape[0] - ph
+    xs[-1] = image_shape[1] - pw
+    if image_shape[0] == ph:
+        ys = [0]
+    if image_shape[1] == pw:
+        xs = [0]
+    return list(itertools.product(ys, xs))
+
+
+class FlowInference:
+    """Arbitrary-size flow inference: host tiling + jitted tile forward.
+
+    The per-tile forward is compiled once and reused for every tile position;
+    blending weights (centre-weighted, flow_perceiver.py:177-189) are
+    precomputed once.
+    """
+
+    def __init__(self, model: FlowPerceiver, params, min_overlap: int = 20):
+        self.model = model
+        self.params = params
+        self.min_overlap = min_overlap
+        self._tile_fn = jax.jit(
+            lambda p, i1, i2: model.apply(p, i1, i2)
+        )
+        h, w = model.img_size
+        wy, wx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+        wx = np.minimum(wx + 1, w - wx)
+        wy = np.minimum(wy + 1, h - wy)
+        weights = np.minimum(wx, wy)[None, None].astype(np.float32)
+        self._weights = jnp.asarray(weights / weights.max())
+
+    def __call__(self, image1, image2, test_mode: bool = True):
+        """image1/image2: [B, 3, H, W] in [-1, 1]; returns [B, 2, H, W]."""
+        h, w = self.model.img_size
+        height, width = image1.shape[-2:]
+        if height < h or width < w:
+            raise ValueError(
+                f"Image size {(height, width)} must be at least {(h, w)};"
+                " pad or resize to the minimum dimension."
+            )
+        if not test_mode:
+            assert (height, width) == (h, w), (
+                "In training mode images must have size equal to specified"
+                f" img_size {(h, w)}"
+            )
+            return self._tile_fn(self.params, image1, image2)
+
+        flows = jnp.zeros((image1.shape[0], 2, height, width), jnp.float32)
+        flow_count = jnp.zeros((1, 1, height, width), jnp.float32)
+        for y, x in compute_grid_indices((height, width), (h, w), self.min_overlap):
+            tile1 = jax.lax.slice(image1, (0, 0, y, x), (image1.shape[0], 3, y + h, x + w))
+            tile2 = jax.lax.slice(image2, (0, 0, y, x), (image2.shape[0], 3, y + h, x + w))
+            flow_piece = self._tile_fn(self.params, tile1, tile2)
+            flows = jax.lax.dynamic_update_slice(
+                flows,
+                jax.lax.dynamic_slice(flows, (0, 0, y, x), flow_piece.shape)
+                + flow_piece * self._weights,
+                (0, 0, y, x),
+            )
+            flow_count = jax.lax.dynamic_update_slice(
+                flow_count,
+                jax.lax.dynamic_slice(flow_count, (0, 0, y, x), self._weights.shape)
+                + self._weights,
+                (0, 0, y, x),
+            )
+        return flows / flow_count

@@ -1,0 +1,85 @@
+"""Byte-level masked-language-model Perceiver.
+
+Reference: /root/reference/perceiver_io/language_perceiver.py -- vocab 262,
+seq 2048, embed 768, 26 self-attends x 1 block, 256 latents x 1280 channels,
+qk 256 with 8 heads on both attends, decoder v=768 without final projection,
+tied input/output embedding.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+
+from perceiverio_pytorch_tpu.config import DEFAULT, Policy
+from perceiverio_pytorch_tpu.core.perceiver import PerceiverIO
+from perceiverio_pytorch_tpu.core.queries import TrainableQuery
+from perceiverio_pytorch_tpu.io_processors.postprocessors import EmbeddingPostprocessor
+from perceiverio_pytorch_tpu.io_processors.preprocessors import EmbeddingPreprocessor
+
+
+class LanguagePerceiver(nn.Module):
+    """Perceiver for masked language modelling (language_perceiver.py:10-74)."""
+
+    vocab_size: int = 262
+    max_seq_len: int = 2048
+    embed_dim: int = 768
+    num_self_attends_per_block: int = 26
+    num_blocks: int = 1
+    num_latents: int = 256
+    num_latent_channels: int = 1280
+    policy: Policy = DEFAULT
+
+    def setup(self):
+        # Shared token embedding: encoder input and tied output decode
+        # (language_perceiver.py:58).
+        self.embed = nn.Embed(
+            num_embeddings=self.vocab_size, features=self.embed_dim
+        )
+
+        input_preprocessor = EmbeddingPreprocessor(
+            vocab_size=self.vocab_size,
+            max_seq_len=self.max_seq_len,
+            embedding_dims=self.embed_dim,
+            embed=self.embed,
+        )
+        output_postprocessor = EmbeddingPostprocessor(
+            embedding=self.embed, vocab_size=self.vocab_size
+        )
+        output_query = TrainableQuery(
+            output_index_dims=self.max_seq_len,
+            num_channels=self.embed_dim,
+        )
+
+        self.perceiver = PerceiverIO(
+            final_project=False,
+            num_self_attends_per_block=self.num_self_attends_per_block,
+            num_blocks=self.num_blocks,
+            num_latents=self.num_latents,
+            num_latent_channels=self.num_latent_channels,
+            input_preprocessors=input_preprocessor,
+            output_postprocessors=output_postprocessor,
+            output_queries=output_query,
+            perceiver_encoder_kwargs=dict(
+                num_self_attend_heads=8,
+                num_cross_attend_heads=8,
+                qk_channels=8 * 32,
+                v_channels=self.num_latent_channels,
+                use_query_residual=True,
+            ),
+            perceiver_decoder_kwargs=dict(
+                qk_channels=8 * 32,
+                v_channels=self.embed_dim,
+                num_heads=8,
+                use_query_residual=False,
+            ),
+            policy=self.policy,
+        )
+
+    def __call__(self, inputs, input_masks=None, *, deterministic: bool = True):
+        """inputs: [B, max_seq_len] int tokens; input_masks: [B, max_seq_len]."""
+        return self.perceiver(
+            inputs,
+            input_mask=input_masks,
+            query_mask=input_masks,
+            deterministic=deterministic,
+        )

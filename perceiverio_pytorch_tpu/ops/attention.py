@@ -1,0 +1,128 @@
+"""Attention dispatch: reference-faithful XLA path or Pallas flash kernels.
+
+The three attention sites in a Perceiver (encoder cross-attend with long KV,
+latent self-attend, decoder cross-attend with long Q) all route through
+``multihead_attention``.  Implementation choice:
+
+  * ``xla``   -- ops.attention_xla.attend_xla; materialises the [B,H,Tq,Tk]
+                 matrix.  Exact reference numerics; right choice for latent
+                 self-attention (Tq=Tk <= 2048) where the matrix is small.
+  * ``flash`` -- ops.pallas.flash_attention; streams KV blocks with an online
+                 softmax (blocked over Q as well), never materialising the
+                 attention matrix.  This is the single-chip analogue of ring
+                 attention and the only way the 182k-token optical-flow
+                 cross-attends fit on one chip at speed.
+  * ``auto``  -- flash when eligible and the KV axis is long; else xla.
+
+Masks are factored ([B,Tq] query-validity x [B,Tk] kv-validity) end-to-end;
+the reference only ever builds rank-3 masks as such outer products
+(/root/reference/perceiver_io/perceiver.py:100-102,171-175), so the factored
+form is lossless and keeps flash O(N) in memory.  A pre-built rank-3
+``attention_mask`` is also accepted and forces the XLA path.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+
+from perceiverio_pytorch_tpu.ops.attention_xla import (
+    attend_xla,
+    make_cross_attention_mask,
+)
+
+
+def _flash_eligible(
+    impl: str,
+    *,
+    kv_len: int,
+    flash_min_kv: int,
+    attention_mask,
+    attention_bias,
+    dropout_rate: float,
+    return_matrix: bool,
+) -> bool:
+    if impl == "xla":
+        return False
+    if attention_mask is not None or attention_bias is not None:
+        return False
+    if dropout_rate > 0.0 or return_matrix:
+        return False
+    if impl == "flash":
+        return True
+    return kv_len >= flash_min_kv
+
+
+def multihead_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    q_mask: Optional[jnp.ndarray] = None,
+    kv_mask: Optional[jnp.ndarray] = None,
+    attention_mask: Optional[jnp.ndarray] = None,
+    attention_bias: Optional[jnp.ndarray] = None,
+    dropout_rate: float = 0.0,
+    dropout_rng=None,
+    softmax_dtype=jnp.float32,
+    precision=None,
+    impl: str = "auto",
+    flash_min_kv: int = 8192,
+    return_matrix: bool = False,
+    interpret: bool = False,
+):
+    """Multi-head attention over [B, T, H, D] tensors.
+
+    Args:
+      q, k, v: [B,Tq,H,Dqk], [B,Tk,H,Dqk], [B,Tk,H,Dv].
+      q_mask: optional [B,Tq] bool; invalid query rows are wiped to zero.
+      kv_mask: optional [B,Tk] bool; invalid keys are excluded from softmax.
+      attention_mask: optional pre-built [B,Tq,Tk] mask (forces XLA path).
+      interpret: run the Pallas kernel in interpreter mode (CPU tests).
+
+    Returns:
+      [B, Tq, H*Dv] (plus the attention matrix when return_matrix=True).
+    """
+    kv_len = k.shape[1]
+    if _flash_eligible(
+        impl,
+        kv_len=kv_len,
+        flash_min_kv=flash_min_kv,
+        attention_mask=attention_mask,
+        attention_bias=attention_bias,
+        dropout_rate=dropout_rate,
+        return_matrix=return_matrix,
+    ):
+        from perceiverio_pytorch_tpu.ops.pallas.flash_attention import flash_attention
+
+        return flash_attention(
+            q, k, v, q_mask=q_mask, kv_mask=kv_mask, interpret=interpret
+        )
+
+    if attention_mask is None and (q_mask is not None or kv_mask is not None):
+        batch = q.shape[0]
+        qm = (
+            q_mask
+            if q_mask is not None
+            else jnp.ones((batch, q.shape[1]), dtype=bool)
+        )
+        km = (
+            kv_mask
+            if kv_mask is not None
+            else jnp.ones((batch, kv_len), dtype=bool)
+        )
+        attention_mask = make_cross_attention_mask(qm, km)
+
+    return attend_xla(
+        q,
+        k,
+        v,
+        attention_mask=attention_mask,
+        attention_bias=attention_bias,
+        dropout_rate=dropout_rate,
+        dropout_rng=dropout_rng,
+        softmax_dtype=softmax_dtype,
+        precision=precision,
+        return_matrix=return_matrix,
+    )
