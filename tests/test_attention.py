@@ -1,0 +1,132 @@
+"""Attention numerics vs a NumPy oracle and the reference semantics
+(/root/reference/perceiver_io/transformer_primitives.py:117-180)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from perceiverio_pytorch_tpu.core.attention import Attention, CrossAttention, MLP, SelfAttention
+from perceiverio_pytorch_tpu.ops.attention_xla import attend_xla, make_cross_attention_mask
+
+
+def _numpy_attention(q, k, v, mask=None):
+    """Oracle with reference semantics: post-matmul scale, -1e30 fill, wipe."""
+    b, tq, h, d = q.shape
+    dv = v.shape[-1]
+    att = np.einsum("bthd,bshd->bhts", q, k)
+    att = att / np.sqrt(d)
+    if mask is not None:
+        att = np.where(mask[:, None], att, -1e30)
+    att = att - att.max(-1, keepdims=True)
+    e = np.exp(att)
+    p = e / e.sum(-1, keepdims=True)
+    out = np.einsum("bhts,bshd->bthd", p, v).reshape(b, tq, h * dv)
+    if mask is not None:
+        wipe = np.all(mask == 0, axis=2, keepdims=True)
+        out = np.where(wipe, 0.0, out)
+    return out
+
+
+def test_attend_matches_numpy_oracle():
+    rng = np.random.RandomState(0)
+    q = rng.randn(2, 5, 4, 8).astype(np.float32)
+    k = rng.randn(2, 7, 4, 8).astype(np.float32)
+    v = rng.randn(2, 7, 4, 6).astype(np.float32)
+    out = np.asarray(attend_xla(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v)))
+    np.testing.assert_allclose(out, _numpy_attention(q, k, v), rtol=1e-5, atol=1e-5)
+
+
+def test_attend_masked_and_wiped():
+    rng = np.random.RandomState(1)
+    q = rng.randn(2, 4, 2, 8).astype(np.float32)
+    k = rng.randn(2, 6, 2, 8).astype(np.float32)
+    v = rng.randn(2, 6, 2, 8).astype(np.float32)
+    mask = rng.rand(2, 4, 6) > 0.4
+    mask[0, 1, :] = False  # fully masked row -> must be wiped to exact zero
+    out = np.asarray(
+        attend_xla(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+            attention_mask=jnp.asarray(mask),
+        )
+    )
+    expected = _numpy_attention(q, k, v, mask)
+    np.testing.assert_allclose(out, expected, rtol=1e-5, atol=1e-5)
+    assert np.all(out[0, 1] == 0.0)
+
+
+def test_factored_mask_equals_outer_product():
+    rng = np.random.RandomState(2)
+    q = jnp.asarray(rng.randn(2, 4, 2, 8), jnp.float32)
+    k = jnp.asarray(rng.randn(2, 6, 2, 8), jnp.float32)
+    v = jnp.asarray(rng.randn(2, 6, 2, 8), jnp.float32)
+    q_mask = jnp.asarray(rng.rand(2, 4) > 0.3)
+    kv_mask = jnp.asarray(rng.rand(2, 6) > 0.3)
+
+    from perceiverio_pytorch_tpu.ops.attention import multihead_attention
+
+    full = multihead_attention(
+        q, k, v, attention_mask=make_cross_attention_mask(q_mask, kv_mask),
+        impl="xla",
+    )
+    factored = multihead_attention(q, k, v, q_mask=q_mask, kv_mask=kv_mask, impl="xla")
+    np.testing.assert_allclose(np.asarray(full), np.asarray(factored), rtol=1e-6)
+
+
+def test_make_cross_attention_mask():
+    qm = jnp.asarray([[1, 0, 1]], bool)
+    km = jnp.asarray([[1, 1, 0, 0]], bool)
+    m = np.asarray(make_cross_attention_mask(qm, km))
+    assert m.shape == (1, 3, 4)
+    assert m[0, 0].tolist() == [True, True, False, False]
+    assert m[0, 1].tolist() == [False, False, False, False]
+
+
+def test_attention_module_channel_knobs():
+    """Independently sizable qk/v/output channels."""
+    attn = Attention(
+        q_in_channels=16, k_in_channels=12, v_in_channels=12,
+        num_heads=2, qk_out_channels=8, v_out_channels=10, output_channels=20,
+    )
+    xq = jnp.ones((2, 5, 16))
+    xk = jnp.ones((2, 7, 12))
+    params = attn.init(jax.random.PRNGKey(0), xq, xk, xk)
+    out = attn.apply(params, xq, xk, xk)
+    assert out.shape == (2, 5, 20)
+
+
+def test_self_attention_residual_structure():
+    block = SelfAttention(in_channels=16, num_heads=2, widening_factor=2)
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 6, 16), jnp.float32)
+    params = block.init(jax.random.PRNGKey(0), x)
+    out = block.apply(params, x)
+    assert out.shape == x.shape
+
+
+def test_cross_attention_query_residual_flag():
+    x_q = jnp.asarray(np.random.RandomState(0).randn(2, 4, 8), jnp.float32)
+    x_kv = jnp.asarray(np.random.RandomState(1).randn(2, 9, 12), jnp.float32)
+    with_res = CrossAttention(q_in_channels=8, kv_in_channels=12, num_heads=2, use_query_residual=True)
+    no_res = CrossAttention(q_in_channels=8, kv_in_channels=12, num_heads=2, use_query_residual=False)
+    p1 = with_res.init(jax.random.PRNGKey(0), x_q, x_kv)
+    o1 = with_res.apply(p1, x_q, x_kv)
+    o2 = no_res.apply(p1, x_q, x_kv)
+    assert o1.shape == o2.shape == (2, 4, 8)
+    assert not np.allclose(np.asarray(o1), np.asarray(o2))
+
+
+def test_mlp_exact_gelu():
+    """GELU must be the exact erf form (torch F.gelu default)."""
+    mlp = MLP(in_channels=4, widening_factor=1)
+    x = jnp.asarray([[[-1.0, 0.5, 2.0, -3.0]]])
+    params = {
+        "params": {
+            "fc1": {"kernel": jnp.eye(4), "bias": jnp.zeros(4)},
+            "fc2": {"kernel": jnp.eye(4), "bias": jnp.zeros(4)},
+        }
+    }
+    out = np.asarray(mlp.apply(params, x))[0, 0]
+    from scipy.stats import norm
+
+    expected = np.asarray([-1.0, 0.5, 2.0, -3.0])
+    expected = expected * norm.cdf(expected)
+    np.testing.assert_allclose(out, expected, rtol=1e-6, atol=1e-6)
