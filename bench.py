@@ -1,0 +1,77 @@
+"""Benchmark: ImageNet conv-prep classification throughput on one TPU chip.
+
+Headline metric (BASELINE.md): images/sec/chip for the
+FOURIER_POS_CONVNET ClassificationPerceiver (512 latents x 1024 channels,
+8 weight-shared blocks x 6 self-attends = 48 layer applications per image,
+3136-token conv+fourier input -- /root/reference/perceiver_io/
+classification_perceiver.py:35-58).
+
+The reference publishes no numbers and is a single-GPU eager PyTorch
+implementation; ``vs_baseline`` therefore reports the speedup of the
+production bf16 policy over the same model run in the reference-faithful
+fp32 XLA configuration on the same chip (our parity-mode baseline).
+
+Prints exactly one JSON line.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _throughput(model, params, img, iters=20, warmup=3):
+    fn = jax.jit(model.apply)
+    # A device->host fetch is the only reliable completion barrier on remote
+    # TPU transports (block_until_ready can return before execution drains),
+    # so chain the outputs and fetch a scalar once per timing region.
+    acc = fn(params, img).sum()
+    for _ in range(warmup):
+        acc = acc + fn(params, img).sum()
+    float(acc)
+    t0 = time.perf_counter()
+    acc = None
+    for _ in range(iters):
+        out = fn(params, img).sum()
+        acc = out if acc is None else acc + out
+    float(acc)
+    dt = (time.perf_counter() - t0) / iters
+    return img.shape[0] / dt
+
+
+def main():
+    from perceiverio_pytorch_tpu import PARITY, PERFORMANCE
+    from perceiverio_pytorch_tpu.models import ClassificationPerceiver, PrepType
+
+    batch = 32
+    img = jnp.asarray(
+        np.random.RandomState(0).randn(batch, 3, 224, 224), jnp.float32
+    )
+
+    perf_model = ClassificationPerceiver(
+        prep_type=PrepType.FOURIER_POS_CONVNET, policy=PERFORMANCE
+    )
+    params = jax.jit(perf_model.init)(jax.random.PRNGKey(0), img)
+    perf_ips = _throughput(perf_model, params, img)
+
+    base_model = ClassificationPerceiver(
+        prep_type=PrepType.FOURIER_POS_CONVNET, policy=PARITY
+    )
+    base_ips = _throughput(base_model, params, img, iters=10)
+
+    print(
+        json.dumps(
+            {
+                "metric": "imagenet_convprep_images_per_sec_per_chip",
+                "value": round(perf_ips, 2),
+                "unit": "images/sec",
+                "vs_baseline": round(perf_ips / base_ips, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,94 @@
+"""Multimodal Kinetics autoencoding example (reference: example_multimodal.py).
+
+Auto-encodes video + audio (+ a fully masked label query) in 16-frame clips,
+reconstructing both modalities and predicting the Kinetics-700 class.
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from perceiverio_pytorch_tpu.models import MultiModalPerceiver
+from perceiverio_pytorch_tpu.utils.image import load_video, save_video
+from perceiverio_pytorch_tpu.utils.labels import kinetics700_labels
+from perceiverio_pytorch_tpu.utils.torch_checkpoint import (
+    convert_state_dict,
+    load_torch_checkpoint,
+)
+
+CKPT_FILE = "./pytorch_checkpoints/video_autoencoding_checkpoint.pth"
+
+FRAMES_PER_SECOND = 25
+SAMPLING_RATE = 48000
+NUM_FRAMES = 16
+AUDIO_SAMPLES_PER_FRAME = SAMPLING_RATE // FRAMES_PER_SECOND
+SAMPLES_PER_PATCH = 16
+NUM_CLASSES = 700
+IMG_SZ = 224
+
+
+def multimodal_example(
+    video_path: str = "./sample_data/video.avi",
+    audio_path: str = "./sample_data/audio.wav",
+):
+    import scipy.io.wavfile
+
+    if not os.path.isfile(CKPT_FILE):
+        raise ValueError(
+            "Please download the converted checkpoint and place it in"
+            " ./pytorch_checkpoints (see README)."
+        )
+
+    sample_rate, audio = scipy.io.wavfile.read(audio_path)
+    if audio.dtype == np.int16:
+        audio = audio.astype(np.float32) / 2**15
+    elif audio.dtype != np.float32:
+        raise ValueError("Model expects sound samples in [-1, 1]")
+
+    video = load_video(video_path, resize=(IMG_SZ, IMG_SZ))
+
+    model = MultiModalPerceiver(
+        num_frames=NUM_FRAMES,
+        audio_samples_per_frame=AUDIO_SAMPLES_PER_FRAME,
+        audio_samples_per_patch=SAMPLES_PER_PATCH,
+        num_classes=NUM_CLASSES,
+        img_size=(IMG_SZ, IMG_SZ),
+    )
+
+    video_input = jnp.asarray(
+        np.moveaxis(video[None, :NUM_FRAMES], -1, -3), jnp.float32
+    )
+    audio_input = jnp.asarray(
+        audio[None, : NUM_FRAMES * AUDIO_SAMPLES_PER_FRAME, 0:1], jnp.float32
+    )
+
+    template = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0), video_input, audio_input, 128)
+    )
+    variables, _ = convert_state_dict(load_torch_checkpoint(CKPT_FILE), template)
+
+    fwd = jax.jit(lambda v, i, a: model.apply(v, i, a, 128))
+    reconstruction = fwd(variables, video_input, audio_input)
+
+    scipy.io.wavfile.write(
+        "./audio_reconstruction.wav",
+        SAMPLING_RATE,
+        (np.asarray(reconstruction["audio"][0]) * 2**15).astype(np.int16),
+    )
+    save_video(
+        "./video_reconstruction.avi",
+        np.clip(np.moveaxis(np.asarray(reconstruction["image"][0]), -3, -1), 0, 1),
+    )
+
+    probs = jax.nn.softmax(reconstruction["label"], axis=-1)
+    top5 = np.argsort(-np.asarray(probs[0]))[:5]
+    labels = kinetics700_labels()
+    for idx in top5:
+        print(f"{labels[idx]}: {float(probs[0, idx]) * 100:.1f}%")
+    return reconstruction
+
+
+if __name__ == "__main__":
+    multimodal_example()

@@ -1,0 +1,13 @@
+from perceiverio_pytorch_tpu.parallel.mesh import (  # noqa: F401
+    DATA_AXIS,
+    MODEL_AXIS,
+    default_mesh_shape,
+    make_mesh,
+)
+from perceiverio_pytorch_tpu.parallel.sharding import (  # noqa: F401
+    batch_sharding,
+    param_partition_spec,
+    replicated,
+    shard_variables,
+    variables_shardings,
+)

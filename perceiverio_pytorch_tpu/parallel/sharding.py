@@ -1,0 +1,81 @@
+"""Parameter/activation partition rules (Megatron-style TP in GSPMD form).
+
+Rules are keyed on flax param paths.  The classic transformer TP layout:
+  * q/k/v projection kernels [in, out]: column-parallel -> shard ``out``
+    (heads) over the model axis;
+  * attention output projection ``final`` and MLP ``fc2`` kernels
+    [hidden, out]: row-parallel -> shard ``hidden``; XLA inserts the
+    all-reduce (psum over ICI) on the output;
+  * MLP ``fc1`` [in, hidden]: column-parallel;
+  * everything else (layer norms, position tables, embeddings, biases of
+    row-parallel layers) replicated; biases of column-parallel layers are
+    sharded with their outputs.
+
+Because XLA GSPMD propagates shardings, annotating the params (+ the batch
+on the data axis) is sufficient -- no hand-written collectives.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+from flax.traverse_util import flatten_dict, unflatten_dict
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from perceiverio_pytorch_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+_COLUMN_PARALLEL = ("proj_q", "proj_k", "proj_v", "fc1")
+_ROW_PARALLEL = ("final", "fc2")
+
+
+def param_partition_spec(path: Tuple[str, ...], value) -> P:
+    """PartitionSpec for one parameter, by its flax path."""
+    if len(path) < 2:
+        return P()
+    parent, leaf = path[-2], path[-1]
+    if parent in _COLUMN_PARALLEL:
+        if leaf == "kernel" and value.ndim == 2:
+            return P(None, MODEL_AXIS)
+        if leaf == "bias":
+            return P(MODEL_AXIS)
+    if parent in _ROW_PARALLEL:
+        if leaf == "kernel" and value.ndim == 2:
+            return P(MODEL_AXIS, None)
+        # row-parallel bias replicated (added after the all-reduce)
+    return P()
+
+
+def shard_variables(variables, mesh: Mesh):
+    """Place a variables pytree on the mesh according to the TP rules."""
+    out = {}
+    for collection, tree in variables.items():
+        flat = flatten_dict(tree)
+        new_flat = {}
+        for path, value in flat.items():
+            spec = param_partition_spec(path, value) if collection == "params" else P()
+            new_flat[path] = jax.device_put(value, NamedSharding(mesh, spec))
+        out[collection] = unflatten_dict(new_flat)
+    return out
+
+
+def variables_shardings(variables, mesh: Mesh):
+    """NamedSharding pytree matching ``variables`` (for jit in_shardings)."""
+    out = {}
+    for collection, tree in variables.items():
+        flat = flatten_dict(tree)
+        new_flat = {}
+        for path, value in flat.items():
+            spec = param_partition_spec(path, value) if collection == "params" else P()
+            new_flat[path] = NamedSharding(mesh, spec)
+        out[collection] = unflatten_dict(new_flat)
+    return out
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading batch axis over the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())

@@ -1,0 +1,14 @@
+from perceiverio_pytorch_tpu.training.losses import (  # noqa: F401
+    classification_cross_entropy,
+    flow_endpoint_error,
+    masked_token_cross_entropy,
+    multimodal_autoencode_loss,
+)
+from perceiverio_pytorch_tpu.training.trainer import (  # noqa: F401
+    TrainState,
+    create_sharded_train_state,
+    create_train_state,
+    make_sharded_train_step,
+    make_train_step,
+    param_shardings,
+)

@@ -1,0 +1,144 @@
+"""Training step builders: single-chip and mesh-sharded (pjit/GSPMD).
+
+Design: pure-functional train state (params + optax state), one jitted step
+with donated state so updates happen in-place in HBM.  On a mesh, params are
+annotated with the TP rules from parallel.sharding and the batch with the
+data axis; optimizer-state shardings are not hand-specified -- they fall out
+of a jitted ``tx.init`` (GSPMD propagates the param shardings into the
+same-shaped adam moments).  XLA inserts all collectives (gradient psum over
+ICI, TP all-reduces); no hand-written communication.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax.traverse_util import flatten_dict, unflatten_dict
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from perceiverio_pytorch_tpu.parallel.sharding import (
+    batch_sharding,
+    param_partition_spec,
+)
+
+
+@dataclasses.dataclass
+class TrainState:
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+
+
+jax.tree_util.register_pytree_node(
+    TrainState,
+    lambda s: ((s.step, s.params, s.opt_state), None),
+    lambda _, c: TrainState(*c),
+)
+
+
+def create_train_state(params, tx: optax.GradientTransformation) -> TrainState:
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        opt_state=tx.init(params),
+    )
+
+
+def make_train_step(
+    loss_fn: Callable[..., jnp.ndarray],
+    tx: optax.GradientTransformation,
+    donate: bool = True,
+):
+    """Build a jitted ``step(state, *batch) -> (state, loss)``.
+
+    ``loss_fn(params, *batch)`` must return a scalar.
+    """
+
+    def step(state: TrainState, *batch):
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, *batch)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return (
+            TrainState(step=state.step + 1, params=params, opt_state=opt_state),
+            loss,
+        )
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def param_shardings(params, mesh: Mesh):
+    """NamedSharding pytree for a params tree from the TP partition rules."""
+    flat = flatten_dict(params)
+    return unflatten_dict(
+        {
+            path: NamedSharding(mesh, param_partition_spec(path, value))
+            for path, value in flat.items()
+        }
+    )
+
+
+def create_sharded_train_state(
+    params, tx: optax.GradientTransformation, mesh: Mesh
+) -> TrainState:
+    """Place params per the TP rules and build the optimizer state on-mesh.
+
+    ``tx.init`` runs jitted with the params' shardings as inputs; GSPMD
+    propagates them into the same-shaped moment tensors, so adam state is
+    sharded exactly like its params without hand-written rules.
+    """
+    p_sh = param_shardings(params, mesh)
+    params = jax.tree_util.tree_map(
+        lambda v, s: jax.device_put(v, s), params, p_sh
+    )
+    opt_state = jax.jit(tx.init, in_shardings=(p_sh,))(params)
+    # Scalar leaves (e.g. adam's step count) come back single-device from the
+    # unconstrained init; replicate anything not already on the full mesh.
+    mesh_devices = set(mesh.devices.flat)
+
+    def _ensure_on_mesh(leaf):
+        if set(leaf.sharding.device_set) != mesh_devices:
+            return jax.device_put(leaf, NamedSharding(mesh, P()))
+        return leaf
+
+    opt_state = jax.tree_util.tree_map(_ensure_on_mesh, opt_state)
+    return TrainState(
+        step=jax.device_put(jnp.zeros((), jnp.int32), NamedSharding(mesh, P())),
+        params=params,
+        opt_state=opt_state,
+    )
+
+
+def make_sharded_train_step(
+    loss_fn: Callable[..., jnp.ndarray],
+    tx: optax.GradientTransformation,
+    mesh: Mesh,
+    state: TrainState,
+    num_batch_args: int = 1,
+    donate: bool = True,
+):
+    """Mesh-sharded train step for a state built by create_sharded_train_state.
+
+    Batch args have their leading axis sharded over the data axis.
+    """
+    state_sh = jax.tree_util.tree_map(lambda x: x.sharding, state)
+    batch_sh = (batch_sharding(mesh),) * num_batch_args
+
+    def step(state: TrainState, *batch):
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, *batch)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return (
+            TrainState(step=state.step + 1, params=params, opt_state=opt_state),
+            loss,
+        )
+
+    return jax.jit(
+        step,
+        in_shardings=(state_sh,) + batch_sh,
+        out_shardings=(state_sh, NamedSharding(mesh, P())),
+        donate_argnums=(0,) if donate else (),
+    )

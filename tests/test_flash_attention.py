@@ -1,0 +1,96 @@
+"""Pallas flash attention kernel vs the XLA reference path.
+
+Runs in interpreter mode on CPU (the 'sanitizer' equivalent for kernels);
+the same kernel compiles via Mosaic on TPU.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from perceiverio_pytorch_tpu.ops.attention_xla import attend_xla, make_cross_attention_mask
+from perceiverio_pytorch_tpu.ops.pallas.flash_attention import flash_attention
+
+
+def _rand(shape, seed):
+    return jnp.asarray(np.random.RandomState(seed).randn(*shape), jnp.float32)
+
+
+@pytest.mark.parametrize(
+    "tq,tk,h,dqk,dv",
+    [
+        (8, 1024, 1, 128, 128),  # aligned, single head
+        (16, 700, 2, 64, 64),  # unaligned KV -> padding + implicit mask
+        (200, 300, 1, 322, 322),  # flow-style odd head dims
+        (128, 256, 4, 32, 96),  # dv != dqk (MLM-style)
+    ],
+)
+def test_flash_matches_xla(tq, tk, h, dqk, dv):
+    q = _rand((2, tq, h, dqk), 0)
+    k = _rand((2, tk, h, dqk), 1)
+    v = _rand((2, tk, h, dv), 2)
+    expected = np.asarray(attend_xla(q, k, v))
+    got = np.asarray(
+        jax.jit(
+            lambda q, k, v: flash_attention(
+                q, k, v, block_q=128, block_k=128, interpret=True
+            )
+        )(q, k, v)
+    )
+    np.testing.assert_allclose(got, expected, rtol=2e-5, atol=2e-5)
+
+
+def test_flash_kv_mask_and_wipe():
+    q = _rand((2, 16, 2, 64), 3)
+    k = _rand((2, 300, 2, 64), 4)
+    v = _rand((2, 300, 2, 64), 5)
+    rng = np.random.RandomState(6)
+    kv_mask = jnp.asarray(rng.rand(2, 300) > 0.3)
+    q_mask = jnp.asarray(rng.rand(2, 16) > 0.3)
+
+    expected = np.asarray(
+        attend_xla(
+            q, k, v, attention_mask=make_cross_attention_mask(q_mask, kv_mask)
+        )
+    )
+    got = np.asarray(
+        jax.jit(
+            lambda q, k, v, km, qm: flash_attention(
+                q, k, v, kv_mask=km, q_mask=qm,
+                block_q=128, block_k=128, interpret=True,
+            )
+        )(q, k, v, kv_mask, q_mask)
+    )
+    np.testing.assert_allclose(got, expected, rtol=2e-5, atol=2e-5)
+    # invalid query rows wiped to exact zero
+    wiped = ~np.asarray(q_mask)
+    assert np.all(got[wiped] == 0.0)
+
+
+def test_flash_all_keys_masked_rows_zero():
+    q = _rand((1, 8, 1, 64), 7)
+    k = _rand((1, 128, 1, 64), 8)
+    v = _rand((1, 128, 1, 64), 9)
+    kv_mask = jnp.zeros((1, 128), bool)
+    got = np.asarray(
+        flash_attention(q, k, v, kv_mask=kv_mask, interpret=True)
+    )
+    assert np.all(got == 0.0)
+
+
+def test_flash_gradients_match_xla():
+    q = _rand((1, 16, 2, 32), 10)
+    k = _rand((1, 64, 2, 32), 11)
+    v = _rand((1, 64, 2, 32), 12)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, interpret=True) ** 2)
+
+    def loss_xla(q, k, v):
+        return jnp.sum(attend_xla(q, k, v) ** 2)
+
+    g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_xla = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for gf, gx in zip(g_flash, g_xla):
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gx), rtol=1e-4, atol=1e-4)
