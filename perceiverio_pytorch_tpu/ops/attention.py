@@ -36,6 +36,7 @@ from perceiverio_pytorch_tpu.ops.attention_xla import (
 def _flash_eligible(
     impl: str,
     *,
+    q_len: int,
     kv_len: int,
     flash_min_kv: int,
     attention_mask,
@@ -51,7 +52,10 @@ def _flash_eligible(
         return False
     if impl == "flash":
         return True
-    return kv_len >= flash_min_kv
+    # Long KV (encoder cross-attend) streams keys; long Q (decoder
+    # cross-attend, e.g. flow's 182k queries) blocks the query axis --
+    # either way the [Tq, Tk] matrix must not materialise.
+    return kv_len >= flash_min_kv or q_len >= flash_min_kv
 
 
 def multihead_attention(
@@ -87,6 +91,7 @@ def multihead_attention(
     kv_len = k.shape[1]
     if _flash_eligible(
         impl,
+        q_len=q.shape[1],
         kv_len=kv_len,
         flash_min_kv=flash_min_kv,
         attention_mask=attention_mask,
