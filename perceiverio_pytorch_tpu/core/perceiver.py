@@ -170,13 +170,15 @@ class PerceiverEncoder(nn.Module):
     def __call__(self, inputs, latents, *, input_mask=None, deterministic=True):
         # The reference builds an outer-product mask with an all-ones query
         # mask (perceiver.py:100-102); factored kv-mask form is equivalent.
-        latents = self.cross_attend(
-            latents,
-            inputs,
-            kv_mask=input_mask,
-            deterministic=deterministic,
-        )
-        latents, _ = self.self_attends(latents, deterministic)
+        with jax.named_scope("encoder_cross_attend"):
+            latents = self.cross_attend(
+                latents,
+                inputs,
+                kv_mask=input_mask,
+                deterministic=deterministic,
+            )
+        with jax.named_scope("encoder_self_attends"):
+            latents, _ = self.self_attends(latents, deterministic)
         return latents
 
 
@@ -225,12 +227,13 @@ class PerceiverDecoder(nn.Module):
             )
 
     def __call__(self, query, latents, *, query_mask=None, deterministic=True):
-        output = self.decoding_cross_attn(
-            query,
-            latents,
-            q_mask=query_mask,
-            deterministic=deterministic,
-        )
+        with jax.named_scope("decoder_cross_attend"):
+            output = self.decoding_cross_attn(
+                query,
+                latents,
+                q_mask=query_mask,
+                deterministic=deterministic,
+            )
         if self.final_project:
             output = self.final_layer(output)
         return output

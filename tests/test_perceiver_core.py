@@ -1,0 +1,209 @@
+"""Core PerceiverIO invariants: restructure ordering, channel padding,
+decoder-query assembly, encode/decode split, subsampled decoding, masking.
+(Reference semantics: /root/reference/perceiver_io/perceiver.py.)"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from perceiverio_pytorch_tpu import (
+    PerceiverIO,
+    TrainableQuery,
+    restructure,
+)
+from perceiverio_pytorch_tpu.core.queries import FourierQuery
+from perceiverio_pytorch_tpu.io_processors import OneHotPreprocessor
+
+
+def test_restructure_sorted_order():
+    x = jnp.arange(2 * 6 * 3).reshape(2, 6, 3)
+    out = restructure({"b": 4, "a": 2}, x)
+    # 'a' first (sorted), taking the first 2 tokens
+    np.testing.assert_array_equal(np.asarray(out["a"]), np.asarray(x[:, :2]))
+    np.testing.assert_array_equal(np.asarray(out["b"]), np.asarray(x[:, 2:6]))
+
+
+def _tiny_io(**overrides):
+    kwargs = dict(
+        num_blocks=1,
+        num_self_attends_per_block=1,
+        num_latents=4,
+        num_latent_channels=32,
+        final_project=True,
+        final_project_out_channels=8,
+        input_channels={"x": 12, "y": 16},
+        input_padding_channels=2,
+        output_queries={
+            "x": TrainableQuery(output_index_dims=3, num_channels=16),
+            "y": TrainableQuery(output_index_dims=5, num_channels=24),
+        },
+        output_query_padding_channels=1,
+    )
+    kwargs.update(overrides)
+    return PerceiverIO(**kwargs)
+
+
+def test_multimodal_channel_padding_and_query_assembly():
+    model = _tiny_io()
+    inputs = {
+        "x": jnp.ones((2, 7, 12)),
+        "y": jnp.ones((2, 9, 16)),
+    }
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), inputs)
+    out = jax.jit(model.apply)(params, inputs)
+    # without postprocessors the raw [B, N_q, C] decode is returned
+    # (reference: perceiver.py:312-319 only restructures for postprocessors);
+    # total queries = 3 (x) + 5 (y) in sorted order
+    assert out.shape == (2, 8, 8)
+    # query channels = max(16, 24) + 1 padding
+    flat = params["params"]
+    assert flat["padding_embeddings_x"]["pos_embs"].shape == (1, 25 - 16)
+    assert flat["padding_embeddings_y"]["pos_embs"].shape == (1, 25 - 24)
+    # input common channels = max(12, 16) + 2
+    enc_kv_ln = flat["encoder"]["cross_attend"]["layer_norm_kv"]["scale"]
+    assert enc_kv_ln.shape == (18,)
+
+
+def test_query_only_modality_gets_dummy_input():
+    """A query for a modality with no input must still decode
+    (perceiver.py:335-339)."""
+    model = _tiny_io(
+        output_queries={
+            "x": TrainableQuery(output_index_dims=3, num_channels=16),
+            "z": TrainableQuery(output_index_dims=2, num_channels=8),
+        },
+    )
+    inputs = {"x": jnp.ones((2, 7, 12)), "y": jnp.ones((2, 9, 16))}
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), inputs)
+    out = jax.jit(model.apply)(params, inputs)
+    assert out.shape == (2, 5, 8)  # 3 (x) + 2 (z) queries
+
+
+def test_encode_decode_split_matches_call():
+    model = _tiny_io()
+    inputs = {
+        "x": jnp.asarray(np.random.RandomState(0).randn(2, 7, 12), jnp.float32),
+        "y": jnp.asarray(np.random.RandomState(1).randn(2, 9, 16), jnp.float32),
+    }
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), inputs)
+    full = jax.jit(model.apply)(params, inputs)
+    assert full.shape == (2, 8, 8)
+
+    def split_fn(params, inputs):
+        def inner(mdl):
+            latents, state = mdl.encode(inputs)
+            return mdl.decode(latents, state)
+
+        return model.apply(params, method=inner)
+
+    split = jax.jit(split_fn)(params, inputs)
+    np.testing.assert_allclose(np.asarray(full), np.asarray(split), rtol=1e-6)
+
+
+def test_subsampled_decode_chunking_invariant():
+    """Chunked decoding must be exactly consistent: decoding two disjoint
+    index chunks and concatenating equals decoding their union in one call
+    (the invariant behind the multimodal 128-chunk decode,
+    multimodal_perceiver.py:137-167).
+
+    Note the subsampled position formula (-1 + 2c/dim,
+    output_queries.py:58) intentionally does NOT coincide with the full
+    decode's linspace(-1, 1) positions -- that asymmetry is reference
+    behaviour, so no slice-of-full-decode equality is expected."""
+    model = PerceiverIO(
+        num_blocks=1,
+        num_self_attends_per_block=1,
+        num_latents=4,
+        num_latent_channels=32,
+        final_project=True,
+        final_project_out_channels=8,
+        input_channels=12,
+        output_queries=FourierQuery(
+            output_index_dims=(4, 6), num_bands=4, max_resolution=(4, 6)
+        ),
+    )
+    inputs = jnp.asarray(np.random.RandomState(0).randn(2, 10, 12), jnp.float32)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), inputs)
+
+    decode = jax.jit(
+        lambda p, x, idx: model.apply(
+            p, x, subsampled_output_points={"__default": idx}
+        )
+    )
+    all_idx = jnp.arange(24)
+    union = decode(params, inputs, all_idx)
+    chunk_a = decode(params, inputs, all_idx[:12])
+    chunk_b = decode(params, inputs, all_idx[12:])
+    np.testing.assert_allclose(
+        np.asarray(union),
+        np.concatenate([np.asarray(chunk_a), np.asarray(chunk_b)], axis=1),
+        rtol=1e-5,
+        atol=1e-6,
+    )
+
+
+def test_input_mask_changes_output():
+    model = _tiny_io()
+    rng = np.random.RandomState(0)
+    inputs = {
+        "x": jnp.asarray(rng.randn(2, 7, 12), jnp.float32),
+        "y": jnp.asarray(rng.randn(2, 9, 16), jnp.float32),
+    }
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), inputs)
+    full = jax.jit(model.apply)(params, inputs)
+    mask = jnp.ones((2, 16), bool).at[:, 8:].set(False)
+    masked = jax.jit(lambda p, x, m: model.apply(p, x, input_mask=m))(
+        params, inputs, mask
+    )
+    assert not np.allclose(np.asarray(full), np.asarray(masked))
+
+
+def test_mask_probs_deterministic_extremes():
+    """mask_prob 1.0 replaces every token with the mask token; 0.0 is a
+    no-op (perceiver.py:481-493)."""
+    model = PerceiverIO(
+        num_blocks=1,
+        num_self_attends_per_block=1,
+        num_latents=4,
+        num_latent_channels=32,
+        final_project=True,
+        final_project_out_channels=8,
+        input_preprocessors={
+            "a": OneHotPreprocessor(input_channels=6),
+            "b": OneHotPreprocessor(input_channels=6),
+        },
+        input_mask_probs={"a": 1.0, "b": 0.0},
+        output_queries={"a": TrainableQuery(output_index_dims=2, num_channels=8)},
+    )
+    rng = np.random.RandomState(0)
+    inputs = {
+        "a": jnp.asarray(rng.randn(2, 6), jnp.float32),
+        "b": jnp.asarray(rng.randn(2, 6), jnp.float32),
+    }
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), inputs)
+    out1 = jax.jit(model.apply)(params, inputs)
+    # fully masked modality "a": its input values must not affect the output
+    inputs2 = dict(inputs, a=jnp.asarray(rng.randn(2, 6), jnp.float32))
+    out2 = jax.jit(model.apply)(params, inputs2)
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), rtol=1e-6)
+    # unmasked modality "b" does affect it
+    inputs3 = dict(inputs, b=jnp.asarray(rng.randn(2, 6), jnp.float32))
+    out3 = jax.jit(model.apply)(params, inputs3)
+    assert not np.allclose(np.asarray(out1), np.asarray(out3))
+
+
+def test_single_tensor_input_unwraps_default():
+    model = PerceiverIO(
+        num_blocks=1,
+        num_self_attends_per_block=1,
+        num_latents=4,
+        num_latent_channels=32,
+        final_project=True,
+        final_project_out_channels=8,
+        input_channels=12,
+        output_queries=TrainableQuery(output_index_dims=3, num_channels=16),
+    )
+    x = jnp.ones((2, 5, 12))
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), x)
+    out = jax.jit(model.apply)(params, x)
+    assert isinstance(out, jnp.ndarray) and out.shape == (2, 3, 8)
