@@ -369,6 +369,12 @@ class PerceiverIO(nn.Module):
     input_channels: Union[None, int, Mapping[str, int]] = None
     input_mask_probs: Optional[Mapping[str, float]] = None
     policy: Policy = DEFAULT
+    # Optional sharding (e.g. NamedSharding(mesh, P("data", "model"))) applied
+    # to the preprocessed [B, N_tokens, C] array: sharding the token axis is
+    # sequence parallelism for the encoder cross-attend -- the Perceiver's
+    # inputs are its only long axis, and GSPMD turns the KV-sharded softmax
+    # into an all-reduce of the numerator/denominator over ICI.
+    input_token_sharding: Optional[Any] = None
 
     @staticmethod
     def _as_dict(value: ModuleOrDict) -> Optional[Dict[str, nn.Module]]:
@@ -483,6 +489,10 @@ class PerceiverIO(nn.Module):
         flat_inputs, modality_sizes, inputs_without_pos = self.multi_preprocessor(
             inputs, pos=pos
         )
+        if self.input_token_sharding is not None:
+            flat_inputs = jax.lax.with_sharding_constraint(
+                flat_inputs, self.input_token_sharding
+            )
         return inputs, modality_sizes, inputs_without_pos, flat_inputs
 
     def _encode_flat(self, flat_inputs, *, input_mask=None, deterministic=True):

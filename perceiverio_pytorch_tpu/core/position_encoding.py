@@ -105,6 +105,19 @@ def _check_or_build_spatial_positions(pos, index_dims, batch_size):
     return pos
 
 
+class AbstractPositionEncoding(nn.Module):
+    """Position-encoding interface (position_encoding.py:92-101): callable as
+    ``enc(batch_size, pos=None) -> [batch, n, C]`` with a static
+    ``n_output_channels()``.  Linen modules duck-type this; the class exists
+    for isinstance checks and documentation."""
+
+    def __call__(self, batch_size: int, pos=None):  # pragma: no cover
+        raise NotImplementedError
+
+    def n_output_channels(self) -> int:  # pragma: no cover
+        raise NotImplementedError
+
+
 class TrainablePositionEncoding(nn.Module):
     """Learned [index_dim, num_channels] position table, broadcast to batch."""
 

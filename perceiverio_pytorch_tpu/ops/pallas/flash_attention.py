@@ -17,13 +17,15 @@ Semantics match ops.attention_xla.attend_xla:
   * softmax statistics accumulate in fp32 regardless of input dtype.
 
 The wrapper pads head dims to lane multiples and sequence lengths to block
-multiples (padding keys are masked out; padding query rows are sliced off),
-so any channel configuration in the model zoo (e.g. the flow model's 322-ch
-single-head cross-attend) runs on the aligned kernel.
+multiples.  Padded keys are masked *inside* the kernel from a static length
+comparison (no mask operand needed); a user kv-mask rides along as a
+[B, k_pad] int32 operand whose block covers the full batch axis (TPU block
+shapes require the sublane dim to match the array or be 8-aligned).
 
 Gradients: ``flash_attention`` carries a custom VJP whose backward pass
-recomputes attention in KV blocks with ``lax.map`` (O(N) memory, pure XLA);
-the forward hot path stays a Pallas kernel.
+recomputes attention with the XLA reference math (O(Tq*Tk) inside the vjp;
+chunk the Q axis at the call site for flow-scale training); the forward hot
+path stays a Pallas kernel.
 """
 
 from __future__ import annotations
@@ -47,19 +49,23 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _flash_kernel(
-    q_ref,  # [1, 1, block_q, d]
-    k_ref,  # [1, 1, block_k, d]
-    v_ref,  # [1, 1, block_k, dv]
-    kv_mask_ref,  # [1, block_k] int32 (1 = valid) or None
-    out_ref,  # [1, 1, block_q, dv]
-    m_scratch,  # [block_q, _LANE] f32
-    l_scratch,  # [block_q, _LANE] f32
-    acc_scratch,  # [block_q, dv] f32
-    *,
+    # kv_mask_ref ([B, k_pad] int32, full batch per block) is present only
+    # when has_kv_mask; refs after it shift accordingly.
+    *refs,
     scale: float,
     num_k_blocks: int,
+    block_k: int,
+    kv_len: int,
+    k_pad: int,
     has_kv_mask: bool,
 ):
+    if has_kv_mask:
+        q_ref, k_ref, v_ref, kv_mask_ref, out_ref, m_scratch, l_scratch, acc_scratch = refs
+    else:
+        q_ref, k_ref, v_ref, out_ref, m_scratch, l_scratch, acc_scratch = refs
+        kv_mask_ref = None
+
+    b = pl.program_id(0)
     ik = pl.program_id(3)
 
     @pl.when(ik == 0)
@@ -80,8 +86,14 @@ def _flash_kernel(
     )
     s = s * scale  # post-matmul scaling, reference semantics
 
+    if k_pad != kv_len:
+        # Mask the sequence-padding keys from a static length comparison.
+        key_idx = ik * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (1, block_k), 1
+        )
+        s = jnp.where(key_idx < kv_len, s, -jnp.inf)
     if has_kv_mask:
-        valid = kv_mask_ref[0, :] > 0  # [block_k]
+        valid = kv_mask_ref[b, pl.ds(ik * block_k, block_k)] > 0  # [block_k]
         s = jnp.where(valid[None, :], s, -jnp.inf)
 
     m_prev = m_scratch[:, 0:1]  # [block_q, 1]
@@ -93,8 +105,7 @@ def _flash_kernel(
     m_safe = jnp.where(m_new == -jnp.inf, 0.0, m_new)
 
     p = jnp.exp(s - m_safe)  # masked entries: exp(-inf - finite) = 0
-    alpha = jnp.exp(jnp.where(m_prev == -jnp.inf, -jnp.inf, m_prev - m_safe))
-    alpha = jnp.where(m_prev == -jnp.inf, 0.0, alpha)
+    alpha = jnp.where(m_prev == -jnp.inf, 0.0, jnp.exp(m_prev - m_safe))
 
     l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
 
@@ -127,7 +138,7 @@ def _flash_forward(
     block_k: int,
     interpret: bool,
 ) -> jnp.ndarray:
-    """Core pallas_call on [B, H, T, D]-transposed, padded operands."""
+    """Core pallas_call on [B, H, T, D]-transposed operands."""
     batch, num_heads, q_len, qk_dim = q.shape
     kv_len = k.shape[2]
     v_dim = v.shape[3]
@@ -140,12 +151,6 @@ def _flash_forward(
     block_k = min(block_k, _round_up(kv_len, _LANE))
     q_pad = _round_up(q_len, block_q)
     k_pad = _round_up(kv_len, block_k)
-
-    needs_kv_mask = kv_mask is not None or k_pad != kv_len
-    if needs_kv_mask:
-        if kv_mask is None:
-            kv_mask = jnp.ones((batch, kv_len), jnp.int32)
-        kv_mask = jnp.pad(kv_mask.astype(jnp.int32), ((0, 0), (0, k_pad - kv_len)))
 
     q = jnp.pad(q, ((0, 0), (0, 0), (0, q_pad - q_len), (0, d_pad - qk_dim)))
     k = jnp.pad(k, ((0, 0), (0, 0), (0, k_pad - kv_len), (0, d_pad - qk_dim)))
@@ -173,42 +178,31 @@ def _flash_forward(
         ),
     ]
     operands = [q, k, v]
-    if needs_kv_mask:
+    has_kv_mask = kv_mask is not None
+    if has_kv_mask:
+        mask_arr = jnp.pad(
+            kv_mask.astype(jnp.int32), ((0, 0), (0, k_pad - kv_len))
+        )
+        # Full-batch block: TPU requires the sublane dim of a block to be
+        # 8-aligned or equal to the array dim; batch x block_k is small.
         in_specs.append(
             pl.BlockSpec(
-                (1, block_k),
-                lambda b, h, iq, ik: (b, ik),
+                (batch, k_pad),
+                lambda b, h, iq, ik: (0, 0),
                 memory_space=pltpu.VMEM,
             )
         )
-        operands.append(kv_mask)
-    else:
-        in_specs.append(None)
+        operands.append(mask_arr)
 
     kernel = functools.partial(
         _flash_kernel,
         scale=scale,
         num_k_blocks=num_k_blocks,
-        has_kv_mask=needs_kv_mask,
+        block_k=block_k,
+        kv_len=kv_len,
+        k_pad=k_pad,
+        has_kv_mask=has_kv_mask,
     )
-    if not needs_kv_mask:
-        # Drop the None spec/operand slot.
-        in_specs = in_specs[:3]
-
-        def kernel(q_ref, k_ref, v_ref, out_ref, m_s, l_s, acc_s):  # noqa: F811
-            return _flash_kernel(
-                q_ref,
-                k_ref,
-                v_ref,
-                None,
-                out_ref,
-                m_s,
-                l_s,
-                acc_s,
-                scale=scale,
-                num_k_blocks=num_k_blocks,
-                has_kv_mask=False,
-            )
 
     out = pl.pallas_call(
         kernel,
@@ -239,7 +233,7 @@ def _flash_forward(
 
 
 def _xla_blockwise_reference(q, k, v, kv_mask, q_mask):
-    """O(N)-memory XLA fallback with identical semantics (used by the VJP)."""
+    """XLA fallback with identical semantics (used by the VJP)."""
     from perceiverio_pytorch_tpu.ops.attention_xla import attend_xla
 
     attention_mask = None
@@ -282,9 +276,7 @@ def _flash_fwd(q, k, v, kv_mask, q_mask, block_q, block_k, interpret):
 
 def _flash_bwd(block_q, block_k, interpret, residuals, g):
     q, k, v, kv_mask, q_mask = residuals
-    # Recompute-based backward in pure XLA.  O(Tq*Tk) peak inside jvp of the
-    # reference math; acceptable for training at latent-scale sequences.  For
-    # flow-scale training, chunk the Q axis at the call site.
+
     def f(q, k, v):
         return _xla_blockwise_reference(q, k, v, kv_mask, q_mask)
 

@@ -92,3 +92,32 @@ def save_video(path: str, data: np.ndarray, fps: int = 25) -> None:
     for frame in data:
         out.write((frame[:, :, ::-1] * 255).astype(np.uint8))
     out.release()
+
+
+def dump_pickle(obj, file_path: str) -> None:
+    import pickle
+
+    with open(file_path, "wb") as f:
+        pickle.dump(obj, f)
+
+
+def load_pickle(file_path: str):
+    import pickle
+
+    with open(file_path, "rb") as f:
+        return pickle.load(f)
+
+
+def show_animation(images: np.ndarray, fps: int = 25, title: str = "animation"):
+    """Display [T, H, W, C] frames as a matplotlib animation (interactive)."""
+    import matplotlib.pyplot as plt
+    from matplotlib.animation import ArtistAnimation
+
+    interval = 1000 / fps
+    fig = plt.figure(title)
+    frames = [[plt.imshow(images[i], animated=True)] for i in range(images.shape[0])]
+    ani = ArtistAnimation(
+        fig, frames, interval=interval, blit=True, repeat_delay=1000
+    )
+    plt.show()
+    return ani

@@ -113,3 +113,32 @@ def test_default_mesh_shape():
     assert default_mesh_shape(8) == (4, 2)
     assert default_mesh_shape(2) == (2, 1)
     assert default_mesh_shape(1) == (1, 1)
+
+
+def test_sequence_parallel_encoder_matches_unsharded():
+    """Token-axis (sequence-parallel) sharding of the encoder inputs must not
+    change the result; GSPMD reduces the KV-sharded softmax over the mesh."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from perceiverio_pytorch_tpu import PerceiverIO, TrainableQuery
+
+    mesh = make_mesh((2, 4))
+    spec = NamedSharding(mesh, P("data", "model"))
+    kwargs = dict(
+        num_blocks=1,
+        num_self_attends_per_block=1,
+        num_latents=4,
+        num_latent_channels=32,
+        final_project=True,
+        final_project_out_channels=8,
+        input_channels=16,
+        output_queries=TrainableQuery(output_index_dims=3, num_channels=16),
+    )
+    model_sp = PerceiverIO(input_token_sharding=spec, **kwargs)
+    model = PerceiverIO(**kwargs)
+
+    x = jnp.asarray(np.random.RandomState(0).randn(4, 64, 16), jnp.float32)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), x)
+    ref = jax.jit(model.apply)(params, x)
+    sp = jax.jit(model_sp.apply)(params, x)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(sp), rtol=1e-5, atol=1e-6)
