@@ -44,8 +44,9 @@ def _throughput(model, params, img, iters=20, warmup=3):
 def main():
     from perceiverio_pytorch_tpu import PARITY, PERFORMANCE
     from perceiverio_pytorch_tpu.models import ClassificationPerceiver, PrepType
+    from perceiverio_pytorch_tpu.utils.params import cast_variables_for_inference
 
-    batch = 32
+    batch = 16  # best measured throughput point on one v5e chip
     img = jnp.asarray(
         np.random.RandomState(0).randn(batch, 3, 224, 224), jnp.float32
     )
@@ -54,7 +55,8 @@ def main():
         prep_type=PrepType.FOURIER_POS_CONVNET, policy=PERFORMANCE
     )
     params = jax.jit(perf_model.init)(jax.random.PRNGKey(0), img)
-    perf_ips = _throughput(perf_model, params, img)
+    params_bf16 = cast_variables_for_inference(params)
+    perf_ips = _throughput(perf_model, params_bf16, img)
 
     base_model = ClassificationPerceiver(
         prep_type=PrepType.FOURIER_POS_CONVNET, policy=PARITY
