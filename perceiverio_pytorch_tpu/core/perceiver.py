@@ -107,6 +107,10 @@ class PerceiverEncoder(nn.Module):
     cross_attention_shape_for_attn: str = "kv"
     use_query_residual: bool = True
     policy: Policy = DEFAULT
+    # Rematerialise the self-attend block stack in the backward pass
+    # (jax.checkpoint): trades ~1 extra forward of FLOPs for O(depth) ->
+    # O(1) activation memory across the weight-shared blocks.
+    remat: bool = False
 
     def setup(self):
         if self.num_latent_channels % self.num_self_attend_heads != 0:
@@ -149,11 +153,15 @@ class PerceiverEncoder(nn.Module):
             dropout_prob=self.dropout_prob,
             policy=self.policy,
         )
+        stack_cls = _SelfAttendStack
+        if self.remat:
+            # deterministic (arg index 2 incl. the module) must stay static
+            stack_cls = nn.remat(stack_cls, static_argnums=(2,))
         if self.num_blocks > 1:
             # Weight sharing across blocks (perceiver.py:104-106) as a scan
             # with broadcast params: the block body is traced/compiled once.
             scan_cls = nn.scan(
-                _SelfAttendStack,
+                stack_cls,
                 variable_broadcast="params",
                 split_rngs={"params": False, "dropout": True},
                 in_axes=nn.broadcast,
@@ -161,7 +169,7 @@ class PerceiverEncoder(nn.Module):
             )
             self.self_attends = scan_cls(**stack_kwargs, name="self_attends")
         else:
-            self.self_attends = _SelfAttendStack(**stack_kwargs, name="self_attends")
+            self.self_attends = stack_cls(**stack_kwargs, name="self_attends")
 
     def latents(self, inputs) -> jnp.ndarray:
         """Initial latent array for the first cross-attend: [B, N_lat, C_lat]."""
@@ -369,6 +377,7 @@ class PerceiverIO(nn.Module):
     input_channels: Union[None, int, Mapping[str, int]] = None
     input_mask_probs: Optional[Mapping[str, float]] = None
     policy: Policy = DEFAULT
+    remat: bool = False  # rematerialise encoder blocks in the backward pass
     # Optional sharding (e.g. NamedSharding(mesh, P("data", "model"))) applied
     # to the preprocessed [B, N_tokens, C] array: sharding the token axis is
     # sequence parallelism for the encoder cross-attend -- the Perceiver's
@@ -427,6 +436,7 @@ class PerceiverIO(nn.Module):
             num_latents=self.num_latents,
             num_latent_channels=self.num_latent_channels,
             policy=self.policy,
+            remat=self.remat,
             **(self.perceiver_encoder_kwargs or {}),
         )
         self.decoder = PerceiverDecoder(

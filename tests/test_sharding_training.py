@@ -142,3 +142,32 @@ def test_sequence_parallel_encoder_matches_unsharded():
     ref = jax.jit(model.apply)(params, x)
     sp = jax.jit(model_sp.apply)(params, x)
     np.testing.assert_allclose(np.asarray(ref), np.asarray(sp), rtol=1e-5, atol=1e-6)
+
+
+def test_remat_gradients_match():
+    """Encoder-block rematerialisation must not change loss or gradients."""
+    from perceiverio_pytorch_tpu import PerceiverIO, TrainableQuery
+
+    kwargs = dict(
+        num_blocks=2,
+        num_self_attends_per_block=2,
+        num_latents=8,
+        num_latent_channels=32,
+        final_project=True,
+        final_project_out_channels=8,
+        input_channels=16,
+        output_queries=TrainableQuery(output_index_dims=3, num_channels=16),
+    )
+    model = PerceiverIO(**kwargs)
+    model_r = PerceiverIO(remat=True, **kwargs)
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 20, 16), jnp.float32)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), x)
+
+    def loss(m):
+        return lambda p: jnp.sum(m.apply(p, x) ** 2)
+
+    l0, g0 = jax.jit(jax.value_and_grad(loss(model)))(params)
+    l1, g1 = jax.jit(jax.value_and_grad(loss(model_r)))(params)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=1e-4)
