@@ -139,15 +139,23 @@ def compute_grid_indices(
 class FlowInference:
     """Arbitrary-size flow inference: host tiling + jitted tile forward.
 
-    The per-tile forward is compiled once and reused for every tile position;
-    blending weights (centre-weighted, flow_perceiver.py:177-189) are
-    precomputed once.
+    All tiles of an image are stacked into one batched forward (better MXU
+    utilisation and a single dispatch instead of one per tile); the per-grid
+    function is compiled once per (image-size, batch) and reused.  Blending
+    weights (centre-weighted, flow_perceiver.py:177-189) are precomputed.
     """
 
-    def __init__(self, model: FlowPerceiver, params, min_overlap: int = 20):
+    def __init__(
+        self,
+        model: FlowPerceiver,
+        params,
+        min_overlap: int = 20,
+        batch_tiles: bool = True,
+    ):
         self.model = model
         self.params = params
         self.min_overlap = min_overlap
+        self.batch_tiles = batch_tiles
         self._tile_fn = jax.jit(
             lambda p, i1, i2: model.apply(p, i1, i2)
         )
@@ -174,22 +182,38 @@ class FlowInference:
             )
             return self._tile_fn(self.params, image1, image2)
 
-        flows = jnp.zeros((image1.shape[0], 2, height, width), jnp.float32)
-        flow_count = jnp.zeros((1, 1, height, width), jnp.float32)
-        for y, x in compute_grid_indices((height, width), (h, w), self.min_overlap):
-            tile1 = jax.lax.slice(image1, (0, 0, y, x), (image1.shape[0], 3, y + h, x + w))
-            tile2 = jax.lax.slice(image2, (0, 0, y, x), (image2.shape[0], 3, y + h, x + w))
-            flow_piece = self._tile_fn(self.params, tile1, tile2)
-            flows = jax.lax.dynamic_update_slice(
-                flows,
-                jax.lax.dynamic_slice(flows, (0, 0, y, x), flow_piece.shape)
-                + flow_piece * self._weights,
-                (0, 0, y, x),
+        grid = compute_grid_indices((height, width), (h, w), self.min_overlap)
+        batch = image1.shape[0]
+
+        if self.batch_tiles:
+            tiles1 = jnp.concatenate(
+                [image1[..., y : y + h, x : x + w] for y, x in grid], axis=0
             )
-            flow_count = jax.lax.dynamic_update_slice(
-                flow_count,
-                jax.lax.dynamic_slice(flow_count, (0, 0, y, x), self._weights.shape)
-                + self._weights,
-                (0, 0, y, x),
+            tiles2 = jnp.concatenate(
+                [image2[..., y : y + h, x : x + w] for y, x in grid], axis=0
+            )
+            flow_tiles = self._tile_fn(self.params, tiles1, tiles2)
+            pieces = [
+                flow_tiles[i * batch : (i + 1) * batch]
+                for i in range(len(grid))
+            ]
+        else:
+            pieces = [
+                self._tile_fn(
+                    self.params,
+                    image1[..., y : y + h, x : x + w],
+                    image2[..., y : y + h, x : x + w],
+                )
+                for y, x in grid
+            ]
+
+        flows = jnp.zeros((batch, 2, height, width), jnp.float32)
+        flow_count = jnp.zeros((1, 1, height, width), jnp.float32)
+        for (y, x), flow_piece in zip(grid, pieces):
+            flows = flows.at[..., y : y + h, x : x + w].add(
+                flow_piece * self._weights
+            )
+            flow_count = flow_count.at[..., y : y + h, x : x + w].add(
+                self._weights
             )
         return flows / flow_count

@@ -12,3 +12,7 @@ from perceiverio_pytorch_tpu.training.trainer import (  # noqa: F401
     make_train_step,
     param_shardings,
 )
+from perceiverio_pytorch_tpu.training.loop import (  # noqa: F401
+    MetricsLogger,
+    Trainer,
+)

@@ -12,25 +12,53 @@ import os
 from typing import Any, Optional
 
 import jax
+import jax.numpy as jnp
 import orbax.checkpoint as ocp
 
 from perceiverio_pytorch_tpu.training.trainer import TrainState
+
+
+def _is_zero_size(x) -> bool:
+    return hasattr(x, "size") and x.size == 0
+
+
+def _mask_zero_size(tree):
+    """Swap zero-size leaves for 1-element placeholders (orbax cannot
+    serialise empty arrays).
+
+    Zero-width parameters are legitimate in this model family: e.g. the
+    decoder query padding embedding is [1, 0] when a modality's query already
+    has the common width (perceiver.py:262-270).
+    """
+    return jax.tree_util.tree_map(
+        lambda x: jnp.zeros((1,), jnp.float32) if _is_zero_size(x) else x, tree
+    )
 
 
 def save_variables(path: str, variables: Any) -> None:
     """Save a flax variables pytree to ``path`` (an empty/new directory)."""
     path = os.path.abspath(path)
     with ocp.StandardCheckpointer() as ckptr:
-        ckptr.save(path, variables)
+        ckptr.save(path, _mask_zero_size(variables))
 
 
 def restore_variables(path: str, template: Optional[Any] = None) -> Any:
-    """Restore a variables pytree; ``template`` provides structure/shardings."""
+    """Restore a variables pytree; ``template`` provides structure/shardings
+    and re-materialises any zero-size leaves masked at save time."""
     path = os.path.abspath(path)
     with ocp.StandardCheckpointer() as ckptr:
         if template is not None:
-            abstract = jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct, template)
-            return ckptr.restore(path, abstract)
+            abstract = jax.tree_util.tree_map(
+                ocp.utils.to_shape_dtype_struct, _mask_zero_size(template)
+            )
+            restored = ckptr.restore(path, abstract)
+            return jax.tree_util.tree_map(
+                lambda t, r: jnp.zeros(t.shape, t.dtype)
+                if _is_zero_size(t)
+                else r,
+                template,
+                restored,
+            )
         return ckptr.restore(path)
 
 

@@ -1,0 +1,139 @@
+"""Minimal training loop with structured metrics logging.
+
+The reference is inference-only (SURVEY.md 4); this provides the framework's
+end-to-end trainability story: donated jitted steps (optionally mesh-sharded),
+JSONL metrics (step, loss, steps/sec), periodic Orbax checkpoints.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Callable, Iterable, Optional
+
+import jax
+import optax
+from jax.sharding import Mesh
+
+from perceiverio_pytorch_tpu.training.trainer import (
+    TrainState,
+    create_sharded_train_state,
+    create_train_state,
+    make_sharded_train_step,
+    make_train_step,
+)
+
+
+class MetricsLogger:
+    """Append-only JSONL metrics writer (plus stdout echo)."""
+
+    def __init__(self, path: Optional[str] = None, echo: bool = True):
+        self.path = path
+        self.echo = echo
+        if path:
+            os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+            self._file = open(path, "a")
+        else:
+            self._file = None
+
+    def log(self, **metrics):
+        line = json.dumps(metrics)
+        if self._file:
+            self._file.write(line + "\n")
+            self._file.flush()
+        if self.echo:
+            print(line, flush=True)
+
+    def close(self):
+        if self._file:
+            self._file.close()
+
+
+class Trainer:
+    """Drives a jitted train step over a batch iterator.
+
+    Args:
+      loss_fn: ``loss_fn(params, *batch) -> scalar``.
+      tx: optax optimizer.
+      mesh: optional device mesh; enables DP/TP sharded stepping.
+      num_batch_args: arity of each batch tuple (sharded case only).
+    """
+
+    def __init__(
+        self,
+        loss_fn: Callable,
+        tx: optax.GradientTransformation,
+        mesh: Optional[Mesh] = None,
+        num_batch_args: int = 1,
+        metrics_path: Optional[str] = None,
+        log_every: int = 10,
+        checkpoint_dir: Optional[str] = None,
+        checkpoint_every: int = 0,
+    ):
+        self.loss_fn = loss_fn
+        self.tx = tx
+        self.mesh = mesh
+        self.num_batch_args = num_batch_args
+        self.logger = MetricsLogger(metrics_path)
+        self.log_every = log_every
+        self.checkpoint_dir = checkpoint_dir
+        self.checkpoint_every = checkpoint_every
+
+    def init_state(self, params) -> TrainState:
+        if self.mesh is not None:
+            return create_sharded_train_state(params, self.tx, self.mesh)
+        return create_train_state(params, self.tx)
+
+    def fit(
+        self,
+        state: TrainState,
+        batches: Iterable,
+        num_steps: Optional[int] = None,
+    ) -> TrainState:
+        if self.mesh is not None:
+            step_fn = make_sharded_train_step(
+                self.loss_fn, self.tx, self.mesh, state,
+                num_batch_args=self.num_batch_args,
+            )
+        else:
+            step_fn = make_train_step(self.loss_fn, self.tx)
+
+        t0 = time.perf_counter()
+        window_start = t0
+        for i, batch in enumerate(batches):
+            if num_steps is not None and i >= num_steps:
+                break
+            if not isinstance(batch, (tuple, list)):
+                batch = (batch,)
+            state, loss = step_fn(state, *batch)
+
+            step_num = i + 1
+            if step_num % self.log_every == 0 or (
+                num_steps is not None and step_num == num_steps
+            ):
+                loss_val = float(loss)  # host fetch = completion barrier
+                now = time.perf_counter()
+                self.logger.log(
+                    step=int(step_num),
+                    loss=loss_val,
+                    steps_per_sec=round(
+                        self.log_every / max(now - window_start, 1e-9), 3
+                    ),
+                    elapsed_sec=round(now - t0, 3),
+                )
+                window_start = now
+            if (
+                self.checkpoint_dir
+                and self.checkpoint_every
+                and step_num % self.checkpoint_every == 0
+            ):
+                from perceiverio_pytorch_tpu.training.checkpoint import (
+                    save_train_state,
+                )
+
+                save_train_state(
+                    os.path.join(self.checkpoint_dir, f"step_{step_num:08d}"),
+                    state,
+                )
+        return state
