@@ -4,6 +4,9 @@ Three converted checkpoints map to the three PrepType variants.
 """
 
 import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -28,15 +31,25 @@ CKPT_FILES = {
 }
 
 
+
+def _resolve_sample(path: str) -> str:
+    """Fall back to the reference repo's sample_data for the demo media."""
+    if os.path.exists(path):
+        return path
+    alt = os.path.join("/root/reference", path.lstrip("./"))
+    return alt if os.path.exists(alt) else path
+
 def img_classify_example(
     prep_type: PrepType = PrepType.FOURIER_POS_CONVNET,
     image_path: str = "./sample_data/dalmation.jpg",
+    random_init: bool = False,
 ):
     ckpt_file = CKPT_FILES[prep_type]
-    if not os.path.isfile(ckpt_file):
+    if not random_init and not os.path.isfile(ckpt_file):
         raise ValueError(
             "Please download the converted checkpoint and place it in"
-            " ./pytorch_checkpoints (see README)."
+            " ./pytorch_checkpoints (see README), or pass --random-init for"
+            " an untrained demo run."
         )
 
     img_size = (224, 224)
@@ -44,14 +57,17 @@ def img_classify_example(
         num_classes=1000, img_size=img_size, prep_type=prep_type
     )
 
-    img = load_image(image_path)
+    img = load_image(_resolve_sample(image_path))
     img_norm = normalize_imagenet(center_crop_resize(img, img_size))
     img_norm = jnp.asarray(img_norm)
 
-    template = jax.eval_shape(
-        lambda: model.init(jax.random.PRNGKey(0), img_norm)
-    )
-    variables, _ = convert_state_dict(load_torch_checkpoint(ckpt_file), template)
+    if random_init:
+        variables = jax.jit(model.init)(jax.random.PRNGKey(0), img_norm)
+    else:
+        template = jax.eval_shape(
+            lambda: model.init(jax.random.PRNGKey(0), img_norm)
+        )
+        variables, _ = convert_state_dict(load_torch_checkpoint(ckpt_file), template)
 
     logits = np.asarray(jax.jit(model.apply)(variables, img_norm))
     probs = jax.nn.softmax(jnp.asarray(logits), axis=-1)
@@ -65,4 +81,12 @@ def img_classify_example(
 
 
 if __name__ == "__main__":
-    img_classify_example()
+    import argparse
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--random-init", action="store_true")
+    parser.add_argument("--prep", default="FOURIER_POS_CONVNET",
+                        choices=[p.name for p in PrepType])
+    args = parser.parse_args()
+    img_classify_example(prep_type=PrepType[args.prep],
+                         random_init=args.random_init)

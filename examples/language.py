@@ -6,6 +6,9 @@ adapter, masks a span of bytes and greedy-decodes the predictions.
 """
 
 import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -23,14 +26,15 @@ CKPT_FILE = "./pytorch_checkpoints/language_perceiver_io_bytes.pth"
 MAX_SEQ_LEN = 2048
 
 
-def language_example():
+def language_example(random_init: bool = False):
     tokenizer = BytesTokenizer()
     model = LanguagePerceiver(vocab_size=tokenizer.vocab_size)
 
-    if not os.path.isfile(CKPT_FILE):
+    if not random_init and not os.path.isfile(CKPT_FILE):
         raise ValueError(
             "Please download the converted checkpoint and place it in"
-            " ./pytorch_checkpoints (see README)."
+            " ./pytorch_checkpoints (see README), or pass --random-init for"
+            " an untrained demo run."
         )
 
     input_str = "This is an incomplete sentence where some words are missing."
@@ -49,12 +53,15 @@ def language_example():
     inputs = jnp.asarray(inputs, jnp.int32)
     input_mask = jnp.asarray(input_mask, bool)
 
-    template = jax.eval_shape(
-        lambda: model.init(jax.random.PRNGKey(0), inputs, input_mask)
-    )
-    variables, _ = convert_state_dict(
-        load_torch_checkpoint(CKPT_FILE), template, LANGUAGE_OVERRIDES
-    )
+    if random_init:
+        variables = jax.jit(model.init)(jax.random.PRNGKey(0), inputs, input_mask)
+    else:
+        template = jax.eval_shape(
+            lambda: model.init(jax.random.PRNGKey(0), inputs, input_mask)
+        )
+        variables, _ = convert_state_dict(
+            load_torch_checkpoint(CKPT_FILE), template, LANGUAGE_OVERRIDES
+        )
 
     out = jax.jit(model.apply)(variables, inputs, input_mask)
 
@@ -67,4 +74,9 @@ def language_example():
 
 
 if __name__ == "__main__":
-    language_example()
+    import argparse
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--random-init", action="store_true",
+                        help="run with untrained weights (demo/smoke mode)")
+    language_example(random_init=parser.parse_args().random_init)

@@ -5,6 +5,9 @@ reconstructing both modalities and predicting the Kinetics-700 class.
 """
 
 import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -29,25 +32,35 @@ NUM_CLASSES = 700
 IMG_SZ = 224
 
 
+
+def _resolve_sample(path: str) -> str:
+    """Fall back to the reference repo's sample_data for the demo media."""
+    if os.path.exists(path):
+        return path
+    alt = os.path.join("/root/reference", path.lstrip("./"))
+    return alt if os.path.exists(alt) else path
+
 def multimodal_example(
     video_path: str = "./sample_data/video.avi",
     audio_path: str = "./sample_data/audio.wav",
+    random_init: bool = False,
 ):
     import scipy.io.wavfile
 
-    if not os.path.isfile(CKPT_FILE):
+    if not random_init and not os.path.isfile(CKPT_FILE):
         raise ValueError(
             "Please download the converted checkpoint and place it in"
-            " ./pytorch_checkpoints (see README)."
+            " ./pytorch_checkpoints (see README), or pass --random-init for"
+            " an untrained demo run."
         )
 
-    sample_rate, audio = scipy.io.wavfile.read(audio_path)
+    sample_rate, audio = scipy.io.wavfile.read(_resolve_sample(audio_path))
     if audio.dtype == np.int16:
         audio = audio.astype(np.float32) / 2**15
     elif audio.dtype != np.float32:
         raise ValueError("Model expects sound samples in [-1, 1]")
 
-    video = load_video(video_path, resize=(IMG_SZ, IMG_SZ))
+    video = load_video(_resolve_sample(video_path), resize=(IMG_SZ, IMG_SZ))
 
     model = MultiModalPerceiver(
         num_frames=NUM_FRAMES,
@@ -64,10 +77,15 @@ def multimodal_example(
         audio[None, : NUM_FRAMES * AUDIO_SAMPLES_PER_FRAME, 0:1], jnp.float32
     )
 
-    template = jax.eval_shape(
-        lambda: model.init(jax.random.PRNGKey(0), video_input, audio_input, 128)
-    )
-    variables, _ = convert_state_dict(load_torch_checkpoint(CKPT_FILE), template)
+    if random_init:
+        variables = jax.jit(
+            lambda k, i, a: model.init(k, i, a, 128)
+        )(jax.random.PRNGKey(0), video_input, audio_input)
+    else:
+        template = jax.eval_shape(
+            lambda: model.init(jax.random.PRNGKey(0), video_input, audio_input, 128)
+        )
+        variables, _ = convert_state_dict(load_torch_checkpoint(CKPT_FILE), template)
 
     fwd = jax.jit(lambda v, i, a: model.apply(v, i, a, 128))
     reconstruction = fwd(variables, video_input, audio_input)
@@ -91,4 +109,8 @@ def multimodal_example(
 
 
 if __name__ == "__main__":
-    multimodal_example()
+    import argparse
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--random-init", action="store_true")
+    multimodal_example(random_init=parser.parse_args().random_init)

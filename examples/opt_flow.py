@@ -5,6 +5,9 @@ the Middlebury color wheel.
 """
 
 import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -21,34 +24,49 @@ from perceiverio_pytorch_tpu.utils.torch_checkpoint import (
 CKPT_FILE = "./pytorch_checkpoints/optical_flow_checkpoint.pth"
 
 
+
+def _resolve_sample(path: str) -> str:
+    """Fall back to the reference repo's sample_data for the demo media."""
+    if os.path.exists(path):
+        return path
+    alt = os.path.join("/root/reference", path.lstrip("./"))
+    return alt if os.path.exists(alt) else path
+
 def flow_example(
     frame1_path: str = "./sample_data/frame_0016.png",
     frame2_path: str = "./sample_data/frame_0017.png",
     output_path: str = "./flow_prediction.png",
+    random_init: bool = False,
 ):
-    if not os.path.isfile(CKPT_FILE):
+    if not random_init and not os.path.isfile(CKPT_FILE):
         raise ValueError(
             "Please download the converted checkpoint and place it in"
-            " ./pytorch_checkpoints (see README)."
+            " ./pytorch_checkpoints (see README), or pass --random-init for"
+            " an untrained demo run."
         )
 
     model = FlowPerceiver(img_size=(368, 496))
 
-    img1 = load_image(frame1_path)
-    img2 = load_image(frame2_path)
+    img1 = load_image(_resolve_sample(frame1_path))
+    img2 = load_image(_resolve_sample(frame2_path))
     # Normalise to [-1, 1]
     img1_norm = jnp.asarray(2 * (img1 / 255.0) - 1.0)
     img2_norm = jnp.asarray(2 * (img2 / 255.0) - 1.0)
 
     h, w = model.img_size
-    template = jax.eval_shape(
-        lambda: model.init(
-            jax.random.PRNGKey(0),
-            jnp.zeros((1, 3, h, w)),
-            jnp.zeros((1, 3, h, w)),
+    if random_init:
+        variables = jax.jit(model.init)(
+            jax.random.PRNGKey(0), jnp.zeros((1, 3, h, w)), jnp.zeros((1, 3, h, w))
         )
-    )
-    variables, _ = convert_state_dict(load_torch_checkpoint(CKPT_FILE), template)
+    else:
+        template = jax.eval_shape(
+            lambda: model.init(
+                jax.random.PRNGKey(0),
+                jnp.zeros((1, 3, h, w)),
+                jnp.zeros((1, 3, h, w)),
+            )
+        )
+        variables, _ = convert_state_dict(load_torch_checkpoint(CKPT_FILE), template)
 
     infer = FlowInference(model, variables)
     flow = np.asarray(infer(img1_norm, img2_norm, test_mode=True))
@@ -65,4 +83,8 @@ def flow_example(
 
 
 if __name__ == "__main__":
-    flow_example()
+    import argparse
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--random-init", action="store_true")
+    flow_example(random_init=parser.parse_args().random_init)

@@ -297,7 +297,18 @@ class MultimodalPreprocessor(nn.Module):
         else:
             self.padding_embeddings = None
 
-    def __call__(self, inputs, *, pos=None):
+    @staticmethod
+    def _accepts_train(preprocessor) -> bool:
+        import inspect
+
+        try:
+            return "train" in inspect.signature(
+                type(preprocessor).__call__
+            ).parameters
+        except (TypeError, ValueError):  # pragma: no cover
+            return False
+
+    def __call__(self, inputs, *, pos=None, train: bool = False):
         if self.input_preprocessors is None:
             outputs = dict(inputs)
             inputs_without_pos = dict(inputs)
@@ -305,8 +316,12 @@ class MultimodalPreprocessor(nn.Module):
             outputs = {}
             inputs_without_pos = {}
             for modality, preprocessor in self.input_preprocessors.items():
+                # Thread train-mode into preprocessors that distinguish it
+                # (ImagePreprocessor's BatchNorm uses batch statistics and
+                # updates its EMA state when train=True).
+                kwargs = {"train": train} if self._accepts_train(preprocessor) else {}
                 outputs[modality], inputs_without_pos[modality] = preprocessor(
-                    inputs[modality], pos=pos
+                    inputs[modality], pos=pos, **kwargs
                 )
 
         if self.padding_embeddings is not None:
@@ -467,7 +482,7 @@ class PerceiverIO(nn.Module):
         deterministic: bool = True,
     ):
         inputs, modality_sizes, inputs_without_pos, flat_inputs = self._preprocess(
-            inputs, pos=pos
+            inputs, pos=pos, train=not deterministic
         )
 
         decoder_query, query_sizes = self.decoder_query(
@@ -493,11 +508,11 @@ class PerceiverIO(nn.Module):
     # Encode / decode split (chunked decoding reuses latents)
     # ------------------------------------------------------------------
 
-    def _preprocess(self, inputs, *, pos=None):
+    def _preprocess(self, inputs, *, pos=None, train: bool = False):
         if not isinstance(inputs, (dict, Mapping)):
             inputs = {"__default": inputs}
         flat_inputs, modality_sizes, inputs_without_pos = self.multi_preprocessor(
-            inputs, pos=pos
+            inputs, pos=pos, train=train
         )
         if self.input_token_sharding is not None:
             flat_inputs = jax.lax.with_sharding_constraint(
@@ -517,7 +532,7 @@ class PerceiverIO(nn.Module):
     def encode(self, inputs, *, pos=None, input_mask=None, deterministic=True):
         """Preprocess + encode once; returns (latents, preprocess state)."""
         _, modality_sizes, inputs_without_pos, flat_inputs = self._preprocess(
-            inputs, pos=pos
+            inputs, pos=pos, train=not deterministic
         )
         latents = self._encode_flat(
             flat_inputs, input_mask=input_mask, deterministic=deterministic

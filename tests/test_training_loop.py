@@ -66,3 +66,44 @@ def test_checkpoint_roundtrip(tmp_path):
         jax.tree_util.tree_leaves(restored.params),
     ):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_classification_train_step_updates_batch_stats():
+    """deterministic=False must run BatchNorm in batch-stats mode and allow
+    mutable EMA updates through the conv preprocessor."""
+    import optax
+    from perceiverio_pytorch_tpu.models import ClassificationPerceiver, PrepType
+    from perceiverio_pytorch_tpu.training import classification_cross_entropy
+
+    model = ClassificationPerceiver(
+        num_classes=5, img_size=(32, 32), num_self_attends_per_block=1,
+        num_blocks=1, num_latents=8, num_latent_channels=32,
+        prep_type=PrepType.FOURIER_POS_CONVNET,
+    )
+    rng = np.random.RandomState(0)
+    img = jnp.asarray(rng.randn(4, 3, 32, 32), jnp.float32)
+    labels = jnp.asarray(rng.randint(0, 5, (4,)), jnp.int32)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), img)
+
+    def loss_fn(params, batch_stats, img, labels):
+        logits, mutated = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            img,
+            deterministic=False,
+            mutable=["batch_stats"],
+        )
+        return classification_cross_entropy(logits, labels), mutated
+
+    (loss, mutated), grads = jax.jit(
+        jax.value_and_grad(loss_fn, has_aux=True)
+    )(variables["params"], variables["batch_stats"], img, labels)
+    assert np.isfinite(float(loss))
+    # EMA stats must actually move
+    before = jax.tree_util.tree_leaves(variables["batch_stats"])
+    after = jax.tree_util.tree_leaves(mutated["batch_stats"])
+    assert any(
+        not np.allclose(np.asarray(a), np.asarray(b)) for a, b in zip(before, after)
+    )
+    # gradients flow into the conv kernel
+    conv_grad = grads["perceiver"]["input_preprocessors"]["convnet"]["convs_0"]["kernel"]
+    assert float(jnp.abs(conv_grad).sum()) > 0
