@@ -14,6 +14,7 @@ fp32 XLA configuration on the same chip (our parity-mode baseline).
 Prints exactly one JSON line.
 """
 
+import argparse
 import json
 import time
 
@@ -39,6 +40,43 @@ def _throughput(model, params, img, iters=20, warmup=3):
     float(acc)
     dt = (time.perf_counter() - t0) / iters
     return img.shape[0] / dt
+
+
+def bench_flow():
+    """Secondary metric: Sintel-flow frame-pairs/sec, one 368x496 tile."""
+    from perceiverio_pytorch_tpu import PERFORMANCE
+    from perceiverio_pytorch_tpu.models import FlowPerceiver
+    from perceiverio_pytorch_tpu.utils.params import cast_variables_for_inference
+
+    model = FlowPerceiver(policy=PERFORMANCE)
+    i1 = jnp.asarray(np.random.RandomState(0).randn(1, 3, 368, 496) * 0.5, jnp.float32)
+    i2 = jnp.asarray(np.random.RandomState(1).randn(1, 3, 368, 496) * 0.5, jnp.float32)
+    params = cast_variables_for_inference(
+        jax.jit(model.init)(jax.random.PRNGKey(0), i1, i2)
+    )
+    fn = jax.jit(model.apply)
+    acc = fn(params, i1, i2).sum()
+    for _ in range(2):
+        acc = acc + fn(params, i1, i2).sum()
+    float(acc)
+    t0 = time.perf_counter()
+    acc = None
+    iters = 10
+    for _ in range(iters):
+        out = fn(params, i1, i2).sum()
+        acc = out if acc is None else acc + out
+    float(acc)
+    dt = (time.perf_counter() - t0) / iters
+    print(
+        json.dumps(
+            {
+                "metric": "sintel_flow_frame_pairs_per_sec_per_chip",
+                "value": round(1.0 / dt, 2),
+                "unit": "frame-pairs/sec",
+                "vs_baseline": 1.0,
+            }
+        )
+    )
 
 
 def main():
@@ -76,4 +114,12 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    parser = argparse.ArgumentParser()
+    parser.add_argument(
+        "--task", default="imagenet", choices=["imagenet", "flow"],
+        help="headline metric (default) or the secondary flow metric",
+    )
+    if parser.parse_args().task == "flow":
+        bench_flow()
+    else:
+        main()
