@@ -180,8 +180,9 @@ class MLP(nn.Module):
             bias_init=nn.initializers.zeros,
         )
         x = nn.Dense(self.widening_factor * self.in_channels, name="fc1", **dense_kwargs)(x)
-        # torch F.gelu defaults to the exact erf-based form.
-        x = jax.nn.gelu(x, approximate=False)
+        # torch F.gelu defaults to the exact erf-based form; the performance
+        # policy swaps in the tanh approximation (see config.Policy).
+        x = jax.nn.gelu(x, approximate=self.policy.gelu_approximate)
         x = nn.Dense(out_channels, name="fc2", **dense_kwargs)(x)
         if self.dropout_prob > 0.0 and not deterministic:
             x = nn.Dropout(rate=self.dropout_prob, deterministic=False)(x)
