@@ -48,11 +48,16 @@ def bench_flow():
     from perceiverio_pytorch_tpu.models import FlowPerceiver
     from perceiverio_pytorch_tpu.utils.params import cast_variables_for_inference
 
+    batch = 2  # best measured throughput point (hides pipeline bubbles)
     model = FlowPerceiver(policy=PERFORMANCE)
-    i1 = jnp.asarray(np.random.RandomState(0).randn(1, 3, 368, 496) * 0.5, jnp.float32)
-    i2 = jnp.asarray(np.random.RandomState(1).randn(1, 3, 368, 496) * 0.5, jnp.float32)
+    i1 = jnp.asarray(
+        np.random.RandomState(0).randn(batch, 3, 368, 496) * 0.5, jnp.float32
+    )
+    i2 = jnp.asarray(
+        np.random.RandomState(1).randn(batch, 3, 368, 496) * 0.5, jnp.float32
+    )
     params = cast_variables_for_inference(
-        jax.jit(model.init)(jax.random.PRNGKey(0), i1, i2)
+        jax.jit(model.init)(jax.random.PRNGKey(0), i1[:1], i2[:1])
     )
     fn = jax.jit(model.apply)
     acc = fn(params, i1, i2).sum()
@@ -61,7 +66,7 @@ def bench_flow():
     float(acc)
     t0 = time.perf_counter()
     acc = None
-    iters = 10
+    iters = 8
     for _ in range(iters):
         out = fn(params, i1, i2).sum()
         acc = out if acc is None else acc + out
@@ -71,7 +76,7 @@ def bench_flow():
         json.dumps(
             {
                 "metric": "sintel_flow_frame_pairs_per_sec_per_chip",
-                "value": round(1.0 / dt, 2),
+                "value": round(batch / dt, 2),
                 "unit": "frame-pairs/sec",
                 "vs_baseline": 1.0,
             }
