@@ -151,14 +151,35 @@ class FlowInference:
         params,
         min_overlap: int = 20,
         batch_tiles: bool = True,
+        mesh=None,
     ):
         self.model = model
-        self.params = params
         self.min_overlap = min_overlap
         self.batch_tiles = batch_tiles
-        self._tile_fn = jax.jit(
-            lambda p, i1, i2: model.apply(p, i1, i2)
-        )
+        self.mesh = mesh
+        self._dp_size = 1
+        if mesh is not None:
+            # Data-parallel tiles: the stacked tile batch shards over the
+            # mesh's data axis (padded to a multiple of its size in __call__).
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from perceiverio_pytorch_tpu.parallel.mesh import DATA_AXIS
+            from perceiverio_pytorch_tpu.parallel.sharding import batch_sharding
+
+            self._dp_size = mesh.shape[DATA_AXIS]
+            self.params = jax.device_put(params, NamedSharding(mesh, P()))
+            batch_sh = batch_sharding(mesh)
+            jitted = jax.jit(model.apply)
+            self._tile_fn = lambda p, i1, i2: jitted(
+                p,
+                jax.device_put(i1, batch_sh),
+                jax.device_put(i2, batch_sh),
+            )
+        else:
+            self.params = params
+            self._tile_fn = jax.jit(
+                lambda p, i1, i2: model.apply(p, i1, i2)
+            )
         h, w = model.img_size
         wy, wx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
         wx = np.minimum(wx + 1, w - wx)
@@ -192,6 +213,12 @@ class FlowInference:
             tiles2 = jnp.concatenate(
                 [image2[..., y : y + h, x : x + w] for y, x in grid], axis=0
             )
+            if self._dp_size > 1 and tiles1.shape[0] % self._dp_size != 0:
+                # Even DP sharding needs a divisible tile batch; pad with
+                # repeats and drop the extras afterwards.
+                pad_n = -tiles1.shape[0] % self._dp_size
+                tiles1 = jnp.concatenate([tiles1, tiles1[:pad_n]], axis=0)
+                tiles2 = jnp.concatenate([tiles2, tiles2[:pad_n]], axis=0)
             flow_tiles = self._tile_fn(self.params, tiles1, tiles2)
             pieces = [
                 flow_tiles[i * batch : (i + 1) * batch]

@@ -11,3 +11,7 @@ from perceiverio_pytorch_tpu.parallel.sharding import (  # noqa: F401
     shard_variables,
     variables_shardings,
 )
+from perceiverio_pytorch_tpu.parallel.api import (  # noqa: F401
+    make_data_parallel_apply,
+    pad_batch_to_multiple,
+)

@@ -171,3 +171,42 @@ def test_remat_gradients_match():
     np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
     for a, b in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=1e-4)
+
+
+def test_data_parallel_apply_matches_single_device():
+    from perceiverio_pytorch_tpu.models import ClassificationPerceiver, PrepType
+    from perceiverio_pytorch_tpu.parallel import make_data_parallel_apply
+
+    model = ClassificationPerceiver(
+        num_classes=5, img_size=(32, 32), num_self_attends_per_block=1,
+        num_blocks=1, num_latents=8, num_latent_channels=32,
+        prep_type=PrepType.FOURIER_POS_PIXEL,
+    )
+    img = jnp.asarray(np.random.RandomState(0).randn(8, 3, 32, 32), jnp.float32)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), img)
+    ref = jax.jit(model.apply)(params, img)
+
+    mesh = make_mesh((8, 1))
+    fn, place = make_data_parallel_apply(model, mesh)
+    placed = place(params, img)
+    out = fn(*placed)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-6)
+
+
+def test_flow_inference_on_mesh_matches():
+    from perceiverio_pytorch_tpu.models import FlowInference, FlowPerceiver
+
+    model = FlowPerceiver(
+        img_size=(16, 24), num_latents=8, num_latent_channels=32,
+        num_self_attends_per_block=1, num_blocks=1,
+    )
+    rng = np.random.RandomState(0)
+    img1 = jnp.asarray(rng.uniform(-1, 1, (1, 3, 24, 40)), jnp.float32)
+    img2 = jnp.asarray(rng.uniform(-1, 1, (1, 3, 24, 40)), jnp.float32)
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, 3, 16, 24)), jnp.zeros((1, 3, 16, 24))
+    )
+    ref = FlowInference(model, params, min_overlap=8)(img1, img2)
+    mesh = make_mesh((4, 2))
+    dp = FlowInference(model, params, min_overlap=8, mesh=mesh)(img1, img2)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(dp), rtol=1e-5, atol=1e-5)
