@@ -23,9 +23,9 @@ comparison (no mask operand needed); a user kv-mask rides along as a
 shapes require the sublane dim to match the array or be 8-aligned).
 
 Gradients: ``flash_attention`` carries a custom VJP whose backward pass
-recomputes attention with the XLA reference math (O(Tq*Tk) inside the vjp;
-chunk the Q axis at the call site for flow-scale training); the forward hot
-path stays a Pallas kernel.
+recomputes attention per Q chunk under ``lax.scan`` (peak extra memory one
+[B, H, block_q, Tk] fp32 tile -- O(N), so flow-scale training fits in HBM);
+the forward hot path stays a Pallas kernel.
 """
 
 from __future__ import annotations
@@ -232,17 +232,77 @@ def _flash_forward(
     return out[:, :, :q_len, :v_dim]
 
 
-def _xla_blockwise_reference(q, k, v, kv_mask, q_mask):
-    """XLA fallback with identical semantics (used by the VJP)."""
-    from perceiverio_pytorch_tpu.ops.attention_xla import attend_xla
+def _chunked_attention_bwd(q, k, v, kv_mask, q_mask, g, *, block_q):
+    """O(N)-memory backward: recompute attention per Q chunk (lax.scan).
 
-    attention_mask = None
-    batch = q.shape[0]
-    if kv_mask is not None or q_mask is not None:
-        qm = q_mask if q_mask is not None else jnp.ones((batch, q.shape[1]), bool)
-        km = kv_mask if kv_mask is not None else jnp.ones((batch, k.shape[1]), bool)
-        attention_mask = qm[:, :, None] & km[:, None, :]
-    return attend_xla(q, k, v, attention_mask=attention_mask)
+    Never materialises the full [B, H, Tq, Tk] matrix -- peak extra memory is
+    one [B, H, block_q, Tk] fp32 tile, so flow-scale training (Tq or Tk ~
+    182k) fits in HBM.  Matches the semantics of the forward exactly: scale
+    applied to the logits, -inf fill for invalid keys, wiped (invalid-query
+    or all-keys-masked) rows carry zero gradient.
+    """
+    batch, q_len, num_heads, qk_dim = q.shape
+    kv_len, v_dim = k.shape[1], v.shape[3]
+    scale = 1.0 / math.sqrt(qk_dim)
+    in_dtype = q.dtype
+
+    g = g.reshape(batch, q_len, num_heads, v_dim)
+
+    chunk = min(block_q, q_len)
+    q_pad = _round_up(q_len, chunk)
+    if q_pad != q_len:
+        pad = ((0, 0), (0, q_pad - q_len), (0, 0), (0, 0))
+        q = jnp.pad(q, pad)
+        g = jnp.pad(g, pad)
+        qm = q_mask if q_mask is not None else jnp.ones((batch, q_len), bool)
+        q_mask = jnp.pad(qm, ((0, 0), (0, q_pad - q_len)))
+    n_chunks = q_pad // chunk
+
+    kf = k.astype(jnp.float32)
+    vf = v.astype(jnp.float32)
+
+    def chunk_slice(x, i):
+        return jax.lax.dynamic_slice_in_dim(x, i * chunk, chunk, axis=1)
+
+    def body(carry, i):
+        dk, dv = carry
+        qc = chunk_slice(q, i).astype(jnp.float32)
+        gc = chunk_slice(g, i).astype(jnp.float32)
+
+        s = jnp.einsum("bthd,bshd->bhts", qc, kf) * scale
+        if kv_mask is not None:
+            s = jnp.where(kv_mask[:, None, None, :], s, -jnp.inf)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        m = jnp.where(m == -jnp.inf, 0.0, m)
+        e = jnp.exp(s - m)
+        denom = jnp.sum(e, axis=-1, keepdims=True)
+        p = e / jnp.where(denom == 0.0, 1.0, denom)
+
+        # Rows the forward wiped to zero must carry zero gradient.
+        row_valid = denom[:, :, :, 0] > 0.0  # [B, H, chunk]
+        if q_mask is not None:
+            qm_c = chunk_slice(q_mask, i)  # [B, chunk]
+            row_valid = row_valid & jnp.transpose(qm_c[:, :, None], (0, 2, 1))
+        gc = jnp.where(
+            jnp.transpose(row_valid, (0, 2, 1))[:, :, :, None], gc, 0.0
+        )
+
+        dv = dv + jnp.einsum("bhts,bthd->bshd", p, gc)
+        dp = jnp.einsum("bthd,bshd->bhts", gc, vf)
+        ds = p * (dp - jnp.sum(p * dp, axis=-1, keepdims=True))
+        dq_c = jnp.einsum("bhts,bshd->bthd", ds, kf) * scale
+        dk = dk + jnp.einsum("bhts,bthd->bshd", ds, qc) * scale
+        return (dk, dv), dq_c
+
+    (dk, dv), dq_chunks = jax.lax.scan(
+        body,
+        (jnp.zeros(k.shape, jnp.float32), jnp.zeros(v.shape, jnp.float32)),
+        jnp.arange(n_chunks),
+    )
+    # [n_chunks, B, chunk, H, D] -> [B, q_len, H, D]
+    dq = jnp.moveaxis(dq_chunks, 0, 1).reshape(batch, q_pad, num_heads, qk_dim)
+    dq = dq[:, :q_len]
+    return dq.astype(in_dtype), dk.astype(in_dtype), dv.astype(in_dtype)
 
 
 @functools.partial(
@@ -276,12 +336,9 @@ def _flash_fwd(q, k, v, kv_mask, q_mask, block_q, block_k, interpret):
 
 def _flash_bwd(block_q, block_k, interpret, residuals, g):
     q, k, v, kv_mask, q_mask = residuals
-
-    def f(q, k, v):
-        return _xla_blockwise_reference(q, k, v, kv_mask, q_mask)
-
-    _, vjp = jax.vjp(f, q, k, v)
-    dq, dk, dv = vjp(g)
+    dq, dk, dv = _chunked_attention_bwd(
+        q, k, v, kv_mask, q_mask, g, block_q=block_q
+    )
     return dq, dk, dv, None, None
 
 

@@ -94,3 +94,56 @@ def test_flash_gradients_match_xla():
     g_xla = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
     for gf, gx in zip(g_flash, g_xla):
         np.testing.assert_allclose(np.asarray(gf), np.asarray(gx), rtol=1e-4, atol=1e-4)
+
+
+def test_flash_gradients_with_masks_match_xla():
+    rng = np.random.RandomState(20)
+    q = _rand((2, 24, 2, 32), 20)
+    k = _rand((2, 70, 2, 32), 21)
+    v = _rand((2, 70, 2, 32), 22)
+    kv_mask = jnp.asarray(rng.rand(2, 70) > 0.3)
+    q_mask = jnp.asarray(rng.rand(2, 24) > 0.3)
+
+    from perceiverio_pytorch_tpu.ops.attention_xla import make_cross_attention_mask
+
+    def loss_flash(q, k, v):
+        out = flash_attention(
+            q, k, v, kv_mask=kv_mask, q_mask=q_mask,
+            block_q=16, block_k=32, interpret=True,
+        )
+        return jnp.sum(out ** 2)
+
+    def loss_xla(q, k, v):
+        out = attend_xla(
+            q, k, v, attention_mask=make_cross_attention_mask(q_mask, kv_mask)
+        )
+        return jnp.sum(out ** 2)
+
+    g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_xla = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for gf, gx in zip(g_flash, g_xla):
+        np.testing.assert_allclose(
+            np.asarray(gf), np.asarray(gx), rtol=1e-4, atol=1e-4
+        )
+
+
+def test_flash_gradients_ragged_q_chunking():
+    """q_len not a multiple of the backward chunk size."""
+    q = _rand((1, 37, 1, 64), 30)
+    k = _rand((1, 120, 1, 64), 31)
+    v = _rand((1, 120, 1, 64), 32)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(
+            flash_attention(q, k, v, block_q=16, block_k=64, interpret=True) ** 2
+        )
+
+    def loss_xla(q, k, v):
+        return jnp.sum(attend_xla(q, k, v) ** 2)
+
+    g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_xla = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for gf, gx in zip(g_flash, g_xla):
+        np.testing.assert_allclose(
+            np.asarray(gf), np.asarray(gx), rtol=1e-4, atol=1e-4
+        )
