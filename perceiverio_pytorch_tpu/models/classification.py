@@ -41,6 +41,7 @@ class ClassificationPerceiver(nn.Module):
     num_latents: int = 512
     num_latent_channels: int = 1024
     policy: Policy = DEFAULT
+    remat: bool = False
 
     def setup(self):
         if self.prep_type == PrepType.FOURIER_POS_CONVNET:
@@ -120,6 +121,7 @@ class ClassificationPerceiver(nn.Module):
             final_project_out_channels=self.num_classes,
             output_postprocessors=output_postprocessor,
             policy=self.policy,
+            remat=self.remat,
         )
 
     def __call__(self, img, *, deterministic: bool = True):

@@ -42,6 +42,7 @@ class FlowPerceiver(nn.Module):
     num_self_attends_per_block: int = 24
     num_blocks: int = 1
     policy: Policy = DEFAULT
+    remat: bool = False
 
     def setup(self):
         channels = 3
@@ -88,6 +89,7 @@ class FlowPerceiver(nn.Module):
             input_preprocessors=input_preprocessor,
             output_postprocessors=postprocessor,
             policy=self.policy,
+            remat=self.remat,
         )
 
     def __call__(self, image1, image2, *, deterministic: bool = True):

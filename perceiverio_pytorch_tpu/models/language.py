@@ -28,6 +28,7 @@ class LanguagePerceiver(nn.Module):
     num_latents: int = 256
     num_latent_channels: int = 1280
     policy: Policy = DEFAULT
+    remat: bool = False
 
     def setup(self):
         # Shared token embedding: encoder input and tied output decode
@@ -73,6 +74,7 @@ class LanguagePerceiver(nn.Module):
                 use_query_residual=False,
             ),
             policy=self.policy,
+            remat=self.remat,
         )
 
     def __call__(self, inputs, input_masks=None, *, deterministic: bool = True):

@@ -50,6 +50,7 @@ class MultiModalPerceiver(nn.Module):
     num_latents: int = 28 * 28 * 1
     num_latent_channels: int = 512
     policy: Policy = DEFAULT
+    remat: bool = False
 
     def setup(self):
         h, w = self.img_size
@@ -136,6 +137,7 @@ class MultiModalPerceiver(nn.Module):
             output_query_padding_channels=2,
             input_mask_probs={"image": 0.0, "audio": 0.0, "label": 1.0},
             policy=self.policy,
+            remat=self.remat,
         )
 
     def __call__(self, images, audio, n_chunks: int = 128, *, deterministic=True):
