@@ -148,3 +148,44 @@ def test_conv2d_downsample_parity_multilayer():
     np.testing.assert_allclose(
         np.moveaxis(np.asarray(out), -1, 1), t_out, **TOL
     )
+
+
+@requires_reference
+def test_image_preprocessor_video_conv_parity():
+    """conv prep with a temporal dim: T folds into batch, index dims include
+    frames (preprocessors.py:206-225)."""
+    import torch
+    from perceiver_io.io_processors.preprocessors import (
+        ImagePreprocessor as TImage,
+    )
+    from perceiver_io.position_encoding import PosEncodingType as TPos
+
+    from perceiverio_pytorch_tpu.core.position_encoding import PosEncodingType
+    from perceiverio_pytorch_tpu.io_processors import ImagePreprocessor
+
+    fkw = dict(num_bands=4, max_resolution=(2, 4, 4), sine_only=False, concat_pos=True)
+    kwargs = dict(
+        img_size=(16, 16), num_frames=2, input_channels=3,
+        prep_type="conv", spatial_downsample=4, num_channels=8,
+    )
+    tm = TImage(
+        position_encoding_type=TPos.FOURIER,
+        fourier_position_encoding_kwargs=fkw,
+        **kwargs,
+    ).eval()
+    sd = randomize_state_dict(tm, seed=3)
+    video = np.random.RandomState(3).randn(2, 2, 3, 16, 16).astype(np.float32)
+    with torch.inference_mode():
+        t_with, t_without = tm(torch.from_numpy(video))
+
+    pre = ImagePreprocessor(
+        position_encoding_type=PosEncodingType.FOURIER,
+        fourier_position_encoding_kwargs=fkw,
+        **kwargs,
+    )
+    tmpl = jax.jit(pre.init)(jax.random.PRNGKey(0), jnp.asarray(video))
+    variables, unused = convert_state_dict(sd, tmpl)
+    assert unused == []
+    with_pos, without_pos = jax.jit(pre.apply)(variables, jnp.asarray(video))
+    np.testing.assert_allclose(np.asarray(with_pos), to_numpy(t_with), **TOL)
+    np.testing.assert_allclose(np.asarray(without_pos), to_numpy(t_without), **TOL)

@@ -207,3 +207,35 @@ def test_single_tensor_input_unwraps_default():
     params = jax.jit(model.init)(jax.random.PRNGKey(0), x)
     out = jax.jit(model.apply)(params, x)
     assert isinstance(out, jnp.ndarray) and out.shape == (2, 3, 8)
+
+
+def test_stochastic_mask_probs_use_rng():
+    """0 < p < 1 mask probs draw from the 'mask' rng stream."""
+    from perceiverio_pytorch_tpu.io_processors import OneHotPreprocessor
+
+    model = PerceiverIO(
+        num_blocks=1,
+        num_self_attends_per_block=1,
+        num_latents=4,
+        num_latent_channels=32,
+        final_project=True,
+        final_project_out_channels=8,
+        input_preprocessors={"a": OneHotPreprocessor(input_channels=6)},
+        input_mask_probs={"a": 0.5},
+        output_queries={"a": TrainableQuery(output_index_dims=2, num_channels=8)},
+    )
+    x = {"a": jnp.asarray(np.random.RandomState(0).randn(4, 6), jnp.float32)}
+    params = jax.jit(
+        lambda k, x: model.init({"params": k, "mask": jax.random.PRNGKey(9)}, x)
+    )(jax.random.PRNGKey(0), x)
+    out1 = jax.jit(
+        lambda p, x: model.apply(p, x, rngs={"mask": jax.random.PRNGKey(1)})
+    )(params, x)
+    out1b = jax.jit(
+        lambda p, x: model.apply(p, x, rngs={"mask": jax.random.PRNGKey(1)})
+    )(params, x)
+    out2 = jax.jit(
+        lambda p, x: model.apply(p, x, rngs={"mask": jax.random.PRNGKey(2)})
+    )(params, x)
+    np.testing.assert_array_equal(np.asarray(out1), np.asarray(out1b))
+    assert not np.allclose(np.asarray(out1), np.asarray(out2))
