@@ -178,6 +178,50 @@ def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
     return state_dict_to_numpy(checkpoint)
 
 
+def export_state_dict(
+    variables,
+    overrides: Optional[Mapping[str, str]] = None,
+    tied: Optional[Mapping[str, str]] = None,
+) -> Dict[str, np.ndarray]:
+    """Inverse adapter: flax variables -> reference-convention state_dict.
+
+    Lets fine-tuned weights be saved in the format the PyTorch reference
+    loads (``{"model_state_dict": ...}`` after torch.save).  ``tied`` maps
+    extra torch keys to already-exported torch keys (e.g. the language
+    model's postprocessor embedding alias).
+    """
+    overrides = dict(overrides or {})
+    out: Dict[str, np.ndarray] = {}
+    for collection, tree in variables.items():
+        for path, value in flatten_dict(tree).items():
+            flax_key = "/".join(path)
+            torch_key = overrides.get(flax_key) or _translate_path(
+                path, collection
+            )
+            value = np.asarray(value, np.float32)
+            leaf = path[-1]
+            if leaf == "kernel":
+                if value.ndim == 2:
+                    value = value.T
+                elif value.ndim == 4:
+                    value = value.transpose(3, 2, 0, 1)
+            out[torch_key] = value
+    for alias, source in (tied or {}).items():
+        out[alias] = out[source]
+    return out
+
+
+def save_torch_checkpoint(path: str, variables, overrides=None, tied=None):
+    """Write a reference-loadable ``.pth`` with a model_state_dict entry."""
+    if torch is None:
+        raise ImportError("torch is required to write .pth checkpoints")
+    sd = {
+        k: torch.from_numpy(np.ascontiguousarray(v))
+        for k, v in export_state_dict(variables, overrides, tied).items()
+    }
+    torch.save({"model_state_dict": sd}, path)
+
+
 # Model-specific overrides ------------------------------------------------
 
 # LanguagePerceiver: the tied token embedding lives at the task-model top
@@ -185,4 +229,11 @@ def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
 # pre/postprocessors.
 LANGUAGE_OVERRIDES = {
     "embed/embedding": "perceiver._multi_preprocessor._preprocessors.__default.embed.weight",
+}
+
+# torch stores the tied table a second time under the postprocessor.
+LANGUAGE_TIED = {
+    "perceiver._output_postprocessors.__default._embedding.weight": (
+        "perceiver._multi_preprocessor._preprocessors.__default.embed.weight"
+    ),
 }

@@ -238,3 +238,40 @@ def test_multimodal_parity():
         theirs = to_numpy(torch_out[key])
         assert ours.shape == theirs.shape, key
         np.testing.assert_allclose(ours, theirs, err_msg=key, **TOL)
+
+
+@requires_reference
+def test_export_state_dict_roundtrip():
+    """flax -> torch export loads back into the reference model and
+    reproduces our outputs (full interop round trip)."""
+    import torch
+    from perceiver_io.language_perceiver import LanguagePerceiver as TorchLanguage
+
+    from perceiverio_pytorch_tpu.models import LanguagePerceiver
+    from perceiverio_pytorch_tpu.utils.torch_checkpoint import (
+        LANGUAGE_TIED,
+        export_state_dict,
+    )
+
+    kwargs = dict(
+        vocab_size=262, max_seq_len=32, embed_dim=16,
+        num_self_attends_per_block=1, num_blocks=1,
+        num_latents=8, num_latent_channels=64,
+    )
+    model = LanguagePerceiver(**kwargs)
+    tokens = jnp.asarray(np.random.RandomState(0).randint(0, 262, (2, 32)), jnp.int32)
+    mask = jnp.ones((2, 32), bool)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(42), tokens, mask)
+    ours = np.asarray(jax.jit(model.apply)(variables, tokens, mask))
+
+    sd = export_state_dict(variables, LANGUAGE_OVERRIDES, LANGUAGE_TIED)
+    torch_model = TorchLanguage(**kwargs).eval()
+    torch_model.load_state_dict({k: torch.from_numpy(v.copy()) for k, v in sd.items()})
+    with torch.inference_mode():
+        theirs = to_numpy(
+            torch_model(
+                torch.from_numpy(np.asarray(tokens, np.int64)),
+                torch.from_numpy(np.asarray(mask)),
+            )
+        )
+    np.testing.assert_allclose(ours, theirs, **TOL)
