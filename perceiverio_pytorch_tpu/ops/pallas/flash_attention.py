@@ -149,6 +149,28 @@ def _flash_forward(
     dv_pad = _round_up(v_dim, _LANE)
     block_q = min(block_q, _round_up(q_len, 8))
     block_k = min(block_k, _round_up(kv_len, _LANE))
+
+    # Shrink blocks until the kernel's VMEM footprint fits (~16 MB/core):
+    # wide heads (e.g. the multimodal 704-ch single-head cross-attend) or
+    # fp32 operands would otherwise overflow scoped VMEM at the defaults.
+    itemsize = q.dtype.itemsize
+
+    def _vmem_bytes(bq, bk):
+        operands = (bq * d_pad + bk * d_pad + bk * dv_pad) * itemsize * 2  # dbl-buf
+        scores = bq * bk * 4 * 2  # s and p in fp32
+        scratch = (bq * dv_pad + 2 * bq * _LANE) * 4
+        out = bq * dv_pad * itemsize * 2
+        return operands + scores + scratch + out
+
+    _VMEM_BUDGET = 12 * 1024 * 1024
+    while _vmem_bytes(block_q, block_k) > _VMEM_BUDGET and (
+        block_k > _LANE or block_q > 128
+    ):
+        if block_k >= block_q and block_k > _LANE:
+            block_k //= 2
+        else:
+            block_q = max(block_q // 2, 8)
+
     q_pad = _round_up(q_len, block_q)
     k_pad = _round_up(kv_len, block_k)
 
