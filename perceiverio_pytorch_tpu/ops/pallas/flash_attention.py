@@ -248,6 +248,11 @@ def _flash_forward(
             bytes_accessed=(q.size + k.size + v.size) * q.dtype.itemsize,
             transcendentals=batch * num_heads * q_pad * k_pad,
         ),
+        compiler_params=pltpu.CompilerParams(
+            # batch/head/Q-block grid dims are independent; only the KV walk
+            # is a sequential reduction (lets megacore chips split the grid).
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
         interpret=interpret,
     )(*operands)
 
