@@ -15,3 +15,6 @@ from perceiverio_pytorch_tpu.parallel.api import (  # noqa: F401
     make_data_parallel_apply,
     pad_batch_to_multiple,
 )
+from perceiverio_pytorch_tpu.parallel.sequence_parallel import (  # noqa: F401
+    sequence_parallel_attention,
+)

@@ -210,3 +210,49 @@ def test_flow_inference_on_mesh_matches():
     mesh = make_mesh((4, 2))
     dp = FlowInference(model, params, min_overlap=8, mesh=mesh)(img1, img2)
     np.testing.assert_allclose(np.asarray(ref), np.asarray(dp), rtol=1e-5, atol=1e-5)
+
+
+def test_sequence_parallel_attention_matches_single_device():
+    """KV-sharded attention with softmax-stat all-reduce == dense attention."""
+    from perceiverio_pytorch_tpu.ops.attention_xla import attend_xla
+    from perceiverio_pytorch_tpu.parallel import sequence_parallel_attention
+
+    rng = np.random.RandomState(0)
+    q = jnp.asarray(rng.randn(2, 16, 2, 32), jnp.float32)
+    k = jnp.asarray(rng.randn(2, 64, 2, 32), jnp.float32)
+    v = jnp.asarray(rng.randn(2, 64, 2, 32), jnp.float32)
+    kv_mask = jnp.asarray(rng.rand(2, 64) > 0.3)
+
+    mesh = make_mesh((2, 4))
+    ref = np.asarray(
+        attend_xla(q, k, v, attention_mask=kv_mask[:, None, :] & jnp.ones((2, 16, 1), bool))
+    )
+    got = np.asarray(
+        jax.jit(
+            lambda q, k, v, m: sequence_parallel_attention(
+                q, k, v, mesh, kv_mask=m, axis_name="model"
+            )
+        )(q, k, v, kv_mask)
+    )
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+    # no-mask path
+    ref2 = np.asarray(attend_xla(q, k, v))
+    got2 = np.asarray(
+        jax.jit(lambda q, k, v: sequence_parallel_attention(q, k, v, mesh))(q, k, v)
+    )
+    np.testing.assert_allclose(got2, ref2, rtol=1e-5, atol=1e-5)
+
+
+def test_sequence_parallel_attention_all_masked_rows_zero():
+    from perceiverio_pytorch_tpu.parallel import sequence_parallel_attention
+
+    rng = np.random.RandomState(1)
+    q = jnp.asarray(rng.randn(1, 8, 1, 32), jnp.float32)
+    k = jnp.asarray(rng.randn(1, 32, 1, 32), jnp.float32)
+    v = jnp.asarray(rng.randn(1, 32, 1, 32), jnp.float32)
+    mesh = make_mesh((2, 4))
+    out = jax.jit(
+        lambda q, k, v, m: sequence_parallel_attention(q, k, v, mesh, kv_mask=m)
+    )(q, k, v, jnp.zeros((1, 32), bool))
+    assert np.all(np.asarray(out) == 0.0)

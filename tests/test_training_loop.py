@@ -107,3 +107,21 @@ def test_classification_train_step_updates_batch_stats():
     # gradients flow into the conv kernel
     conv_grad = grads["perceiver"]["input_preprocessors"]["convnet"]["convs_0"]["kernel"]
     assert float(jnp.abs(conv_grad).sum()) > 0
+
+
+def test_prefetch_and_epoch_batches():
+    from perceiverio_pytorch_tpu.utils.data import epoch_batches, prefetch_to_device
+
+    x = np.arange(20 * 3, dtype=np.float32).reshape(20, 3)
+    y = np.arange(20, dtype=np.int32)
+    batches = list(epoch_batches((x, y), batch_size=8, shuffle=True, seed=0))
+    assert len(batches) == 2  # drop remainder
+    assert batches[0][0].shape == (8, 3)
+
+    seen = []
+    for bx, by in prefetch_to_device(
+        epoch_batches((x, y), batch_size=8, shuffle=False), size=2
+    ):
+        assert isinstance(bx, jax.Array)
+        seen.append(np.asarray(by))
+    np.testing.assert_array_equal(np.concatenate(seen), y[:16])
