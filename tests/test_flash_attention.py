@@ -147,3 +147,26 @@ def test_flash_gradients_ragged_q_chunking():
         np.testing.assert_allclose(
             np.asarray(gf), np.asarray(gx), rtol=1e-4, atol=1e-4
         )
+
+
+def test_chunked_backward_fallback_matches_pallas():
+    q = _rand((1, 24, 2, 32), 40)
+    k = _rand((1, 80, 2, 32), 41)
+    v = _rand((1, 80, 2, 32), 42)
+
+    def loss(pallas_backward):
+        def f(q, k, v):
+            return jnp.sum(
+                flash_attention(
+                    q, k, v, block_q=16, block_k=32, interpret=True,
+                    pallas_backward=pallas_backward,
+                ) ** 2
+            )
+        return f
+
+    g_pallas = jax.grad(loss(True), argnums=(0, 1, 2))(q, k, v)
+    g_chunked = jax.grad(loss(False), argnums=(0, 1, 2))(q, k, v)
+    for gp, gc in zip(g_pallas, g_chunked):
+        np.testing.assert_allclose(
+            np.asarray(gp), np.asarray(gc), rtol=1e-5, atol=1e-5
+        )
