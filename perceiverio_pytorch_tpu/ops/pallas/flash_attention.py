@@ -61,14 +61,18 @@ def _flash_kernel(
     kv_len: int,
     k_pad: int,
     has_kv_mask: bool,
+    emit_lse: bool,
 ):
     if has_kv_mask:
-        (q_ref, k_ref, v_ref, kv_mask_ref, out_ref, lse_ref,
-         m_scratch, l_scratch, acc_scratch) = refs
+        q_ref, k_ref, v_ref, kv_mask_ref, *rest = refs
     else:
-        (q_ref, k_ref, v_ref, out_ref, lse_ref,
-         m_scratch, l_scratch, acc_scratch) = refs
+        q_ref, k_ref, v_ref, *rest = refs
         kv_mask_ref = None
+    if emit_lse:
+        out_ref, lse_ref, m_scratch, l_scratch, acc_scratch = rest
+    else:
+        out_ref, m_scratch, l_scratch, acc_scratch = rest
+        lse_ref = None
 
     b = pl.program_id(0)
     ik = pl.program_id(3)
@@ -132,10 +136,10 @@ def _flash_kernel(
         # l == 0 -> every key masked: wipe the row to exact zero
         l_safe = jnp.where(l == 0.0, 1.0, l)
         out_ref[0, 0] = (acc_scratch[:] / l_safe).astype(out_ref.dtype)
-        # log-sum-exp per query row, saved for the backward kernels;
-        # +inf for fully-masked rows so exp(s - lse) recomputes p = 0.
-        lse = jnp.where(l == 0.0, jnp.inf, m + jnp.log(l_safe))
-        lse_ref[0, 0] = lse
+        if emit_lse:
+            # log-sum-exp per query row, saved for the backward kernels;
+            # +inf for fully-masked rows so exp(s - lse) recomputes p = 0.
+            lse_ref[0, 0] = jnp.where(l == 0.0, jnp.inf, m + jnp.log(l_safe))
 
 
 def _pick_blocks(block_q, block_k, q_len, kv_len, d_pad, dv_pad, itemsize,
@@ -173,6 +177,7 @@ def _flash_forward(
     block_q: int,
     block_k: int,
     interpret: bool,
+    need_lse: bool = False,
 ) -> jnp.ndarray:
     """Core pallas_call on [B, H, T, D]-transposed operands."""
     batch, num_heads, q_len, qk_dim = q.shape
@@ -240,28 +245,36 @@ def _flash_forward(
         kv_len=kv_len,
         k_pad=k_pad,
         has_kv_mask=has_kv_mask,
+        emit_lse=need_lse,
     )
 
-    out, lse = pl.pallas_call(
+    out_spec = pl.BlockSpec(
+        (1, 1, block_q, dv_pad),
+        lambda b, h, iq, ik: (b, h, iq, 0),
+        memory_space=pltpu.VMEM,
+    )
+    out_shape = jax.ShapeDtypeStruct((batch, num_heads, q_pad, dv_pad), q.dtype)
+    if need_lse:
+        lse_spec = pl.BlockSpec(
+            (1, 1, block_q, 1),
+            lambda b, h, iq, ik: (b, h, iq, 0),
+            memory_space=pltpu.VMEM,
+        )
+        out_specs = (out_spec, lse_spec)
+        out_shapes = (
+            out_shape,
+            jax.ShapeDtypeStruct((batch, num_heads, q_pad, 1), jnp.float32),
+        )
+    else:
+        out_specs = out_spec
+        out_shapes = out_shape
+
+    result = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
-        out_specs=(
-            pl.BlockSpec(
-                (1, 1, block_q, dv_pad),
-                lambda b, h, iq, ik: (b, h, iq, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, 1, block_q, 1),
-                lambda b, h, iq, ik: (b, h, iq, 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((batch, num_heads, q_pad, dv_pad), q.dtype),
-            jax.ShapeDtypeStruct((batch, num_heads, q_pad, 1), jnp.float32),
-        ),
+        out_specs=out_specs,
+        out_shape=out_shapes,
         scratch_shapes=[
             pltpu.VMEM((block_q, _LANE), jnp.float32),
             pltpu.VMEM((block_q, _LANE), jnp.float32),
@@ -280,7 +293,10 @@ def _flash_forward(
         interpret=interpret,
     )(*operands)
 
-    return out[:, :, :q_len, :v_dim], lse[:, :, :q_len, 0]
+    if need_lse:
+        out, lse = result
+        return out[:, :, :q_len, :v_dim], lse[:, :, :q_len, 0]
+    return result[:, :, :q_len, :v_dim], None
 
 
 def _chunked_attention_bwd(q, k, v, kv_mask, q_mask, g, *, block_q):
@@ -609,17 +625,21 @@ def _pallas_attention_bwd(q, k, v, kv_mask, q_mask, out, lse, g, *,
 def _flash_attention_vjp(
     q, k, v, kv_mask, q_mask, block_q, block_k, interpret, pallas_backward
 ):
-    out, _ = _flash_impl(q, k, v, kv_mask, q_mask, block_q, block_k, interpret)
+    out, _ = _flash_impl(
+        q, k, v, kv_mask, q_mask, block_q, block_k, interpret, need_lse=False
+    )
     return out
 
 
-def _flash_impl(q, k, v, kv_mask, q_mask, block_q, block_k, interpret):
+def _flash_impl(q, k, v, kv_mask, q_mask, block_q, block_k, interpret,
+                need_lse=False):
     # [B, T, H, D] -> [B, H, T, D] for blocking.
     qt = jnp.transpose(q, (0, 2, 1, 3))
     kt = jnp.transpose(k, (0, 2, 1, 3))
     vt = jnp.transpose(v, (0, 2, 1, 3))
     out, lse = _flash_forward(
-        qt, kt, vt, kv_mask, block_q=block_q, block_k=block_k, interpret=interpret
+        qt, kt, vt, kv_mask, block_q=block_q, block_k=block_k,
+        interpret=interpret, need_lse=need_lse,
     )
     out = jnp.transpose(out, (0, 2, 1, 3))  # [B, Tq, H, Dv]
     if q_mask is not None:
@@ -630,7 +650,10 @@ def _flash_impl(q, k, v, kv_mask, q_mask, block_q, block_k, interpret):
 
 def _flash_fwd(q, k, v, kv_mask, q_mask, block_q, block_k, interpret,
                pallas_backward):
-    out, lse = _flash_impl(q, k, v, kv_mask, q_mask, block_q, block_k, interpret)
+    out, lse = _flash_impl(
+        q, k, v, kv_mask, q_mask, block_q, block_k, interpret,
+        need_lse=pallas_backward,
+    )
     return out, (q, k, v, kv_mask, q_mask, out, lse)
 
 
