@@ -204,3 +204,18 @@ def test_flow_viz_shapes():
     flow = np.random.RandomState(0).randn(6, 8, 2).astype(np.float32)
     img = flow_to_image(flow)
     assert img.shape == (6, 8, 3) and img.dtype == np.uint8
+
+
+def test_image_postprocessor_conv_upsample_functional():
+    """The reference leaves the conv postprocessor as a NotImplementedError
+    stub (postprocessors.py:66-88); ours is functional."""
+    from perceiverio_pytorch_tpu.io_processors import ImagePostprocessor
+
+    post = ImagePostprocessor(
+        img_size=(16, 16), postproc_type="conv", n_outputs=3,
+        spatial_upsample=4, input_reshape_size=(4, 4),
+    )
+    x = jnp.ones((2, 16, 8))  # [B, N=4*4, C]
+    params = post.init(jax.random.PRNGKey(0), x)
+    out = post.apply(params, x)
+    assert out.shape == (2, 16, 16, 3)  # 4x upsampled, channel-last

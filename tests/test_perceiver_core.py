@@ -239,3 +239,24 @@ def test_stochastic_mask_probs_use_rng():
     )(params, x)
     np.testing.assert_array_equal(np.asarray(out1), np.asarray(out1b))
     assert not np.allclose(np.asarray(out1), np.asarray(out2))
+
+
+def test_modality_dict_insertion_order_irrelevant():
+    """Sorted-key concat (perceiver.py:363-364, 495-498) must make results
+    independent of dict insertion order."""
+    q = {
+        "x": TrainableQuery(output_index_dims=3, num_channels=16),
+        "y": TrainableQuery(output_index_dims=5, num_channels=24),
+    }
+    q_rev = {k: q[k] for k in reversed(list(q))}
+    m1 = _tiny_io(output_queries=q)
+    m2 = _tiny_io(output_queries=q_rev)
+    inputs = {
+        "x": jnp.asarray(np.random.RandomState(0).randn(2, 7, 12), jnp.float32),
+        "y": jnp.asarray(np.random.RandomState(1).randn(2, 9, 16), jnp.float32),
+    }
+    inputs_rev = {k: inputs[k] for k in reversed(list(inputs))}
+    params = jax.jit(m1.init)(jax.random.PRNGKey(0), inputs)
+    out1 = jax.jit(m1.apply)(params, inputs)
+    out2 = jax.jit(m2.apply)(params, inputs_rev)
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), rtol=1e-6)
