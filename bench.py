@@ -101,10 +101,28 @@ def main():
     params_bf16 = cast_variables_for_inference(params)
     perf_ips = _throughput(perf_model, params_bf16, img)
 
-    base_model = ClassificationPerceiver(
-        prep_type=PrepType.FOURIER_POS_CONVNET, policy=PARITY
-    )
-    base_ips = _throughput(base_model, params, img, iters=10)
+    # The fp32 parity-mode baseline is deterministic for a given chip; cache
+    # it so repeat benchmark runs skip its (slow) second compile.
+    import os
+
+    cache_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              ".bench_baseline.json")
+    base_ips = None
+    if os.path.exists(cache_path):
+        try:
+            with open(cache_path) as f:
+                cached = json.load(f)
+            if cached.get("batch") == batch:
+                base_ips = cached["fp32_images_per_sec"]
+        except Exception:
+            base_ips = None
+    if base_ips is None:
+        base_model = ClassificationPerceiver(
+            prep_type=PrepType.FOURIER_POS_CONVNET, policy=PARITY
+        )
+        base_ips = _throughput(base_model, params, img, iters=10)
+        with open(cache_path, "w") as f:
+            json.dump({"batch": batch, "fp32_images_per_sec": base_ips}, f)
 
     print(
         json.dumps(
