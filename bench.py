@@ -84,6 +84,84 @@ def bench_flow():
     )
 
 
+def bench_mlm():
+    """Secondary metric: byte-MLM sequences/sec (2048 tokens, masked)."""
+    from perceiverio_pytorch_tpu import PERFORMANCE
+    from perceiverio_pytorch_tpu.models import LanguagePerceiver
+    from perceiverio_pytorch_tpu.utils.params import cast_variables_for_inference
+
+    batch = 8
+    model = LanguagePerceiver(policy=PERFORMANCE)
+    tokens = jnp.asarray(
+        np.random.RandomState(0).randint(0, 262, (batch, 2048)), jnp.int32
+    )
+    mask = jnp.ones((batch, 2048), bool)
+    params = cast_variables_for_inference(
+        jax.jit(model.init)(jax.random.PRNGKey(0), tokens, mask)
+    )
+    fn = jax.jit(model.apply)
+    acc = fn(params, tokens, mask).sum()
+    for _ in range(3):
+        acc = acc + fn(params, tokens, mask).sum()
+    float(acc)
+    t0 = time.perf_counter()
+    acc = None
+    iters = 20
+    for _ in range(iters):
+        out = fn(params, tokens, mask).sum()
+        acc = out if acc is None else acc + out
+    float(acc)
+    dt = (time.perf_counter() - t0) / iters
+    print(
+        json.dumps(
+            {
+                "metric": "byte_mlm_sequences_per_sec_per_chip",
+                "value": round(batch / dt, 2),
+                "unit": "seq/sec",
+                "vs_baseline": 1.0,
+            }
+        )
+    )
+
+
+def bench_multimodal():
+    """Secondary metric: Kinetics clips/sec (805k output queries/clip)."""
+    from perceiverio_pytorch_tpu import PERFORMANCE
+    from perceiverio_pytorch_tpu.models import MultiModalPerceiver
+    from perceiverio_pytorch_tpu.utils.params import cast_variables_for_inference
+
+    n_chunks = 32  # measured sweet spot; outputs are chunk-count invariant
+    model = MultiModalPerceiver(policy=PERFORMANCE)
+    imgs = jnp.zeros((1, 16, 3, 224, 224), jnp.float32)
+    aud = jnp.zeros((1, 16 * 1920, 1), jnp.float32)
+    params = cast_variables_for_inference(
+        jax.jit(lambda k, i, a: model.init(k, i, a, n_chunks))(
+            jax.random.PRNGKey(0), imgs, aud
+        )
+    )
+    fn = jax.jit(lambda p, i, a: model.apply(p, i, a, n_chunks))
+    acc = fn(params, imgs, aud)["image"].sum()
+    float(acc)
+    t0 = time.perf_counter()
+    acc = None
+    iters = 5
+    for _ in range(iters):
+        out = fn(params, imgs, aud)["image"].sum()
+        acc = out if acc is None else acc + out
+    float(acc)
+    dt = (time.perf_counter() - t0) / iters
+    print(
+        json.dumps(
+            {
+                "metric": "kinetics_autoencode_clips_per_sec_per_chip",
+                "value": round(1.0 / dt, 3),
+                "unit": "clips/sec",
+                "vs_baseline": 1.0,
+            }
+        )
+    )
+
+
 def main():
     from perceiverio_pytorch_tpu import PARITY, PERFORMANCE
     from perceiverio_pytorch_tpu.models import ClassificationPerceiver, PrepType
@@ -139,10 +217,16 @@ def main():
 if __name__ == "__main__":
     parser = argparse.ArgumentParser()
     parser.add_argument(
-        "--task", default="imagenet", choices=["imagenet", "flow"],
-        help="headline metric (default) or the secondary flow metric",
+        "--task", default="imagenet",
+        choices=["imagenet", "flow", "mlm", "multimodal"],
+        help="headline metric (default) or a secondary task metric",
     )
-    if parser.parse_args().task == "flow":
+    task = parser.parse_args().task
+    if task == "flow":
         bench_flow()
+    elif task == "mlm":
+        bench_mlm()
+    elif task == "multimodal":
+        bench_multimodal()
     else:
         main()
