@@ -13,6 +13,7 @@ import dataclasses
 from typing import Any, Optional
 
 import jax.numpy as jnp
+from jax.sharding import Mesh
 
 # Attention implementation selector values.
 ATTN_XLA = "xla"  # reference-faithful jnp einsum/softmax path
@@ -35,6 +36,11 @@ class Policy:
         the erf chain fused into the following matmul halves that GEMM's
         MXU throughput on TPU (measured 81 -> 110 TFLOP/s for the MLP pair);
         the tanh form's ~3e-3 max abs deviation is below bf16 rounding noise.
+      sp_mesh / sp_axis / sp_min_kv: when a mesh is given, cross-attends
+        whose KV axis is at least sp_min_kv tokens (and divisible by the
+        axis size) run sequence-parallel -- KV sharded over sp_axis with an
+        all-reduce of the softmax statistics (parallel/sequence_parallel).
+        This is how inputs longer than one chip's HBM are encoded.
     """
 
     compute_dtype: Optional[Any] = None
@@ -43,6 +49,9 @@ class Policy:
     attn_impl: str = ATTN_AUTO
     flash_min_kv: int = 8192
     gelu_approximate: bool = False
+    sp_mesh: Optional[Mesh] = None
+    sp_axis: str = "model"
+    sp_min_kv: int = 32768
 
 
 # fp32 everywhere; used by parity tests against the PyTorch reference.

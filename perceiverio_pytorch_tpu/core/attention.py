@@ -150,6 +150,9 @@ class Attention(nn.Module):
             impl=self.policy.attn_impl,
             flash_min_kv=self.policy.flash_min_kv,
             return_matrix=return_matrix,
+            sp_mesh=self.policy.sp_mesh,
+            sp_axis=self.policy.sp_axis,
+            sp_min_kv=self.policy.sp_min_kv,
         )
         if return_matrix:
             attention_matrix, result = result

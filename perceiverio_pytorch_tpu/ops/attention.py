@@ -75,6 +75,9 @@ def multihead_attention(
     flash_min_kv: int = 8192,
     return_matrix: bool = False,
     interpret: bool = False,
+    sp_mesh=None,
+    sp_axis: str = "model",
+    sp_min_kv: int = 32768,
 ):
     """Multi-head attention over [B, T, H, D] tensors.
 
@@ -89,6 +92,27 @@ def multihead_attention(
       [B, Tq, H*Dv] (plus the attention matrix when return_matrix=True).
     """
     kv_len = k.shape[1]
+
+    if (
+        sp_mesh is not None
+        and attention_mask is None
+        and attention_bias is None
+        and dropout_rate == 0.0
+        and not return_matrix
+        and kv_len >= sp_min_kv
+        and kv_len % sp_mesh.shape[sp_axis] == 0
+    ):
+        from perceiverio_pytorch_tpu.parallel.sequence_parallel import (
+            sequence_parallel_attention,
+        )
+
+        out = sequence_parallel_attention(
+            q, k, v, sp_mesh, kv_mask=kv_mask, axis_name=sp_axis
+        )
+        if q_mask is not None:
+            out = jnp.where(q_mask[:, :, None], out, 0.0)
+        return out
+
     if _flash_eligible(
         impl,
         q_len=q.shape[1],

@@ -256,3 +256,31 @@ def test_sequence_parallel_attention_all_masked_rows_zero():
         lambda q, k, v, m: sequence_parallel_attention(q, k, v, mesh, kv_mask=m)
     )(q, k, v, jnp.zeros((1, 32), bool))
     assert np.all(np.asarray(out) == 0.0)
+
+
+def test_policy_sequence_parallel_model_matches_single_device():
+    """A PerceiverIO built with Policy(sp_mesh=...) runs its encoder
+    cross-attend KV-sharded over the mesh and matches the default model."""
+    from perceiverio_pytorch_tpu import PerceiverIO, Policy, TrainableQuery
+
+    mesh = make_mesh((2, 4))
+    kwargs = dict(
+        num_blocks=1,
+        num_self_attends_per_block=1,
+        num_latents=4,
+        num_latent_channels=32,
+        final_project=True,
+        final_project_out_channels=8,
+        input_channels=16,
+        output_queries=TrainableQuery(output_index_dims=3, num_channels=16),
+    )
+    model = PerceiverIO(**kwargs)
+    model_sp = PerceiverIO(
+        policy=Policy(sp_mesh=mesh, sp_axis="model", sp_min_kv=32), **kwargs
+    )
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 64, 16), jnp.float32)
+    mask = jnp.asarray(np.random.RandomState(1).rand(2, 64) > 0.2)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), x)
+    ref = jax.jit(lambda p, x, m: model.apply(p, x, input_mask=m))(params, x, mask)
+    sp = jax.jit(lambda p, x, m: model_sp.apply(p, x, input_mask=m))(params, x, mask)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(sp), rtol=1e-5, atol=1e-5)
