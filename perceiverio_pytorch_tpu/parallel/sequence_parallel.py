@@ -38,8 +38,11 @@ def _local_attend(q, k_shard, v_shard, kv_mask_shard, axis_name):
     if kv_mask_shard is not None:
         s = jnp.where(kv_mask_shard[:, None, None, :], s, -jnp.inf)
 
-    m_local = jnp.max(s, axis=-1, keepdims=True)
-    m_global = jax.lax.pmax(m_local, axis_name)
+    # The softmax max-shift cancels exactly in numer/denom, so it carries no
+    # gradient; stop_gradient on both sides keeps AD away from pmax (which
+    # has no differentiation rule) without changing any derivative.
+    m_local = jax.lax.stop_gradient(jnp.max(s, axis=-1, keepdims=True))
+    m_global = jax.lax.stop_gradient(jax.lax.pmax(m_local, axis_name))
     m_safe = jnp.where(m_global == -jnp.inf, 0.0, m_global)
 
     p = jnp.exp(s - m_safe)  # -inf logits contribute exactly 0
