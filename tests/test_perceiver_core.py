@@ -260,3 +260,35 @@ def test_modality_dict_insertion_order_irrelevant():
     out1 = jax.jit(m1.apply)(params, inputs)
     out2 = jax.jit(m2.apply)(params, inputs_rev)
     np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), rtol=1e-6)
+
+
+def test_invalid_configurations_raise():
+    """Knob validation matches the reference's errors (transformer_primitives
+    :66-71, perceiver.py:53-59, preprocessors.py:92-97, 106-114)."""
+    import pytest
+    from perceiverio_pytorch_tpu import Attention, CrossAttention, PerceiverEncoder
+    from perceiverio_pytorch_tpu.io_processors import ImagePreprocessor
+
+    x = jnp.ones((1, 4, 16))
+    with pytest.raises(ValueError, match="divisible"):
+        Attention(q_in_channels=16, num_heads=3).init(
+            jax.random.PRNGKey(0), x, x, x
+        )
+    with pytest.raises(ValueError, match="shape_for_attention"):
+        CrossAttention(
+            q_in_channels=16, kv_in_channels=16, shape_for_attn="bogus",
+            num_heads=2,
+        ).init(jax.random.PRNGKey(0), x, x)
+    with pytest.raises(ValueError, match="divisible"):
+        PerceiverEncoder(
+            num_input_channels=16, num_latents=4, num_latent_channels=30,
+            num_self_attend_heads=8,
+        ).init(jax.random.PRNGKey(0), x, jnp.ones((1, 4, 30)))
+    with pytest.raises(ValueError, match="Invalid prep_type"):
+        ImagePreprocessor(img_size=(8, 8), prep_type="bogus").init(
+            jax.random.PRNGKey(0), jnp.ones((1, 3, 8, 8))
+        )
+    with pytest.raises(ValueError, match="powers of 4"):
+        ImagePreprocessor(img_size=(8, 8), prep_type="conv", spatial_downsample=3).init(
+            jax.random.PRNGKey(0), jnp.ones((1, 3, 8, 8))
+        )
