@@ -24,7 +24,6 @@ are not data-dependent.
 from __future__ import annotations
 
 import enum
-import math
 from typing import Optional, Sequence
 
 import flax.linen as nn

@@ -10,7 +10,7 @@ variant is functional via the Conv2D/3DUpsample modules.
 
 from __future__ import annotations
 
-from typing import Mapping, Optional, Sequence
+from typing import Optional, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp

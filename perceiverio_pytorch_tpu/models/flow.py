@@ -16,7 +16,7 @@ Split TPU-first:
 from __future__ import annotations
 
 import itertools
-from typing import Optional, Sequence
+from typing import Sequence
 
 import flax.linen as nn
 import jax

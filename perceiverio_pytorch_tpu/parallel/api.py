@@ -8,13 +8,10 @@ FlowInference to spread tile batches across a mesh.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from perceiverio_pytorch_tpu.parallel.mesh import DATA_AXIS
 from perceiverio_pytorch_tpu.parallel.sharding import (
     batch_sharding,
     variables_shardings,

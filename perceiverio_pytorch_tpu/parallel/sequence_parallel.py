@@ -18,13 +18,12 @@ exclusion of invalid keys, zero output for wiped rows).
 
 from __future__ import annotations
 
-import functools
 import math
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from perceiverio_pytorch_tpu.parallel.mesh import MODEL_AXIS
 

@@ -12,7 +12,6 @@ import os
 import time
 from typing import Callable, Iterable, Optional
 
-import jax
 import optax
 from jax.sharding import Mesh
 

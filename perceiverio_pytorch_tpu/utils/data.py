@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import collections
 import itertools
-from typing import Iterable, Iterator, Optional
+from typing import Iterable, Iterator
 
 import jax
 import numpy as np

@@ -15,8 +15,6 @@ from __future__ import annotations
 
 import contextlib
 import time
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 
