@@ -37,10 +37,16 @@ class Policy:
         MXU throughput on TPU (measured 81 -> 110 TFLOP/s for the MLP pair);
         the tanh form's ~3e-3 max abs deviation is below bf16 rounding noise.
       sp_mesh / sp_axis / sp_min_kv: when a mesh is given, cross-attends
-        whose KV axis is at least sp_min_kv tokens (and divisible by the
-        axis size) run sequence-parallel -- KV sharded over sp_axis with an
-        all-reduce of the softmax statistics (parallel/sequence_parallel).
-        This is how inputs longer than one chip's HBM are encoded.
+        whose KV axis is at least sp_min_kv tokens run sequence-parallel --
+        KV sharded over sp_axis with an all-reduce of the softmax
+        statistics (parallel/sequence_parallel); non-divisible token
+        counts are padded internally with masked keys.  This is how
+        inputs longer than one chip's HBM are encoded.
+      sp_impl: "xla" (local logits + stat all-reduce), "flash" (per-device
+        Pallas flash over the local KV shard + global lse merge -- ring
+        attention; O(block) memory instead of [Tq, Tk/n] local logits), or
+        "auto" (flash when the local shard is long enough).
+      interpret: run Pallas kernels in interpreter mode (CPU tests only).
     """
 
     compute_dtype: Optional[Any] = None
@@ -52,6 +58,8 @@ class Policy:
     sp_mesh: Optional[Mesh] = None
     sp_axis: str = "model"
     sp_min_kv: int = 32768
+    sp_impl: str = "auto"
+    interpret: bool = False
 
 
 # fp32 everywhere; used by parity tests against the PyTorch reference.

@@ -153,6 +153,8 @@ class Attention(nn.Module):
             sp_mesh=self.policy.sp_mesh,
             sp_axis=self.policy.sp_axis,
             sp_min_kv=self.policy.sp_min_kv,
+            sp_impl=self.policy.sp_impl,
+            interpret=self.policy.interpret,
         )
         if return_matrix:
             attention_matrix, result = result

@@ -78,6 +78,7 @@ def multihead_attention(
     sp_mesh=None,
     sp_axis: str = "model",
     sp_min_kv: int = 32768,
+    sp_impl: str = "auto",
 ):
     """Multi-head attention over [B, T, H, D] tensors.
 
@@ -100,14 +101,14 @@ def multihead_attention(
         and dropout_rate == 0.0
         and not return_matrix
         and kv_len >= sp_min_kv
-        and kv_len % sp_mesh.shape[sp_axis] == 0
     ):
         from perceiverio_pytorch_tpu.parallel.sequence_parallel import (
             sequence_parallel_attention,
         )
 
         out = sequence_parallel_attention(
-            q, k, v, sp_mesh, kv_mask=kv_mask, axis_name=sp_axis
+            q, k, v, sp_mesh, kv_mask=kv_mask, axis_name=sp_axis,
+            impl=sp_impl, interpret=interpret,
         )
         if q_mask is not None:
             out = jnp.where(q_mask[:, :, None], out, 0.0)

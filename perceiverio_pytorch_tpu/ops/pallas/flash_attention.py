@@ -51,6 +51,29 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+def _vma_union(*arrays):
+    """Union of the operands' varying-manual-axes sets.  Under shard_map
+    (ring attention) pallas_call outputs must declare which mesh axes they
+    vary over; outside shard_map this is the empty set (a no-op)."""
+    vma = frozenset()
+    for a in arrays:
+        if a is not None:
+            vma = vma | jax.typeof(a).vma
+    return vma
+
+
+def _pvary_all(vma, *arrays):
+    """Promote every operand to the common vma (no-op outside shard_map)."""
+    out = []
+    for a in arrays:
+        if a is None:
+            out.append(None)
+            continue
+        missing = tuple(vma - jax.typeof(a).vma)
+        out.append(jax.lax.pvary(a, missing) if missing else a)
+    return out
+
+
 def _flash_kernel(
     # kv_mask_ref ([B, k_pad] int32, full batch per block) is present only
     # when has_kv_mask; refs after it shift accordingly.
@@ -248,12 +271,17 @@ def _flash_forward(
         emit_lse=need_lse,
     )
 
+    vma = _vma_union(*operands)
+    operands = _pvary_all(vma, *operands)
+
     out_spec = pl.BlockSpec(
         (1, 1, block_q, dv_pad),
         lambda b, h, iq, ik: (b, h, iq, 0),
         memory_space=pltpu.VMEM,
     )
-    out_shape = jax.ShapeDtypeStruct((batch, num_heads, q_pad, dv_pad), q.dtype)
+    out_shape = jax.ShapeDtypeStruct(
+        (batch, num_heads, q_pad, dv_pad), q.dtype, vma=vma
+    )
     if need_lse:
         lse_spec = pl.BlockSpec(
             (1, 1, block_q, 1),
@@ -263,7 +291,9 @@ def _flash_forward(
         out_specs = (out_spec, lse_spec)
         out_shapes = (
             out_shape,
-            jax.ShapeDtypeStruct((batch, num_heads, q_pad, 1), jnp.float32),
+            jax.ShapeDtypeStruct(
+                (batch, num_heads, q_pad, 1), jnp.float32, vma=vma
+            ),
         )
     else:
         out_specs = out_spec
@@ -544,6 +574,9 @@ def _pallas_attention_bwd(q, k, v, kv_mask, q_mask, out, lse, g, *,
         )
         operands.append(mask_arr)
 
+    vma = _vma_union(*operands)
+    operands = _pvary_all(vma, *operands)
+
     dk, dv = pl.pallas_call(
         functools.partial(
             _bwd_dkv_kernel, scale=scale, num_q_blocks=nq, block_k=block_k,
@@ -558,8 +591,10 @@ def _pallas_attention_bwd(q, k, v, kv_mask, q_mask, out, lse, g, *,
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((batch, num_heads, k_pad, d_pad), in_dtype),
-            jax.ShapeDtypeStruct((batch, num_heads, k_pad, dv_pad), in_dtype),
+            jax.ShapeDtypeStruct((batch, num_heads, k_pad, d_pad), in_dtype,
+                                 vma=vma),
+            jax.ShapeDtypeStruct((batch, num_heads, k_pad, dv_pad), in_dtype,
+                                 vma=vma),
         ),
         scratch_shapes=[
             pltpu.VMEM((block_k, d_pad), jnp.float32),
@@ -594,6 +629,8 @@ def _pallas_attention_bwd(q, k, v, kv_mask, q_mask, out, lse, g, *,
         )
         operands2.append(mask_arr)
 
+    operands2 = _pvary_all(vma, *operands2)
+
     dq = pl.pallas_call(
         functools.partial(
             _bwd_dq_kernel, scale=scale, num_k_blocks=nk, block_k=block_k,
@@ -605,7 +642,8 @@ def _pallas_attention_bwd(q, k, v, kv_mask, q_mask, out, lse, g, *,
             (1, 1, block_q, d_pad), lambda b, h, iq, ik: (b, h, iq, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((batch, num_heads, q_pad, d_pad), in_dtype),
+        out_shape=jax.ShapeDtypeStruct((batch, num_heads, q_pad, d_pad),
+                                       in_dtype, vma=vma),
         scratch_shapes=[pltpu.VMEM((block_q, d_pad), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),

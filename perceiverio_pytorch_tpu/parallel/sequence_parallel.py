@@ -28,6 +28,130 @@ from jax.sharding import Mesh, PartitionSpec as P
 from perceiverio_pytorch_tpu.parallel.mesh import MODEL_AXIS
 
 
+def _ring_flash_merge(q, k_shard, v_shard, kv_mask_shard, axis_name, *,
+                      block_q, block_k, interpret):
+    """Per-device Pallas flash over the local KV shard + global lse merge.
+
+    Each device runs the streaming-KV flash kernel on its own [Tk/n] keys
+    (O(block) VMEM, the attention matrix never materialises) and emits a
+    locally-normalised output plus the local log-sum-exp.  The global
+    softmax is then reconstructed from one pmax + two psums:
+
+        out = sum_i out_i * exp(lse_i - lse_global),
+        lse_global = log sum_i exp(lse_i).
+
+    Communication is O(Tq x Dv) per device over ICI, independent of Tk --
+    identical cost to the XLA stat-merge path, but without the [Tq, Tk/n]
+    local logits it materialises.
+    """
+    from perceiverio_pytorch_tpu.ops.pallas.flash_attention import (
+        _flash_forward,
+    )
+
+    qt = jnp.transpose(q, (0, 2, 1, 3))
+    kt = jnp.transpose(k_shard, (0, 2, 1, 3))
+    vt = jnp.transpose(v_shard, (0, 2, 1, 3))
+    out, lse = _flash_forward(
+        qt, kt, vt, kv_mask_shard,
+        block_q=block_q, block_k=block_k, interpret=interpret, need_lse=True,
+    )
+    # out: [B, H, Tq, Dv] locally normalised; lse: [B, H, Tq], +inf where
+    # every local key is masked (that shard contributes zero weight).
+    lse = jnp.where(jnp.isinf(lse), -jnp.inf, lse)
+    m = jax.lax.pmax(lse, axis_name)
+    m_safe = jnp.where(m == -jnp.inf, 0.0, m)
+    w = jnp.exp(lse - m_safe)  # -inf lse -> weight 0
+    sum_w = jax.lax.psum(w, axis_name)
+    numer = jax.lax.psum(out.astype(jnp.float32) * w[..., None], axis_name)
+    sum_w_safe = jnp.where(sum_w == 0.0, 1.0, sum_w)
+    out_g = numer / sum_w_safe[..., None]  # all-masked rows: exact zero
+    lse_g = jnp.where(sum_w == 0.0, jnp.inf, m_safe + jnp.log(sum_w_safe))
+    return out_g, lse_g
+
+
+def _make_ring_flash(mesh, axis_name, block_q, block_k, interpret):
+    """Ring-flash attention with a custom VJP OUTSIDE shard_map.
+
+    Both passes are primal-only shard_maps (AD never differentiates through
+    shard_map itself, so no reliance on its transpose rules for Pallas
+    bodies):
+
+      * forward: per-device flash over the local KV shard, global lse merge
+        (_ring_flash_merge); saves the merged output + global lse.
+      * backward: per-device Pallas dKV/dQ sweeps recomputing p from the
+        GLOBAL lse -- the recomputed p is the globally-normalised
+        probability restricted to the local key shard, so dk/dv are exact
+        shard-locally and the partial dq just needs one psum.
+    """
+    from perceiverio_pytorch_tpu.ops.pallas.flash_attention import (
+        _pallas_attention_bwd,
+    )
+
+    repl = P()
+    kv4 = P(None, axis_name, None, None)
+    kv2 = P(None, axis_name)
+
+    def _fwd_shardmap(q, k, v, kv_mask):
+        def body(q, k_s, v_s, m_s=None):
+            out, lse = _ring_flash_merge(
+                q, k_s, v_s, m_s, axis_name,
+                block_q=block_q, block_k=block_k, interpret=interpret,
+            )
+            return _flatten_heads(out, q.dtype), lse
+
+        in_specs = (repl, kv4, kv4) + ((kv2,) if kv_mask is not None else ())
+        args = (q, k, v) + ((kv_mask,) if kv_mask is not None else ())
+        fn = jax.shard_map(
+            body, mesh=mesh, in_specs=in_specs, out_specs=(repl, repl),
+            check_vma=False,  # Pallas can't carry vma through Mosaic
+        )
+        return fn(*args)
+
+    def _bwd_shardmap(q, k, v, kv_mask, out_flat, lse_g, g):
+        def body(q, k_s, v_s, out_flat, lse_g, g, m_s=None):
+            dq, dk, dv = _pallas_attention_bwd(
+                q, k_s, v_s, m_s, None, out_flat, lse_g, g,
+                block_q=block_q, block_k=block_k, interpret=interpret,
+            )
+            return jax.lax.psum(dq, axis_name), dk, dv
+
+        in_specs = (repl, kv4, kv4, repl, repl, repl)
+        args = (q, k, v, out_flat, lse_g, g)
+        if kv_mask is not None:
+            in_specs = in_specs + (kv2,)
+            args = args + (kv_mask,)
+        fn = jax.shard_map(
+            body, mesh=mesh, in_specs=in_specs,
+            out_specs=(repl, kv4, kv4), check_vma=False,
+        )
+        return fn(*args)
+
+    @jax.custom_vjp
+    def ring(q, k, v, kv_mask):
+        out, _ = _fwd_shardmap(q, k, v, kv_mask)
+        return out
+
+    def fwd(q, k, v, kv_mask):
+        out, lse = _fwd_shardmap(q, k, v, kv_mask)
+        return out, (q, k, v, kv_mask, out, lse)
+
+    def bwd(res, g):
+        q, k, v, kv_mask, out, lse = res
+        dq, dk, dv = _bwd_shardmap(q, k, v, kv_mask, out, lse, g)
+        return dq, dk, dv, None
+
+    ring.defvjp(fwd, bwd)
+    return ring
+
+
+def _flatten_heads(out_bhtd, dtype):
+    """[B, H, Tq, Dv] -> [B, Tq, H*Dv]."""
+    b, h, t, d = out_bhtd.shape
+    return (
+        jnp.transpose(out_bhtd, (0, 2, 1, 3)).reshape(b, t, h * d).astype(dtype)
+    )
+
+
 def _local_attend(q, k_shard, v_shard, kv_mask_shard, axis_name):
     """Per-device body under shard_map: local logits + global stat merge."""
     qk_dim = q.shape[-1]
@@ -69,24 +193,53 @@ def sequence_parallel_attention(
     kv_mask: Optional[jnp.ndarray] = None,
     axis_name: str = MODEL_AXIS,
     out_dtype=None,
+    impl: str = "auto",
+    block_q: int = 512,
+    block_k: int = 1024,
+    interpret: bool = False,
+    flash_min_shard: int = 8192,
 ):
     """Cross-attention with the KV/token axis sharded over ``axis_name``.
 
     Args:
       q: [B, Tq, H, Dqk] (replicated over the axis).
-      k, v: [B, Tk, H, D*] with Tk divisible by the axis size.
+      k, v: [B, Tk, H, D*]; any Tk.  When Tk doesn't divide the axis size
+        the token axis is padded internally with masked (kv_mask=False)
+        keys -- padded logits are -inf so they contribute exactly zero to
+        the softmax statistics.  Real model shapes are NOT guaranteed
+        divisible (flow's 182,528 tokens, multimodal's ~53k concat --
+        /root/reference/perceiver_io/flow_perceiver.py:34-42).
       kv_mask: optional [B, Tk] validity mask.
 
     Returns:
       [B, Tq, H*Dv], replicated.
     """
-    n = mesh.shape[axis_name]
-    if k.shape[1] % n != 0:
+    if impl not in ("auto", "flash", "xla"):
         raise ValueError(
-            f"KV length {k.shape[1]} must divide the '{axis_name}' axis ({n});"
-            " pad the token axis (with kv_mask=False padding) first."
+            f"impl must be 'auto', 'flash' or 'xla'; got {impl!r}"
         )
+    n = mesh.shape[axis_name]
     out_dtype = out_dtype or q.dtype
+
+    tk = k.shape[1]
+    pad = (-tk) % n
+    if pad:
+        k = jnp.pad(k, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        if kv_mask is None:
+            kv_mask = jnp.broadcast_to(
+                jnp.arange(tk + pad) < tk, (k.shape[0], tk + pad)
+            )
+        else:
+            kv_mask = jnp.pad(kv_mask, ((0, 0), (0, pad)))
+
+    local_kv = k.shape[1] // n
+    flash_runnable = interpret or jax.default_backend() == "tpu"
+    if impl == "flash" or (
+        impl == "auto" and flash_runnable and local_kv >= flash_min_shard
+    ):
+        ring = _make_ring_flash(mesh, axis_name, block_q, block_k, interpret)
+        return ring(q, k, v, kv_mask).astype(out_dtype)
 
     kv_spec = P(None, axis_name)
     replicated = P()

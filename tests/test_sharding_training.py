@@ -286,6 +286,240 @@ def test_policy_sequence_parallel_model_matches_single_device():
     np.testing.assert_allclose(np.asarray(ref), np.asarray(sp), rtol=1e-5, atol=1e-5)
 
 
+def test_sequence_parallel_attention_autopads_non_divisible():
+    """Tk that doesn't divide the mesh axis is padded internally with masked
+    keys; result still matches dense attention (with and without kv_mask)."""
+    from perceiverio_pytorch_tpu.ops.attention_xla import attend_xla
+    from perceiverio_pytorch_tpu.parallel import sequence_parallel_attention
+
+    rng = np.random.RandomState(3)
+    mesh = make_mesh((2, 4))  # model axis = 4; 62 % 4 != 0
+    q = jnp.asarray(rng.randn(2, 8, 2, 16), jnp.float32)
+    k = jnp.asarray(rng.randn(2, 62, 2, 16), jnp.float32)
+    v = jnp.asarray(rng.randn(2, 62, 2, 16), jnp.float32)
+    kv_mask = jnp.asarray(rng.rand(2, 62) > 0.3)
+
+    ref = np.asarray(
+        attend_xla(
+            q, k, v,
+            attention_mask=kv_mask[:, None, :] & jnp.ones((2, 8, 1), bool),
+        )
+    )
+    got = np.asarray(
+        jax.jit(
+            lambda q, k, v, m: sequence_parallel_attention(
+                q, k, v, mesh, kv_mask=m
+            )
+        )(q, k, v, kv_mask)
+    )
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+    ref2 = np.asarray(attend_xla(q, k, v))
+    got2 = np.asarray(
+        jax.jit(lambda q, k, v: sequence_parallel_attention(q, k, v, mesh))(
+            q, k, v
+        )
+    )
+    np.testing.assert_allclose(got2, ref2, rtol=1e-5, atol=1e-5)
+
+    # gradients flow through the padded path
+    g_sp = jax.jit(jax.grad(
+        lambda q, k, v: jnp.sum(
+            sequence_parallel_attention(q, k, v, mesh) ** 2
+        ), argnums=(0, 1, 2),
+    ))(q, k, v)
+    g_ref = jax.jit(jax.grad(
+        lambda q, k, v: jnp.sum(attend_xla(q, k, v) ** 2), argnums=(0, 1, 2),
+    ))(q, k, v)
+    for a, b in zip(g_sp, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize(
+    "tk",
+    [
+        53187,  # multimodal concat: 3010 audio + 50176 image + 1 label (odd)
+        182528,  # flow tile tokens: 368*496
+    ],
+)
+def test_sequence_parallel_attention_real_token_counts(tk):
+    """SP attention at the zoo models' real (non-toy) token counts on the
+    8-CPU mesh; multimodal's odd 53,187 exercises the auto-pad."""
+    from perceiverio_pytorch_tpu.ops.attention_xla import attend_xla
+    from perceiverio_pytorch_tpu.parallel import sequence_parallel_attention
+
+    rng = np.random.RandomState(4)
+    mesh = make_mesh((1, 8))
+    q = jnp.asarray(rng.randn(1, 8, 1, 32), jnp.float32)
+    k = jnp.asarray(rng.randn(1, tk, 1, 32), jnp.float32)
+    v = jnp.asarray(rng.randn(1, tk, 1, 32), jnp.float32)
+
+    ref = np.asarray(attend_xla(q, k, v))
+    got = np.asarray(
+        jax.jit(lambda q, k, v: sequence_parallel_attention(q, k, v, mesh))(
+            q, k, v
+        )
+    )
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_policy_sequence_parallel_non_divisible_tokens():
+    """Policy(sp_mesh=...) works unmodified when the model's token count
+    doesn't divide the mesh axis (auto-pad in the dispatch path)."""
+    from perceiverio_pytorch_tpu import PerceiverIO, Policy, TrainableQuery
+
+    mesh = make_mesh((2, 4))
+    kwargs = dict(
+        num_blocks=1,
+        num_self_attends_per_block=1,
+        num_latents=4,
+        num_latent_channels=32,
+        final_project=True,
+        final_project_out_channels=8,
+        input_channels=16,
+        output_queries=TrainableQuery(output_index_dims=3, num_channels=16),
+    )
+    model = PerceiverIO(**kwargs)
+    model_sp = PerceiverIO(
+        policy=Policy(sp_mesh=mesh, sp_axis="model", sp_min_kv=32), **kwargs
+    )
+    x = jnp.asarray(np.random.RandomState(5).randn(2, 61, 16), jnp.float32)
+    mask = jnp.asarray(np.random.RandomState(6).rand(2, 61) > 0.2)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), x)
+    ref = jax.jit(lambda p, x, m: model.apply(p, x, input_mask=m))(params, x, mask)
+    sp = jax.jit(lambda p, x, m: model_sp.apply(p, x, input_mask=m))(params, x, mask)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(sp), rtol=1e-5, atol=1e-5)
+
+
+class TestRingFlash:
+    """Ring attention: per-device Pallas flash (interpret mode on CPU) over
+    the local KV shard with global lse merge, vs dense attention."""
+
+    def _sp(self, *args, mesh, **kw):
+        from perceiverio_pytorch_tpu.parallel import sequence_parallel_attention
+
+        return sequence_parallel_attention(
+            *args, mesh, impl="flash", interpret=True, **kw
+        )
+
+    def test_matches_dense(self):
+        from perceiverio_pytorch_tpu.ops.attention_xla import attend_xla
+
+        rng = np.random.RandomState(7)
+        mesh = make_mesh((2, 4))
+        q = jnp.asarray(rng.randn(2, 16, 2, 32), jnp.float32)
+        k = jnp.asarray(rng.randn(2, 64, 2, 32), jnp.float32)
+        v = jnp.asarray(rng.randn(2, 64, 2, 32), jnp.float32)
+        kv_mask = jnp.asarray(rng.rand(2, 64) > 0.3)
+
+        ref = np.asarray(
+            attend_xla(
+                q, k, v,
+                attention_mask=kv_mask[:, None, :] & jnp.ones((2, 16, 1), bool),
+            )
+        )
+        got = np.asarray(
+            jax.jit(lambda q, k, v, m: self._sp(q, k, v, mesh=mesh, kv_mask=m))(
+                q, k, v, kv_mask
+            )
+        )
+        np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+        ref2 = np.asarray(attend_xla(q, k, v))
+        got2 = np.asarray(
+            jax.jit(lambda q, k, v: self._sp(q, k, v, mesh=mesh))(q, k, v)
+        )
+        np.testing.assert_allclose(got2, ref2, rtol=1e-5, atol=1e-5)
+
+    def test_autopad_non_divisible(self):
+        from perceiverio_pytorch_tpu.ops.attention_xla import attend_xla
+
+        rng = np.random.RandomState(8)
+        mesh = make_mesh((2, 4))  # 61 % 4 != 0
+        q = jnp.asarray(rng.randn(1, 8, 2, 16), jnp.float32)
+        k = jnp.asarray(rng.randn(1, 61, 2, 16), jnp.float32)
+        v = jnp.asarray(rng.randn(1, 61, 2, 16), jnp.float32)
+        ref = np.asarray(attend_xla(q, k, v))
+        got = np.asarray(
+            jax.jit(lambda q, k, v: self._sp(q, k, v, mesh=mesh))(q, k, v)
+        )
+        np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+    def test_all_masked_rows_zero(self):
+        rng = np.random.RandomState(9)
+        mesh = make_mesh((2, 4))
+        q = jnp.asarray(rng.randn(1, 8, 1, 32), jnp.float32)
+        k = jnp.asarray(rng.randn(1, 32, 1, 32), jnp.float32)
+        v = jnp.asarray(rng.randn(1, 32, 1, 32), jnp.float32)
+        out = jax.jit(
+            lambda q, k, v, m: self._sp(q, k, v, mesh=mesh, kv_mask=m)
+        )(q, k, v, jnp.zeros((1, 32), bool))
+        assert np.all(np.asarray(out) == 0.0)
+
+    def test_gradients_match_dense(self):
+        from perceiverio_pytorch_tpu.ops.attention_xla import attend_xla
+
+        rng = np.random.RandomState(10)
+        mesh = make_mesh((2, 4))
+        q = jnp.asarray(rng.randn(1, 8, 2, 16), jnp.float32)
+        k = jnp.asarray(rng.randn(1, 64, 2, 16), jnp.float32)
+        v = jnp.asarray(rng.randn(1, 64, 2, 16), jnp.float32)
+        kv_mask = jnp.asarray(rng.rand(1, 64) > 0.3)
+
+        g_sp = jax.jit(jax.grad(
+            lambda q, k, v: jnp.sum(
+                self._sp(q, k, v, mesh=mesh, kv_mask=kv_mask) ** 2
+            ), argnums=(0, 1, 2),
+        ))(q, k, v)
+        mask3 = kv_mask[:, None, :] & jnp.ones((1, 8, 1), bool)
+        g_ref = jax.jit(jax.grad(
+            lambda q, k, v: jnp.sum(
+                attend_xla(q, k, v, attention_mask=mask3) ** 2
+            ), argnums=(0, 1, 2),
+        ))(q, k, v)
+        for a, b in zip(g_sp, g_ref):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
+            )
+
+    def test_encoder_integration_policy_knob(self):
+        """PerceiverIO with Policy(sp_mesh=..., sp_impl='flash') encodes
+        identically to the single-device default model."""
+        from perceiverio_pytorch_tpu import PerceiverIO, Policy, TrainableQuery
+
+        mesh = make_mesh((2, 4))
+        kwargs = dict(
+            num_blocks=1,
+            num_self_attends_per_block=1,
+            num_latents=4,
+            num_latent_channels=32,
+            final_project=True,
+            final_project_out_channels=8,
+            input_channels=16,
+            output_queries=TrainableQuery(output_index_dims=3, num_channels=16),
+        )
+        model = PerceiverIO(**kwargs)
+        model_sp = PerceiverIO(
+            policy=Policy(
+                sp_mesh=mesh, sp_axis="model", sp_min_kv=32,
+                sp_impl="flash", interpret=True,
+            ),
+            **kwargs,
+        )
+        x = jnp.asarray(np.random.RandomState(11).randn(2, 61, 16), jnp.float32)
+        mask = jnp.asarray(np.random.RandomState(12).rand(2, 61) > 0.2)
+        params = jax.jit(model.init)(jax.random.PRNGKey(0), x)
+        ref = jax.jit(lambda p, x, m: model.apply(p, x, input_mask=m))(
+            params, x, mask
+        )
+        sp = jax.jit(lambda p, x, m: model_sp.apply(p, x, input_mask=m))(
+            params, x, mask
+        )
+        np.testing.assert_allclose(
+            np.asarray(ref), np.asarray(sp), rtol=1e-5, atol=1e-5
+        )
+
+
 def test_sequence_parallel_attention_gradients():
     """Gradients flow through the KV-sharded attention (psum/pmax path) and
     match the dense reference."""
