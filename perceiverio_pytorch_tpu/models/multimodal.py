@@ -18,6 +18,7 @@ from __future__ import annotations
 from typing import Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from perceiverio_pytorch_tpu.config import DEFAULT, Policy
@@ -140,13 +141,28 @@ class MultiModalPerceiver(nn.Module):
             remat=self.remat,
         )
 
-    def __call__(self, images, audio, n_chunks: int = 128, *, deterministic=True):
+    def __call__(
+        self,
+        images,
+        audio,
+        n_chunks: int = 128,
+        *,
+        chunk_mesh=None,
+        deterministic=True,
+    ):
         """Auto-encode one clip.
 
         Args:
           images: [B, T, C, H, W] video in [0, 1].
           audio: [B, n_audio_samples, 1] waveform in [-1, 1].
           n_chunks: output queries are decoded in this many equal chunks.
+          chunk_mesh: optional jax.sharding.Mesh; when given, the chunk axis
+            -- embarrassingly parallel (each chunk cross-attends the same
+            latents with disjoint queries) -- is decoded in waves of
+            ``mesh.shape['data']`` concurrent chunks, sharded over the data
+            axis.  This is how the 805k-query decode
+            (/root/reference/perceiver_io/multimodal_perceiver.py:137-167)
+            scales across chips; single-device results are unchanged.
 
         Returns:
           dict with "image" [B, T, C, H, W], "audio" [B, n_samples, 1],
@@ -170,7 +186,7 @@ class MultiModalPerceiver(nn.Module):
             inputs, deterministic=deterministic
         )
 
-        def decode_chunk(perceiver, carry, chunk_idx):
+        def decode_one(perceiver, chunk_idx):
             subsampling = {
                 "image": chunk_idx * image_chunk_size
                 + jnp.arange(image_chunk_size),
@@ -178,22 +194,70 @@ class MultiModalPerceiver(nn.Module):
                 + jnp.arange(audio_chunk_size),
                 "label": None,
             }
-            out = perceiver.decode(
+            return perceiver.decode(
                 latents,
                 state,
                 subsampled_output_points=subsampling,
                 deterministic=deterministic,
             )
-            return carry, out
 
-        scan_fn = nn.scan(
-            decode_chunk,
-            variable_broadcast="params",
-            split_rngs={"params": False},
-            in_axes=0,
-            out_axes=0,
-        )
-        _, outs = scan_fn(self.perceiver, 0, jnp.arange(n_chunks))
+        n_par = 1 if chunk_mesh is None else int(chunk_mesh.shape["data"])
+        if n_par > 1 and n_chunks % n_par != 0:
+            raise ValueError(
+                f"n_chunks ({n_chunks}) must be a multiple of the mesh's "
+                f"data axis ({n_par}) for chunk-parallel decoding"
+            )
+
+        if n_par == 1:
+
+            def decode_chunk(perceiver, carry, chunk_idx):
+                return carry, decode_one(perceiver, chunk_idx)
+
+            scan_fn = nn.scan(
+                decode_chunk,
+                variable_broadcast="params",
+                split_rngs={"params": False},
+                in_axes=0,
+                out_axes=0,
+            )
+            _, outs = scan_fn(self.perceiver, 0, jnp.arange(n_chunks))
+        else:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            chunk_shard = NamedSharding(chunk_mesh, P("data"))
+
+            def decode_wave(perceiver, carry, wave_idxs):
+                wave_idxs = jax.lax.with_sharding_constraint(
+                    wave_idxs, chunk_shard
+                )
+                vm = nn.vmap(
+                    decode_one,
+                    in_axes=0,
+                    out_axes=0,
+                    variable_axes={"params": None},
+                    split_rngs={"params": False},
+                )
+                outs = vm(perceiver, wave_idxs)
+                outs = jax.tree_util.tree_map(
+                    lambda x: jax.lax.with_sharding_constraint(x, chunk_shard),
+                    outs,
+                )
+                return carry, outs
+
+            scan_fn = nn.scan(
+                decode_wave,
+                variable_broadcast="params",
+                split_rngs={"params": False},
+                in_axes=0,
+                out_axes=0,
+            )
+            waves = jnp.arange(n_chunks).reshape(n_chunks // n_par, n_par)
+            _, outs = scan_fn(self.perceiver, 0, waves)
+            # [n_waves, n_par, B, ...] -> [n_chunks, B, ...] (row-major
+            # wave order matches the sequential chunk order exactly)
+            outs = jax.tree_util.tree_map(
+                lambda x: x.reshape(n_chunks, *x.shape[2:]), outs
+            )
 
         # outs[k]: [n_chunks, B, ...] -> stitch chunk axis back together.
         image = jnp.moveaxis(outs["image"], 0, 1)  # [B, n_chunks, chunk, 3]

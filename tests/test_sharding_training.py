@@ -520,6 +520,49 @@ class TestRingFlash:
         )
 
 
+def test_multimodal_chunk_parallel_decode_matches():
+    """Decoding query chunks in data-axis-parallel waves (chunk_mesh=...)
+    must match the sequential scan exactly; the chunk axis is
+    embarrassingly parallel."""
+    from perceiverio_pytorch_tpu.models import MultiModalPerceiver
+
+    model = MultiModalPerceiver(
+        img_size=(16, 16),
+        num_frames=2,
+        num_classes=11,
+        audio_samples_per_frame=128,
+        audio_samples_per_patch=16,
+        num_self_attends_per_block=1,
+        num_blocks=1,
+        num_latents=8,
+        num_latent_channels=512,
+    )
+    rng = np.random.RandomState(4)
+    images = jnp.asarray(rng.rand(1, 2, 3, 16, 16), jnp.float32)
+    audio = jnp.asarray(rng.uniform(-1, 1, (1, 256, 1)), jnp.float32)
+
+    params = jax.jit(lambda key, i, a: model.init(key, i, a, 8))(
+        jax.random.PRNGKey(0), images, audio
+    )
+    ref = jax.jit(lambda v, i, a: model.apply(v, i, a, 8))(
+        params, images, audio
+    )
+
+    mesh = make_mesh((8, 1))
+    par = jax.jit(
+        lambda v, i, a: model.apply(v, i, a, 8, chunk_mesh=mesh)
+    )(params, images, audio)
+    for key in ("image", "audio", "label"):
+        np.testing.assert_allclose(
+            np.asarray(par[key]), np.asarray(ref[key]),
+            rtol=1e-5, atol=1e-6, err_msg=key,
+        )
+
+    # n_chunks not a multiple of the data axis -> actionable error
+    with pytest.raises(ValueError, match="multiple of the mesh"):
+        model.apply(params, images, audio, 4, chunk_mesh=mesh)
+
+
 def test_sequence_parallel_attention_gradients():
     """Gradients flow through the KV-sharded attention (psum/pmax path) and
     match the dense reference."""
