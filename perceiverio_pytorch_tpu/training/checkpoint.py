@@ -63,14 +63,28 @@ def restore_variables(path: str, template: Optional[Any] = None) -> Any:
 
 
 def save_train_state(path: str, state: TrainState) -> None:
-    save_variables(path, {"step": state.step, "params": state.params, "opt_state": state.opt_state})
+    tree = {
+        "step": state.step,
+        "params": state.params,
+        "opt_state": state.opt_state,
+    }
+    if state.model_state is not None:
+        tree["model_state"] = state.model_state
+    save_variables(path, tree)
 
 
 def restore_train_state(path: str, template: TrainState) -> TrainState:
-    restored = restore_variables(
-        path,
-        {"step": template.step, "params": template.params, "opt_state": template.opt_state},
-    )
+    tree = {
+        "step": template.step,
+        "params": template.params,
+        "opt_state": template.opt_state,
+    }
+    if template.model_state is not None:
+        tree["model_state"] = template.model_state
+    restored = restore_variables(path, tree)
     return TrainState(
-        step=restored["step"], params=restored["params"], opt_state=restored["opt_state"]
+        step=restored["step"],
+        params=restored["params"],
+        opt_state=restored["opt_state"],
+        model_state=restored.get("model_state"),
     )

@@ -69,20 +69,24 @@ class Trainer:
         log_every: int = 10,
         checkpoint_dir: Optional[str] = None,
         checkpoint_every: int = 0,
+        with_model_state: bool = False,
     ):
         self.loss_fn = loss_fn
         self.tx = tx
         self.mesh = mesh
         self.num_batch_args = num_batch_args
+        self.with_model_state = with_model_state
         self.logger = MetricsLogger(metrics_path)
         self.log_every = log_every
         self.checkpoint_dir = checkpoint_dir
         self.checkpoint_every = checkpoint_every
 
-    def init_state(self, params) -> TrainState:
+    def init_state(self, params, model_state=None) -> TrainState:
         if self.mesh is not None:
-            return create_sharded_train_state(params, self.tx, self.mesh)
-        return create_train_state(params, self.tx)
+            return create_sharded_train_state(
+                params, self.tx, self.mesh, model_state=model_state
+            )
+        return create_train_state(params, self.tx, model_state=model_state)
 
     def fit(
         self,
@@ -94,9 +98,13 @@ class Trainer:
             step_fn = make_sharded_train_step(
                 self.loss_fn, self.tx, self.mesh, state,
                 num_batch_args=self.num_batch_args,
+                with_model_state=self.with_model_state,
             )
         else:
-            step_fn = make_train_step(self.loss_fn, self.tx)
+            step_fn = make_train_step(
+                self.loss_fn, self.tx,
+                with_model_state=self.with_model_state,
+            )
 
         t0 = time.perf_counter()
         window_start = t0

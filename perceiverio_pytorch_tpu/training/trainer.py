@@ -31,20 +31,27 @@ class TrainState:
     step: jnp.ndarray
     params: Any
     opt_state: Any
+    # Non-differentiable model variables carried across steps (e.g. the conv
+    # preprocessor's BatchNorm batch_stats).  None for purely functional
+    # models.
+    model_state: Any = None
 
 
 jax.tree_util.register_pytree_node(
     TrainState,
-    lambda s: ((s.step, s.params, s.opt_state), None),
+    lambda s: ((s.step, s.params, s.opt_state, s.model_state), None),
     lambda _, c: TrainState(*c),
 )
 
 
-def create_train_state(params, tx: optax.GradientTransformation) -> TrainState:
+def create_train_state(
+    params, tx: optax.GradientTransformation, model_state: Any = None
+) -> TrainState:
     return TrainState(
         step=jnp.zeros((), jnp.int32),
         params=params,
         opt_state=tx.init(params),
+        model_state=model_state,
     )
 
 
@@ -52,18 +59,34 @@ def make_train_step(
     loss_fn: Callable[..., jnp.ndarray],
     tx: optax.GradientTransformation,
     donate: bool = True,
+    with_model_state: bool = False,
 ):
     """Build a jitted ``step(state, *batch) -> (state, loss)``.
 
-    ``loss_fn(params, *batch)`` must return a scalar.
+    ``loss_fn(params, *batch)`` must return a scalar.  With
+    ``with_model_state=True`` the signature becomes
+    ``loss_fn(params, model_state, *batch) -> (scalar, new_model_state)``
+    (e.g. flax ``mutable=['batch_stats']`` apply for BatchNorm training);
+    the updated model state is carried in the returned TrainState.
     """
 
     def step(state: TrainState, *batch):
-        loss, grads = jax.value_and_grad(loss_fn)(state.params, *batch)
+        if with_model_state:
+            (loss, model_state), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state.params, state.model_state, *batch)
+        else:
+            loss, grads = jax.value_and_grad(loss_fn)(state.params, *batch)
+            model_state = state.model_state
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         return (
-            TrainState(step=state.step + 1, params=params, opt_state=opt_state),
+            TrainState(
+                step=state.step + 1,
+                params=params,
+                opt_state=opt_state,
+                model_state=model_state,
+            ),
             loss,
         )
 
@@ -82,13 +105,18 @@ def param_shardings(params, mesh: Mesh):
 
 
 def create_sharded_train_state(
-    params, tx: optax.GradientTransformation, mesh: Mesh
+    params,
+    tx: optax.GradientTransformation,
+    mesh: Mesh,
+    model_state: Any = None,
 ) -> TrainState:
     """Place params per the TP rules and build the optimizer state on-mesh.
 
     ``tx.init`` runs jitted with the params' shardings as inputs; GSPMD
     propagates them into the same-shaped moment tensors, so adam state is
     sharded exactly like its params without hand-written rules.
+    ``model_state`` (e.g. BatchNorm batch_stats -- small per-channel
+    vectors) is replicated across the mesh.
     """
     p_sh = param_shardings(params, mesh)
     params = jax.tree_util.tree_map(
@@ -105,10 +133,15 @@ def create_sharded_train_state(
         return leaf
 
     opt_state = jax.tree_util.tree_map(_ensure_on_mesh, opt_state)
+    if model_state is not None:
+        model_state = jax.tree_util.tree_map(
+            lambda v: jax.device_put(v, NamedSharding(mesh, P())), model_state
+        )
     return TrainState(
         step=jax.device_put(jnp.zeros((), jnp.int32), NamedSharding(mesh, P())),
         params=params,
         opt_state=opt_state,
+        model_state=model_state,
     )
 
 
@@ -119,20 +152,37 @@ def make_sharded_train_step(
     state: TrainState,
     num_batch_args: int = 1,
     donate: bool = True,
+    with_model_state: bool = False,
 ):
     """Mesh-sharded train step for a state built by create_sharded_train_state.
 
-    Batch args have their leading axis sharded over the data axis.
+    Batch args have their leading axis sharded over the data axis.  With
+    ``with_model_state=True``, ``loss_fn(params, model_state, *batch)``
+    returns ``(scalar, new_model_state)``; under jit+GSPMD, BatchNorm's
+    batch statistics reduce over the GLOBAL (all-replica) batch
+    automatically -- the sharded batch axis mean IS the cross-replica
+    mean, XLA inserts the collectives (no pmap-style axis_name plumbing).
     """
     state_sh = jax.tree_util.tree_map(lambda x: x.sharding, state)
     batch_sh = (batch_sharding(mesh),) * num_batch_args
 
     def step(state: TrainState, *batch):
-        loss, grads = jax.value_and_grad(loss_fn)(state.params, *batch)
+        if with_model_state:
+            (loss, model_state), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state.params, state.model_state, *batch)
+        else:
+            loss, grads = jax.value_and_grad(loss_fn)(state.params, *batch)
+            model_state = state.model_state
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         return (
-            TrainState(step=state.step + 1, params=params, opt_state=opt_state),
+            TrainState(
+                step=state.step + 1,
+                params=params,
+                opt_state=opt_state,
+                model_state=model_state,
+            ),
             loss,
         )
 

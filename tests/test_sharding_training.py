@@ -520,6 +520,81 @@ class TestRingFlash:
         )
 
 
+@pytest.mark.parametrize("mesh_shape", [(8, 1), (4, 2)])
+def test_sharded_conv_classification_training_batchnorm(mesh_shape):
+    """DP/DP+TP training through Conv2DDownsample's BatchNorm: under
+    jit+GSPMD the batch statistics reduce over the GLOBAL batch (the
+    sharded-axis mean IS the cross-replica mean), so the sharded step must
+    match single-device training exactly -- loss, params, and the
+    batch_stats EMA."""
+    from perceiverio_pytorch_tpu.models import ClassificationPerceiver, PrepType
+    from perceiverio_pytorch_tpu.training import classification_cross_entropy
+
+    model = ClassificationPerceiver(
+        num_classes=5, img_size=(32, 32), num_self_attends_per_block=1,
+        num_blocks=1, num_latents=8, num_latent_channels=32,
+        prep_type=PrepType.FOURIER_POS_CONVNET,
+    )
+    rng = np.random.RandomState(0)
+    img = jnp.asarray(rng.randn(8, 3, 32, 32), jnp.float32)
+    labels = jnp.asarray(rng.randint(0, 5, (8,)), jnp.int32)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), img)
+
+    def loss_fn(params, batch_stats, img, labels):
+        logits, mutated = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            img,
+            deterministic=False,
+            mutable=["batch_stats"],
+        )
+        return classification_cross_entropy(logits, labels), mutated[
+            "batch_stats"
+        ]
+
+    tx = optax.sgd(1e-2)
+
+    # single-device reference
+    ref_state = create_train_state(
+        variables["params"], tx, model_state=variables["batch_stats"]
+    )
+    ref_step = make_train_step(loss_fn, tx, donate=False, with_model_state=True)
+    ref_state, ref_loss = ref_step(ref_state, img, labels)
+    ref_state, ref_loss2 = ref_step(ref_state, img, labels)
+
+    mesh = make_mesh(mesh_shape)
+    state = create_sharded_train_state(
+        variables["params"], tx, mesh, model_state=variables["batch_stats"]
+    )
+    step = make_sharded_train_step(
+        loss_fn, tx, mesh, state, num_batch_args=2, donate=False,
+        with_model_state=True,
+    )
+    from perceiverio_pytorch_tpu.parallel.sharding import batch_sharding
+
+    img_s = jax.device_put(img, batch_sharding(mesh))
+    labels_s = jax.device_put(labels, batch_sharding(mesh))
+    state, loss = step(state, img_s, labels_s)
+    state, loss2 = step(state, img_s, labels_s)
+
+    np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-5)
+    np.testing.assert_allclose(float(loss2), float(ref_loss2), rtol=1e-5)
+    # batch_stats EMA identical to single-device (global-batch statistics)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state.model_state),
+        jax.tree_util.tree_leaves(ref_state.model_state),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
+        )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state.params),
+        jax.tree_util.tree_leaves(ref_state.params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
+        )
+
+
 def test_multimodal_chunk_parallel_decode_matches():
     """Decoding query chunks in data-axis-parallel waves (chunk_mesh=...)
     must match the sequential scan exactly; the chunk axis is

@@ -68,6 +68,32 @@ def test_checkpoint_roundtrip(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_checkpoint_roundtrip_with_model_state(tmp_path):
+    """TrainState.model_state (BatchNorm stats) must survive the Orbax
+    round trip; legacy states without model_state still restore."""
+    import optax
+    from perceiverio_pytorch_tpu.training import create_train_state
+    from perceiverio_pytorch_tpu.training.checkpoint import (
+        restore_train_state,
+        save_train_state,
+    )
+
+    params = {"w": jnp.arange(4.0)}
+    stats = {"bn": {"mean": jnp.ones((3,)), "var": jnp.full((3,), 2.0)}}
+    state = create_train_state(params, optax.adamw(1e-3), model_state=stats)
+    path = str(tmp_path / "ck")
+    save_train_state(path, state)
+    restored = restore_train_state(path, state)
+    np.testing.assert_array_equal(
+        np.asarray(restored.model_state["bn"]["var"]), np.full((3,), 2.0)
+    )
+
+    legacy = create_train_state(params, optax.adamw(1e-3))
+    path2 = str(tmp_path / "ck2")
+    save_train_state(path2, legacy)
+    assert restore_train_state(path2, legacy).model_state is None
+
+
 def test_classification_train_step_updates_batch_stats():
     """deterministic=False must run BatchNorm in batch-stats mode and allow
     mutable EMA updates through the conv preprocessor."""
