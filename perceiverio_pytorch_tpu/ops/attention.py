@@ -43,6 +43,7 @@ def _flash_eligible(
     attention_bias,
     dropout_rate: float,
     return_matrix: bool,
+    interpret: bool,
 ) -> bool:
     if impl == "xla":
         return False
@@ -52,6 +53,12 @@ def _flash_eligible(
         return False
     if impl == "flash":
         return True
+    # "auto" must only pick the Mosaic kernel where it can actually run
+    # (TPU, or interpreter mode for CPU tests).
+    import jax
+
+    if not (interpret or jax.default_backend() == "tpu"):
+        return False
     # Long KV (encoder cross-attend) streams keys; long Q (decoder
     # cross-attend, e.g. flow's 182k queries) blocks the query axis --
     # either way the [Tq, Tk] matrix must not materialise.
@@ -123,6 +130,7 @@ def multihead_attention(
         attention_bias=attention_bias,
         dropout_rate=dropout_rate,
         return_matrix=return_matrix,
+        interpret=interpret,
     ):
         from perceiverio_pytorch_tpu.ops.pallas.flash_attention import flash_attention
 

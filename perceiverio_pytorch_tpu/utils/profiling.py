@@ -45,6 +45,47 @@ def enable_nan_checks(enable: bool = True) -> None:
     jax.config.update("jax_debug_nans", enable)
 
 
+def op_stats(trace_dir: str, top: int = 0):
+    """Per-op device self-time table from an xplane trace directory.
+
+    Parses the ``framework_op_stats`` gviz-JSON table emitted by
+    ``xprof.convert.raw_to_tool_data`` (NOT tensorboard_plugin_profile --
+    protobuf clash in this environment).  Returns a list of dicts sorted by
+    total device self-time, each with keys: op, type, occurrences,
+    total_self_us, avg_self_us, flop_rate, bandwidth, bound_by.
+    """
+    import glob as _glob
+    import json as _json
+
+    from xprof.convert import raw_to_tool_data
+
+    files = _glob.glob(f"{trace_dir}/**/*.xplane.pb", recursive=True)
+    data, _ = raw_to_tool_data.xspace_to_tool_data(
+        files, "framework_op_stats", {}
+    )
+    table = _json.loads(data.decode() if isinstance(data, bytes) else data)[0]
+    cols = [c["id"] for c in table["cols"]]
+    rows = []
+    for r in table["rows"]:
+        vals = dict(zip(cols, [c.get("v") if c else None for c in r["c"]]))
+        if vals.get("host_or_device") != "Device":
+            continue
+        rows.append(
+            dict(
+                op=vals.get("operation"),
+                type=vals.get("type"),
+                occurrences=vals.get("occurrences"),
+                total_self_us=float(vals.get("total_self_time") or 0.0),
+                avg_self_us=float(vals.get("avg_self_time") or 0.0),
+                flop_rate=vals.get("measured_flop_rate"),
+                bandwidth=vals.get("measured_memory_bw"),
+                bound_by=vals.get("bound_by"),
+            )
+        )
+    rows.sort(key=lambda d: -d["total_self_us"])
+    return rows[:top] if top else rows
+
+
 class ThroughputMeter:
     """Steady-state throughput: warm up, then time ``iters`` chained calls."""
 
