@@ -31,6 +31,10 @@ class Policy:
       softmax_dtype: accumulation dtype for attention softmax.
       attn_impl: one of "xla" | "flash" | "auto".
       flash_min_kv: minimum KV length before "auto" picks the Pallas kernel.
+      flash_min_self: minimum self-attention length (Tq == Tk) before
+        "auto" picks the kernel -- at flow's 2048x16-head latent stack the
+        [B,H,T,T] softmax traffic dominates and flash wins (28.2 vs 32.4
+        ms/tile measured in-model); at classification's T=512 XLA wins.
       gelu_approximate: use the tanh-approximate GELU instead of the exact
         erf form.  The reference uses exact GELU (torch F.gelu default), but
         the erf chain fused into the following matmul halves that GEMM's
@@ -54,6 +58,7 @@ class Policy:
     softmax_dtype: Any = jnp.float32
     attn_impl: str = ATTN_AUTO
     flash_min_kv: int = 8192
+    flash_min_self: int = 2048
     gelu_approximate: bool = False
     sp_mesh: Optional[Mesh] = None
     sp_axis: str = "model"

@@ -149,6 +149,7 @@ class Attention(nn.Module):
             softmax_dtype=self.policy.softmax_dtype,
             impl=self.policy.attn_impl,
             flash_min_kv=self.policy.flash_min_kv,
+            flash_min_self=self.policy.flash_min_self,
             return_matrix=return_matrix,
             sp_mesh=self.policy.sp_mesh,
             sp_axis=self.policy.sp_axis,

@@ -41,6 +41,7 @@ def _flash_eligible(
     flash_min_kv: int,
     attention_mask,
     attention_bias,
+    flash_min_self: int,
     dropout_rate: float,
     return_matrix: bool,
     interpret: bool,
@@ -59,6 +60,14 @@ def _flash_eligible(
 
     if not (interpret or jax.default_backend() == "tpu"):
         return False
+    # Self-attention over a large latent array: the [B,H,T,T] softmax
+    # traffic dominates (flow: 24 layers x 16 heads x 2048^2 fp32 = 268 MB
+    # per layer) and the streaming kernel wins despite its head-dim
+    # padding -- measured 28.2 vs 32.4 ms/tile in-model at T=2048.  At
+    # classification scale (T=512) XLA wins (318 vs 398 img/s), so the
+    # threshold sits between them.
+    if q_len == kv_len and q_len >= flash_min_self:
+        return True
     # Long KV (encoder cross-attend) streams keys; long Q (decoder
     # cross-attend, e.g. flow's 182k queries) blocks the query axis --
     # either way the [Tq, Tk] matrix must not materialise.
@@ -80,6 +89,7 @@ def multihead_attention(
     precision=None,
     impl: str = "auto",
     flash_min_kv: int = 8192,
+    flash_min_self: int = 2048,
     return_matrix: bool = False,
     interpret: bool = False,
     sp_mesh=None,
@@ -126,6 +136,7 @@ def multihead_attention(
         q_len=q.shape[1],
         kv_len=kv_len,
         flash_min_kv=flash_min_kv,
+        flash_min_self=flash_min_self,
         attention_mask=attention_mask,
         attention_bias=attention_bias,
         dropout_rate=dropout_rate,
