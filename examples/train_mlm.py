@@ -17,10 +17,13 @@ import argparse
 import jax
 import jax.numpy as jnp
 import numpy as np
-import optax
 
 from perceiverio_pytorch_tpu.models import LanguagePerceiver
-from perceiverio_pytorch_tpu.training import Trainer, masked_token_cross_entropy
+from perceiverio_pytorch_tpu.training import (
+    Trainer,
+    build_optimizer,
+    masked_token_cross_entropy,
+)
 from perceiverio_pytorch_tpu.utils.data import epoch_batches, prefetch_to_device
 
 
@@ -40,6 +43,7 @@ def main(steps: int = 50, batch_size: int = 8, seq_len: int = 256,
         num_latents=64, num_latent_channels=256,
     )
     tokens, mask = synthetic_corpus(1024, seq_len, 262)
+    eval_tokens, eval_mask = synthetic_corpus(2 * batch_size, seq_len, 262, seed=1)
     params = jax.jit(model.init)(
         jax.random.PRNGKey(0), jnp.asarray(tokens[:batch_size]),
         jnp.asarray(mask[:batch_size]),
@@ -47,6 +51,10 @@ def main(steps: int = 50, batch_size: int = 8, seq_len: int = 256,
 
     def loss_fn(params, tokens, mask):
         logits = model.apply(params, tokens, mask, deterministic=False)
+        return masked_token_cross_entropy(logits, tokens, mask)
+
+    def eval_fn(params, tokens, mask):
+        logits = model.apply(params, tokens, mask)
         return masked_token_cross_entropy(logits, tokens, mask)
 
     mesh = None
@@ -57,21 +65,31 @@ def main(steps: int = 50, batch_size: int = 8, seq_len: int = 256,
 
     trainer = Trainer(
         loss_fn,
-        optax.adamw(3e-4),
+        # warmup + cosine decay, global-norm clipping: the production recipe
+        build_optimizer(
+            3e-4, schedule="cosine", total_steps=steps,
+            warmup_steps=max(steps // 10, 1), clip_norm=1.0,
+        ),
         mesh=mesh,
         num_batch_args=2,
         metrics_path="./mlm_metrics.jsonl",
         log_every=10,
         checkpoint_dir=checkpoint_dir,
         checkpoint_every=0 if checkpoint_dir is None else max(steps // 2, 1),
+        eval_fn=eval_fn,
+        eval_every=max(steps // 2, 1),
     )
     state = trainer.init_state(params)
+    eval_batches = list(epoch_batches((eval_tokens, eval_mask), batch_size))
 
     def batches():
         while True:
             yield from epoch_batches((tokens, mask), batch_size)
 
-    state = trainer.fit(state, prefetch_to_device(batches(), 2), num_steps=steps)
+    state = trainer.fit(
+        state, prefetch_to_device(batches(), 2), num_steps=steps,
+        eval_batches=eval_batches,
+    )
     print(f"finished at step {int(state.step)}")
     return state
 

@@ -16,3 +16,7 @@ from perceiverio_pytorch_tpu.training.loop import (  # noqa: F401
     MetricsLogger,
     Trainer,
 )
+from perceiverio_pytorch_tpu.training.optim import (  # noqa: F401
+    build_optimizer,
+    build_schedule,
+)

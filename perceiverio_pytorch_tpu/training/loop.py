@@ -53,10 +53,17 @@ class Trainer:
     """Drives a jitted train step over a batch iterator.
 
     Args:
-      loss_fn: ``loss_fn(params, *batch) -> scalar``.
-      tx: optax optimizer.
+      loss_fn: ``loss_fn(params, *batch) -> scalar`` (or
+        ``loss_fn(params, model_state, *batch) -> (scalar, new_model_state)``
+        with ``with_model_state=True``).
+      tx: optax optimizer (see training.optim.build_optimizer for schedules,
+        clipping, and gradient accumulation).
       mesh: optional device mesh; enables DP/TP sharded stepping.
       num_batch_args: arity of each batch tuple (sharded case only).
+      eval_fn: optional ``eval_fn(params, *batch) -> scalar`` (or with
+        model_state, mirroring loss_fn's signature minus the aux return);
+        run over ``eval_batches`` every ``eval_every`` steps and logged as
+        ``eval_loss``.
     """
 
     def __init__(
@@ -70,6 +77,8 @@ class Trainer:
         checkpoint_dir: Optional[str] = None,
         checkpoint_every: int = 0,
         with_model_state: bool = False,
+        eval_fn: Optional[Callable] = None,
+        eval_every: int = 0,
     ):
         self.loss_fn = loss_fn
         self.tx = tx
@@ -80,6 +89,9 @@ class Trainer:
         self.log_every = log_every
         self.checkpoint_dir = checkpoint_dir
         self.checkpoint_every = checkpoint_every
+        self.eval_fn = eval_fn
+        self.eval_every = eval_every
+        self._eval_jit = None
 
     def init_state(self, params, model_state=None) -> TrainState:
         if self.mesh is not None:
@@ -88,11 +100,35 @@ class Trainer:
             )
         return create_train_state(params, self.tx, model_state=model_state)
 
+    def evaluate(self, state: TrainState, eval_batches) -> float:
+        """Mean eval_fn value over the eval batches (params frozen)."""
+        import jax
+
+        if self._eval_jit is None:
+            if self.with_model_state:
+                self._eval_jit = jax.jit(
+                    lambda p, ms, *b: self.eval_fn(p, ms, *b)
+                )
+            else:
+                self._eval_jit = jax.jit(lambda p, *b: self.eval_fn(p, *b))
+        total, n = 0.0, 0
+        for batch in eval_batches:
+            if not isinstance(batch, (tuple, list)):
+                batch = (batch,)
+            if self.with_model_state:
+                val = self._eval_jit(state.params, state.model_state, *batch)
+            else:
+                val = self._eval_jit(state.params, *batch)
+            total += float(val)
+            n += 1
+        return total / max(n, 1)
+
     def fit(
         self,
         state: TrainState,
         batches: Iterable,
         num_steps: Optional[int] = None,
+        eval_batches=None,
     ) -> TrainState:
         if self.mesh is not None:
             step_fn = make_sharded_train_step(
@@ -130,6 +166,17 @@ class Trainer:
                     elapsed_sec=round(now - t0, 3),
                 )
                 window_start = now
+            if (
+                self.eval_fn is not None
+                and eval_batches is not None
+                and self.eval_every
+                and step_num % self.eval_every == 0
+            ):
+                ev = self.evaluate(
+                    state,
+                    eval_batches() if callable(eval_batches) else eval_batches,
+                )
+                self.logger.log(step=int(step_num), eval_loss=round(ev, 6))
             if (
                 self.checkpoint_dir
                 and self.checkpoint_every

@@ -1,0 +1,88 @@
+"""Optimizer construction: LR schedules, clipping, gradient accumulation.
+
+The reference is inference-only (SURVEY.md 4); this wires the standard
+production training knobs around optax so Trainer users don't hand-compose
+the chain each time.  Everything returned here is a plain optax
+GradientTransformation and composes with the sharded train-step builders
+(trainer.py) unchanged -- GSPMD propagates param shardings into the
+accumulator/moment tensors.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import optax
+
+
+def build_schedule(
+    peak_lr: float,
+    *,
+    schedule: str = "constant",
+    total_steps: Optional[int] = None,
+    warmup_steps: int = 0,
+    end_lr_ratio: float = 0.0,
+):
+    """An optax schedule from a name.
+
+    Args:
+      schedule: "constant" | "cosine" | "linear" (decay to
+        ``end_lr_ratio * peak_lr`` over ``total_steps``), each with an
+        optional linear warmup over ``warmup_steps``.
+    """
+    if schedule == "constant":
+        base = optax.constant_schedule(peak_lr)
+    elif schedule == "cosine":
+        if total_steps is None:
+            raise ValueError("cosine schedule requires total_steps")
+        base = optax.cosine_decay_schedule(
+            peak_lr, max(total_steps - warmup_steps, 1), alpha=end_lr_ratio
+        )
+    elif schedule == "linear":
+        if total_steps is None:
+            raise ValueError("linear schedule requires total_steps")
+        base = optax.linear_schedule(
+            peak_lr, peak_lr * end_lr_ratio, max(total_steps - warmup_steps, 1)
+        )
+    else:
+        raise ValueError(
+            f"schedule must be 'constant', 'cosine' or 'linear'; got {schedule!r}"
+        )
+    if warmup_steps > 0:
+        warmup = optax.linear_schedule(0.0, peak_lr, warmup_steps)
+        return optax.join_schedules([warmup, base], [warmup_steps])
+    return base
+
+
+def build_optimizer(
+    peak_lr: float,
+    *,
+    schedule: str = "constant",
+    total_steps: Optional[int] = None,
+    warmup_steps: int = 0,
+    end_lr_ratio: float = 0.0,
+    weight_decay: float = 0.0,
+    b1: float = 0.9,
+    b2: float = 0.999,
+    clip_norm: Optional[float] = None,
+    accum_steps: int = 1,
+) -> optax.GradientTransformation:
+    """AdamW with optional schedule, global-norm clipping, and gradient
+    accumulation (``accum_steps`` micro-batches per optimizer update via
+    optax.MultiSteps -- the returned transformation still consumes one
+    micro-batch gradient per ``update`` call)."""
+    lr = build_schedule(
+        peak_lr,
+        schedule=schedule,
+        total_steps=total_steps,
+        warmup_steps=warmup_steps,
+        end_lr_ratio=end_lr_ratio,
+    )
+    parts = []
+    if clip_norm is not None:
+        parts.append(optax.clip_by_global_norm(clip_norm))
+    parts.append(optax.adamw(lr, b1=b1, b2=b2, weight_decay=weight_decay))
+    tx = optax.chain(*parts)
+    if accum_steps > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=accum_steps).gradient_transformation()
+    return tx

@@ -7,6 +7,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
+import pytest
 
 from perceiverio_pytorch_tpu.models import LanguagePerceiver
 from perceiverio_pytorch_tpu.training import (
@@ -66,6 +67,84 @@ def test_checkpoint_roundtrip(tmp_path):
         jax.tree_util.tree_leaves(restored.params),
     ):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_build_optimizer_schedule_clip_accum():
+    """Schedules ramp and decay; clipping bounds the update; MultiSteps
+    accumulation over k micro-batches equals one step on the concatenated
+    batch (SGD-free check via adamw determinism on identical grads)."""
+    import optax
+    from perceiverio_pytorch_tpu.training import build_optimizer, build_schedule
+
+    sched = build_schedule(1.0, schedule="cosine", total_steps=100, warmup_steps=10)
+    assert float(sched(0)) == 0.0
+    assert abs(float(sched(10)) - 1.0) < 1e-6
+    assert float(sched(100)) < 0.01
+    lin = build_schedule(1.0, schedule="linear", total_steps=100, end_lr_ratio=0.1)
+    assert abs(float(lin(100)) - 0.1) < 1e-6
+    with pytest.raises(ValueError, match="total_steps"):
+        build_schedule(1.0, schedule="cosine")
+    with pytest.raises(ValueError, match="schedule must be"):
+        build_schedule(1.0, schedule="cosune")
+
+    # clipping: any gradient above the norm cap is rescaled to the cap, so
+    # a huge gradient and its norm-1 direction produce identical updates
+    params = {"w": jnp.zeros((4,))}
+    tx = build_optimizer(1.0, clip_norm=1.0)
+    u_big, _ = tx.update({"w": jnp.full((4,), 1e6)}, tx.init(params), params)
+    u_unit, _ = tx.update({"w": jnp.full((4,), 0.5)}, tx.init(params), params)
+    np.testing.assert_allclose(
+        np.asarray(u_big["w"]), np.asarray(u_unit["w"]), rtol=1e-6
+    )
+
+    # accumulation: k micro-steps -> exactly one param update, with the
+    # averaged gradient
+    tx_acc = build_optimizer(1e-1, accum_steps=2)
+    tx_ref = build_optimizer(1e-1)
+    p = {"w": jnp.ones((3,))}
+    st_acc, st_ref = tx_acc.init(p), tx_ref.init(p)
+    g1, g2 = {"w": jnp.full((3,), 2.0)}, {"w": jnp.full((3,), 4.0)}
+    u1, st_acc = tx_acc.update(g1, st_acc, p)
+    assert float(jnp.abs(u1["w"]).max()) == 0.0  # mid-accumulation: no-op
+    u2, st_acc = tx_acc.update(g2, st_acc, p)
+    g_avg = {"w": jnp.full((3,), 3.0)}
+    u_ref, _ = tx_ref.update(g_avg, st_ref, p)
+    np.testing.assert_allclose(
+        np.asarray(u2["w"]), np.asarray(u_ref["w"]), rtol=1e-6
+    )
+
+
+def test_trainer_eval_hook(tmp_path):
+    """eval_fn runs every eval_every steps over the eval batches and lands
+    in the JSONL metrics."""
+    import json
+    import optax
+
+    model = LanguagePerceiver(**TINY)
+    tokens = jnp.zeros((2, 32), jnp.int32)
+    mask = jnp.ones((2, 32), bool)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), tokens, mask)
+
+    from perceiverio_pytorch_tpu.training import masked_token_cross_entropy
+
+    def loss_fn(params, tokens, mask):
+        return masked_token_cross_entropy(
+            model.apply(params, tokens, mask), tokens, mask
+        )
+
+    metrics_path = str(tmp_path / "m.jsonl")
+    trainer = Trainer(
+        loss_fn, optax.adamw(1e-3), metrics_path=metrics_path, log_every=2,
+        eval_fn=loss_fn, eval_every=2,
+    )
+    state = trainer.init_state(params)
+    state = trainer.fit(
+        state, iter([(tokens, mask)] * 4), num_steps=4,
+        eval_batches=[(tokens, mask)],
+    )
+    lines = [json.loads(l) for l in open(metrics_path)]
+    evals = [l for l in lines if "eval_loss" in l]
+    assert len(evals) == 2 and all(np.isfinite(e["eval_loss"]) for e in evals)
 
 
 def test_checkpoint_roundtrip_with_model_state(tmp_path):
