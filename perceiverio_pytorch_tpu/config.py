@@ -50,6 +50,16 @@ class Policy:
         Pallas flash over the local KV shard + global lse merge -- ring
         attention; O(block) memory instead of [Tq, Tk/n] local logits), or
         "auto" (flash when the local shard is long enough).
+      fold_flash_pad: when a site will run the Pallas flash kernel and its
+        head dims are not 128-lane aligned (flow: d=322 single-head), fold
+        the lane padding into the q/k/v/output projection weights (zero
+        kernel columns) so the GEMMs emit lane-aligned activations directly.
+        Numerically exact (zero columns contribute zero; the softmax scale
+        stays 1/sqrt(logical d)).  Default OFF: measured in-model on flow,
+        folding ALONE is ~5% slower (35.4 vs 37.1 pairs/s) because XLA
+        already fuses the D-pad into the sequence-axis pad it must do
+        anyway, so folding only added +19% projection FLOPs -- it pays off
+        only once the token axis is also block-aligned upstream.
       interpret: run Pallas kernels in interpreter mode (CPU tests only).
     """
 
@@ -64,6 +74,7 @@ class Policy:
     sp_axis: str = "model"
     sp_min_kv: int = 32768
     sp_impl: str = "auto"
+    fold_flash_pad: bool = False
     interpret: bool = False
 
 

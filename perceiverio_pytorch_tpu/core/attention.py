@@ -22,14 +22,20 @@ Differences by design (TPU-first, not a port):
 
 from __future__ import annotations
 
-from typing import Optional
+import math
+from typing import Any, Optional
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from flax.linen.dtypes import promote_dtype
+
 from perceiverio_pytorch_tpu.config import DEFAULT, Policy
-from perceiverio_pytorch_tpu.ops.attention import multihead_attention
+from perceiverio_pytorch_tpu.ops.attention import (
+    attention_path,
+    multihead_attention,
+)
 from perceiverio_pytorch_tpu.ops.attention_xla import make_cross_attention_mask
 from perceiverio_pytorch_tpu.utils.initializers import variance_scaling
 
@@ -49,6 +55,81 @@ def _layer_norm(name: str):
     return nn.LayerNorm(
         epsilon=1e-5, dtype=jnp.float32, use_fast_variance=False, name=name
     )
+
+
+_LANE = 128  # TPU lane width; the flash kernel pads head dims to this
+
+
+class _FoldPadDense(nn.Module):
+    """``nn.Dense`` twin whose kernel can be zero-padded per attention head
+    at apply time.
+
+    When the flash kernel runs on a site whose head dim is not lane-aligned
+    (flow's d=322 single-head cross-attends), the wrapper would otherwise pad
+    the [B, 182k, D] activations in HBM (~140 MB copied per layer use).
+    Padding the tiny [C, D] kernel instead makes the projection GEMM emit
+    lane-aligned activations directly -- the MXU pads its output tiles to
+    128 lanes anyway, so the extra zero columns are free.  Exact: zero
+    columns produce zero activations, contribute zero logits/outputs.
+
+    Parameter names and shapes match ``nn.Dense`` ("kernel"/"bias", unpadded)
+    so checkpoints and the torch adapter are unaffected.
+
+    ``fold_axis``: "out" pads the per-head *output* columns (q/k/v
+    projections); "in" pads the per-head *input* rows (the final output
+    projection, whose input is the flash kernel's lane-aligned result).
+    """
+
+    features: int
+    num_heads: int
+    fold_axis: str = "out"
+    in_features: Optional[int] = None  # required for fold_axis="in"
+    use_bias: bool = True
+    kernel_init: Any = nn.initializers.lecun_normal()
+    bias_init: Any = nn.initializers.zeros
+    dtype: Optional[Any] = None
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, head_pad: int = 0):
+        in_features = (
+            self.in_features if self.fold_axis == "in" else x.shape[-1]
+        )
+        kernel = self.param(
+            "kernel", self.kernel_init, (in_features, self.features),
+            self.param_dtype,
+        )
+        bias = (
+            self.param("bias", self.bias_init, (self.features,),
+                       self.param_dtype)
+            if self.use_bias
+            else None
+        )
+        if head_pad:
+            h = self.num_heads
+            if self.fold_axis == "out":
+                d = self.features // h
+                kernel = jnp.pad(
+                    kernel.reshape(in_features, h, d),
+                    ((0, 0), (0, 0), (0, head_pad)),
+                ).reshape(in_features, h * (d + head_pad))
+                if bias is not None:
+                    bias = jnp.pad(
+                        bias.reshape(h, d), ((0, 0), (0, head_pad))
+                    ).reshape(h * (d + head_pad))
+            else:
+                d = in_features // h
+                kernel = jnp.pad(
+                    kernel.reshape(h, d, self.features),
+                    ((0, 0), (0, head_pad), (0, 0)),
+                ).reshape(h * (d + head_pad), self.features)
+        x, kernel, bias = promote_dtype(x, kernel, bias, dtype=self.dtype)
+        y = jax.lax.dot_general(
+            x, kernel, (((x.ndim - 1,), (0,)), ((), ()))
+        )
+        if bias is not None:
+            y = y + jnp.reshape(bias, (1,) * (y.ndim - 1) + (-1,))
+        return y
 
 
 class Attention(nn.Module):
@@ -86,21 +167,24 @@ class Attention(nn.Module):
         self._out = out
 
         dense_kwargs = dict(
+            num_heads=self.num_heads,
             dtype=self.policy.compute_dtype,
             param_dtype=self.policy.param_dtype,
             bias_init=nn.initializers.zeros,
         )
-        self.proj_q = nn.Dense(
+        self.proj_q = _FoldPadDense(
             qk_out, kernel_init=variance_scaling(self.init_scale), **dense_kwargs
         )
-        self.proj_k = nn.Dense(
+        self.proj_k = _FoldPadDense(
             qk_out, kernel_init=variance_scaling(self.init_scale), **dense_kwargs
         )
-        self.proj_v = nn.Dense(
+        self.proj_v = _FoldPadDense(
             v_out, kernel_init=variance_scaling(self.init_scale), **dense_kwargs
         )
-        self.final = nn.Dense(
+        self.final = _FoldPadDense(
             out,
+            fold_axis="in",
+            in_features=v_out,
             use_bias=self.with_final_bias,
             kernel_init=variance_scaling(
                 self.final_init_scale_multiplier * self.init_scale
@@ -121,20 +205,53 @@ class Attention(nn.Module):
         return_matrix: bool = False,
         deterministic: bool = True,
     ):
-        q = self.proj_q(inputs_q)
-        k = self.proj_k(inputs_k)
-        v = self.proj_v(inputs_v)
-
-        batch, q_time, _ = q.shape
-        kv_time = k.shape[1]
-        q = q.reshape(batch, q_time, self.num_heads, self._qk_out // self.num_heads)
-        k = k.reshape(batch, kv_time, self.num_heads, self._qk_out // self.num_heads)
-        v = v.reshape(batch, kv_time, self.num_heads, self._v_out // self.num_heads)
-
         dropout_rate = 0.0 if deterministic else self.dropout_prob
         dropout_rng = (
             self.make_rng("dropout") if dropout_rate > 0.0 else None
         )
+
+        # When this site will run the Pallas flash kernel and its head dims
+        # are not lane-aligned, fold the kernel's padding into the projection
+        # weights: the GEMMs then emit lane-aligned activations directly and
+        # the wrapper's jnp.pad / output slice become no-ops (flow: saves
+        # ~140 MB of [B, 182k, 384] pad copies per layer use).  Exact math;
+        # the softmax scale stays 1/sqrt(logical d).
+        d_qk = self._qk_out // self.num_heads
+        d_v = self._v_out // self.num_heads
+        pad_qk = (-d_qk) % _LANE
+        pad_v = (-d_v) % _LANE
+        path = attention_path(
+            self.policy.attn_impl,
+            q_len=inputs_q.shape[1],
+            kv_len=inputs_k.shape[1],
+            flash_min_kv=self.policy.flash_min_kv,
+            flash_min_self=self.policy.flash_min_self,
+            attention_mask=attention_mask,
+            attention_bias=attention_bias,
+            dropout_rate=dropout_rate,
+            return_matrix=return_matrix,
+            interpret=self.policy.interpret,
+            sp_mesh=self.policy.sp_mesh,
+            sp_min_kv=self.policy.sp_min_kv,
+        )
+        fold = (
+            self.policy.fold_flash_pad
+            and path == "flash"
+            and bool(pad_qk or pad_v)
+        )
+        if not fold:
+            pad_qk = pad_v = 0
+        softmax_scale = 1.0 / math.sqrt(d_qk) if fold else None
+
+        q = self.proj_q(inputs_q, head_pad=pad_qk)
+        k = self.proj_k(inputs_k, head_pad=pad_qk)
+        v = self.proj_v(inputs_v, head_pad=pad_v)
+
+        batch, q_time, _ = q.shape
+        kv_time = k.shape[1]
+        q = q.reshape(batch, q_time, self.num_heads, d_qk + pad_qk)
+        k = k.reshape(batch, kv_time, self.num_heads, d_qk + pad_qk)
+        v = v.reshape(batch, kv_time, self.num_heads, d_v + pad_v)
 
         result = multihead_attention(
             q,
@@ -156,11 +273,12 @@ class Attention(nn.Module):
             sp_min_kv=self.policy.sp_min_kv,
             sp_impl=self.policy.sp_impl,
             interpret=self.policy.interpret,
+            softmax_scale=softmax_scale,
         )
         if return_matrix:
             attention_matrix, result = result
 
-        result = self.final(result)
+        result = self.final(result, head_pad=pad_v)
         if return_matrix:
             return attention_matrix, result
         return result

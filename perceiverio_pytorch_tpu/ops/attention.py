@@ -33,6 +33,53 @@ from perceiverio_pytorch_tpu.ops.attention_xla import (
 )
 
 
+def attention_path(
+    impl: str,
+    *,
+    q_len: int,
+    kv_len: int,
+    flash_min_kv: int = 8192,
+    flash_min_self: int = 2048,
+    attention_mask=None,
+    attention_bias=None,
+    dropout_rate: float = 0.0,
+    return_matrix: bool = False,
+    interpret: bool = False,
+    sp_mesh=None,
+    sp_min_kv: int = 32768,
+) -> str:
+    """Which implementation ``multihead_attention`` will dispatch to.
+
+    Returns ``"sp"`` (mesh sequence-parallel), ``"flash"`` (single-chip Pallas
+    kernel) or ``"xla"``.  All inputs are trace-time static, so modules can
+    call this BEFORE projecting q/k/v — e.g. to fold the flash kernel's
+    lane padding into the projection weights (core.attention.Attention).
+    """
+    if (
+        sp_mesh is not None
+        and attention_mask is None
+        and attention_bias is None
+        and dropout_rate == 0.0
+        and not return_matrix
+        and kv_len >= sp_min_kv
+    ):
+        return "sp"
+    if _flash_eligible(
+        impl,
+        q_len=q_len,
+        kv_len=kv_len,
+        flash_min_kv=flash_min_kv,
+        flash_min_self=flash_min_self,
+        attention_mask=attention_mask,
+        attention_bias=attention_bias,
+        dropout_rate=dropout_rate,
+        return_matrix=return_matrix,
+        interpret=interpret,
+    ):
+        return "flash"
+    return "xla"
+
+
 def _flash_eligible(
     impl: str,
     *,
@@ -96,6 +143,7 @@ def multihead_attention(
     sp_axis: str = "model",
     sp_min_kv: int = 32768,
     sp_impl: str = "auto",
+    softmax_scale: Optional[float] = None,
 ):
     """Multi-head attention over [B, T, H, D] tensors.
 
@@ -105,33 +153,14 @@ def multihead_attention(
       kv_mask: optional [B,Tk] bool; invalid keys are excluded from softmax.
       attention_mask: optional pre-built [B,Tq,Tk] mask (forces XLA path).
       interpret: run the Pallas kernel in interpreter mode (CPU tests).
+      softmax_scale: logit scale override (default 1/sqrt(Dqk)); required
+        when the caller lane-padded the head dims (see attention_path).
 
     Returns:
       [B, Tq, H*Dv] (plus the attention matrix when return_matrix=True).
     """
     kv_len = k.shape[1]
-
-    if (
-        sp_mesh is not None
-        and attention_mask is None
-        and attention_bias is None
-        and dropout_rate == 0.0
-        and not return_matrix
-        and kv_len >= sp_min_kv
-    ):
-        from perceiverio_pytorch_tpu.parallel.sequence_parallel import (
-            sequence_parallel_attention,
-        )
-
-        out = sequence_parallel_attention(
-            q, k, v, sp_mesh, kv_mask=kv_mask, axis_name=sp_axis,
-            impl=sp_impl, interpret=interpret,
-        )
-        if q_mask is not None:
-            out = jnp.where(q_mask[:, :, None], out, 0.0)
-        return out
-
-    if _flash_eligible(
+    path = attention_path(
         impl,
         q_len=q.shape[1],
         kv_len=kv_len,
@@ -142,11 +171,29 @@ def multihead_attention(
         dropout_rate=dropout_rate,
         return_matrix=return_matrix,
         interpret=interpret,
-    ):
+        sp_mesh=sp_mesh,
+        sp_min_kv=sp_min_kv,
+    )
+
+    if path == "sp":
+        from perceiverio_pytorch_tpu.parallel.sequence_parallel import (
+            sequence_parallel_attention,
+        )
+
+        out = sequence_parallel_attention(
+            q, k, v, sp_mesh, kv_mask=kv_mask, axis_name=sp_axis,
+            impl=sp_impl, interpret=interpret, softmax_scale=softmax_scale,
+        )
+        if q_mask is not None:
+            out = jnp.where(q_mask[:, :, None], out, 0.0)
+        return out
+
+    if path == "flash":
         from perceiverio_pytorch_tpu.ops.pallas.flash_attention import flash_attention
 
         return flash_attention(
-            q, k, v, q_mask=q_mask, kv_mask=kv_mask, interpret=interpret
+            q, k, v, q_mask=q_mask, kv_mask=kv_mask, interpret=interpret,
+            softmax_scale=softmax_scale,
         )
 
     if attention_mask is None and (q_mask is not None or kv_mask is not None):
@@ -174,4 +221,5 @@ def multihead_attention(
         softmax_dtype=softmax_dtype,
         precision=precision,
         return_matrix=return_matrix,
+        softmax_scale=softmax_scale,
     )

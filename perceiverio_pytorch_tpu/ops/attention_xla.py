@@ -48,6 +48,7 @@ def attend_xla(
     softmax_dtype=jnp.float32,
     precision=None,
     return_matrix: bool = False,
+    softmax_scale: Optional[float] = None,
 ):
     """Multi-head attention.
 
@@ -73,7 +74,11 @@ def attend_xla(
     if attention_bias is not None:
         attention = attention + attention_bias
 
-    attention = attention * (1.0 / math.sqrt(qk_head_dim))
+    # softmax_scale overrides the shape-derived scale for callers whose head
+    # dim is lane-padded (zero columns) and logically smaller.
+    attention = attention * (
+        softmax_scale if softmax_scale is not None else 1.0 / math.sqrt(qk_head_dim)
+    )
 
     if attention_mask is not None:
         large_k = jnp.asarray(_mask_fill_value(attention.dtype), attention.dtype)

@@ -201,12 +201,16 @@ def _flash_forward(
     block_k: int,
     interpret: bool,
     need_lse: bool = False,
+    softmax_scale: Optional[float] = None,
 ) -> jnp.ndarray:
     """Core pallas_call on [B, H, T, D]-transposed operands."""
     batch, num_heads, q_len, qk_dim = q.shape
     kv_len = k.shape[2]
     v_dim = v.shape[3]
-    scale = 1.0 / math.sqrt(qk_dim)
+    # softmax_scale overrides the shape-derived 1/sqrt(d): callers that fold
+    # the lane padding into their projection weights hand in q/k whose last
+    # dim is already d_pad but whose logical head dim is smaller.
+    scale = softmax_scale if softmax_scale is not None else 1.0 / math.sqrt(qk_dim)
 
     # Pad to hardware-friendly shapes.
     d_pad = _round_up(qk_dim, _LANE)
@@ -329,7 +333,8 @@ def _flash_forward(
     return result[:, :, :q_len, :v_dim], None
 
 
-def _chunked_attention_bwd(q, k, v, kv_mask, q_mask, g, *, block_q):
+def _chunked_attention_bwd(q, k, v, kv_mask, q_mask, g, *, block_q,
+                           softmax_scale=None):
     """O(N)-memory backward: recompute attention per Q chunk (lax.scan).
 
     Never materialises the full [B, H, Tq, Tk] matrix -- peak extra memory is
@@ -340,7 +345,7 @@ def _chunked_attention_bwd(q, k, v, kv_mask, q_mask, g, *, block_q):
     """
     batch, q_len, num_heads, qk_dim = q.shape
     kv_len, v_dim = k.shape[1], v.shape[3]
-    scale = 1.0 / math.sqrt(qk_dim)
+    scale = softmax_scale if softmax_scale is not None else 1.0 / math.sqrt(qk_dim)
     in_dtype = q.dtype
 
     g = g.reshape(batch, q_len, num_heads, v_dim)
@@ -505,14 +510,14 @@ def _bwd_dq_kernel(*refs, scale, num_k_blocks, block_k, kv_len, k_pad,
 
 
 def _pallas_attention_bwd(q, k, v, kv_mask, q_mask, out, lse, g, *,
-                          block_q, block_k, interpret):
+                          block_q, block_k, interpret, softmax_scale=None):
     """Flash backward: two Pallas sweeps (dKV over K blocks, dQ over Q blocks)
     recomputing p from the saved log-sum-exp -- O(block) VMEM, no [Tq, Tk]
     materialisation anywhere.
     """
     batch, q_len, num_heads, qk_dim = q.shape
     kv_len, v_dim = k.shape[1], v.shape[3]
-    scale = 1.0 / math.sqrt(qk_dim)
+    scale = softmax_scale if softmax_scale is not None else 1.0 / math.sqrt(qk_dim)
     in_dtype = q.dtype
 
     do = g.reshape(batch, q_len, num_heads, v_dim)
@@ -658,26 +663,28 @@ def _pallas_attention_bwd(q, k, v, kv_mask, q_mask, out, lse, g, *,
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8)
+    jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9)
 )
 def _flash_attention_vjp(
-    q, k, v, kv_mask, q_mask, block_q, block_k, interpret, pallas_backward
+    q, k, v, kv_mask, q_mask, block_q, block_k, interpret, pallas_backward,
+    softmax_scale,
 ):
     out, _ = _flash_impl(
-        q, k, v, kv_mask, q_mask, block_q, block_k, interpret, need_lse=False
+        q, k, v, kv_mask, q_mask, block_q, block_k, interpret,
+        need_lse=False, softmax_scale=softmax_scale,
     )
     return out
 
 
 def _flash_impl(q, k, v, kv_mask, q_mask, block_q, block_k, interpret,
-                need_lse=False):
+                need_lse=False, softmax_scale=None):
     # [B, T, H, D] -> [B, H, T, D] for blocking.
     qt = jnp.transpose(q, (0, 2, 1, 3))
     kt = jnp.transpose(k, (0, 2, 1, 3))
     vt = jnp.transpose(v, (0, 2, 1, 3))
     out, lse = _flash_forward(
         qt, kt, vt, kv_mask, block_q=block_q, block_k=block_k,
-        interpret=interpret, need_lse=need_lse,
+        interpret=interpret, need_lse=need_lse, softmax_scale=softmax_scale,
     )
     out = jnp.transpose(out, (0, 2, 1, 3))  # [B, Tq, H, Dv]
     if q_mask is not None:
@@ -687,24 +694,27 @@ def _flash_impl(q, k, v, kv_mask, q_mask, block_q, block_k, interpret,
 
 
 def _flash_fwd(q, k, v, kv_mask, q_mask, block_q, block_k, interpret,
-               pallas_backward):
+               pallas_backward, softmax_scale):
     out, lse = _flash_impl(
         q, k, v, kv_mask, q_mask, block_q, block_k, interpret,
-        need_lse=pallas_backward,
+        need_lse=pallas_backward, softmax_scale=softmax_scale,
     )
     return out, (q, k, v, kv_mask, q_mask, out, lse)
 
 
-def _flash_bwd(block_q, block_k, interpret, pallas_backward, residuals, g):
+def _flash_bwd(block_q, block_k, interpret, pallas_backward, softmax_scale,
+               residuals, g):
     q, k, v, kv_mask, q_mask, out, lse = residuals
     if pallas_backward:
         dq, dk, dv = _pallas_attention_bwd(
             q, k, v, kv_mask, q_mask, out, lse, g,
             block_q=block_q, block_k=block_k, interpret=interpret,
+            softmax_scale=softmax_scale,
         )
     else:
         dq, dk, dv = _chunked_attention_bwd(
-            q, k, v, kv_mask, q_mask, g, block_q=block_q
+            q, k, v, kv_mask, q_mask, g, block_q=block_q,
+            softmax_scale=softmax_scale,
         )
     return dq, dk, dv, None, None
 
@@ -723,6 +733,7 @@ def flash_attention(
     block_k: int = DEFAULT_BLOCK_K,
     interpret: bool = False,
     pallas_backward: bool = True,
+    softmax_scale: Optional[float] = None,
 ) -> jnp.ndarray:
     """Flash multi-head attention.
 
@@ -733,6 +744,9 @@ def flash_attention(
       interpret: run in the Pallas interpreter (for CPU tests).
       pallas_backward: use the Pallas dKV/dQ sweeps for gradients; False
         falls back to the chunked lax.scan recompute (same O(N) memory).
+      softmax_scale: logit scale; defaults to 1/sqrt(Dqk).  Callers that fold
+        the lane padding into their projection weights pass 1/sqrt(logical d)
+        here since Dqk is then already the padded width.
 
     Returns:
       [B, Tq, H*Dv].
@@ -742,5 +756,6 @@ def flash_attention(
     if kv_mask is not None:
         kv_mask = kv_mask.astype(bool)
     return _flash_attention_vjp(
-        q, k, v, kv_mask, q_mask, block_q, block_k, interpret, pallas_backward
+        q, k, v, kv_mask, q_mask, block_q, block_k, interpret,
+        pallas_backward, softmax_scale,
     )

@@ -29,7 +29,7 @@ from perceiverio_pytorch_tpu.parallel.mesh import MODEL_AXIS
 
 
 def _ring_flash_merge(q, k_shard, v_shard, kv_mask_shard, axis_name, *,
-                      block_q, block_k, interpret):
+                      block_q, block_k, interpret, softmax_scale=None):
     """Per-device Pallas flash over the local KV shard + global lse merge.
 
     Each device runs the streaming-KV flash kernel on its own [Tk/n] keys
@@ -54,6 +54,7 @@ def _ring_flash_merge(q, k_shard, v_shard, kv_mask_shard, axis_name, *,
     out, lse = _flash_forward(
         qt, kt, vt, kv_mask_shard,
         block_q=block_q, block_k=block_k, interpret=interpret, need_lse=True,
+        softmax_scale=softmax_scale,
     )
     # out: [B, H, Tq, Dv] locally normalised; lse: [B, H, Tq], +inf where
     # every local key is masked (that shard contributes zero weight).
@@ -69,7 +70,8 @@ def _ring_flash_merge(q, k_shard, v_shard, kv_mask_shard, axis_name, *,
     return out_g, lse_g
 
 
-def _make_ring_flash(mesh, axis_name, block_q, block_k, interpret):
+def _make_ring_flash(mesh, axis_name, block_q, block_k, interpret,
+                     softmax_scale=None):
     """Ring-flash attention with a custom VJP OUTSIDE shard_map.
 
     Both passes are primal-only shard_maps (AD never differentiates through
@@ -96,6 +98,7 @@ def _make_ring_flash(mesh, axis_name, block_q, block_k, interpret):
             out, lse = _ring_flash_merge(
                 q, k_s, v_s, m_s, axis_name,
                 block_q=block_q, block_k=block_k, interpret=interpret,
+                softmax_scale=softmax_scale,
             )
             return _flatten_heads(out, q.dtype), lse
 
@@ -112,6 +115,7 @@ def _make_ring_flash(mesh, axis_name, block_q, block_k, interpret):
             dq, dk, dv = _pallas_attention_bwd(
                 q, k_s, v_s, m_s, None, out_flat, lse_g, g,
                 block_q=block_q, block_k=block_k, interpret=interpret,
+                softmax_scale=softmax_scale,
             )
             return jax.lax.psum(dq, axis_name), dk, dv
 
@@ -152,10 +156,11 @@ def _flatten_heads(out_bhtd, dtype):
     )
 
 
-def _local_attend(q, k_shard, v_shard, kv_mask_shard, axis_name):
+def _local_attend(q, k_shard, v_shard, kv_mask_shard, axis_name,
+                  softmax_scale=None):
     """Per-device body under shard_map: local logits + global stat merge."""
     qk_dim = q.shape[-1]
-    scale = 1.0 / math.sqrt(qk_dim)
+    scale = softmax_scale if softmax_scale is not None else 1.0 / math.sqrt(qk_dim)
 
     s = jnp.einsum("bthd,bshd->bhts", q, k_shard).astype(jnp.float32) * scale
     if kv_mask_shard is not None:
@@ -198,6 +203,7 @@ def sequence_parallel_attention(
     block_k: int = 1024,
     interpret: bool = False,
     flash_min_shard: int = 8192,
+    softmax_scale: Optional[float] = None,
 ):
     """Cross-attention with the KV/token axis sharded over ``axis_name``.
 
@@ -238,7 +244,10 @@ def sequence_parallel_attention(
     if impl == "flash" or (
         impl == "auto" and flash_runnable and local_kv >= flash_min_shard
     ):
-        ring = _make_ring_flash(mesh, axis_name, block_q, block_k, interpret)
+        ring = _make_ring_flash(
+            mesh, axis_name, block_q, block_k, interpret,
+            softmax_scale=softmax_scale,
+        )
         return ring(q, k, v, kv_mask).astype(out_dtype)
 
     kv_spec = P(None, axis_name)
@@ -255,12 +264,16 @@ def sequence_parallel_attention(
         args = args + (kv_mask,)
 
         def body(q, k_s, v_s, m_s):
-            return _local_attend(q, k_s, v_s, m_s, axis_name)
+            return _local_attend(
+                q, k_s, v_s, m_s, axis_name, softmax_scale=softmax_scale
+            )
 
     else:
 
         def body(q, k_s, v_s):
-            return _local_attend(q, k_s, v_s, None, axis_name)
+            return _local_attend(
+                q, k_s, v_s, None, axis_name, softmax_scale=softmax_scale
+            )
 
     fn = jax.shard_map(
         body,
