@@ -156,16 +156,50 @@ class FourierPositionEncoding(nn.Module):
     def _resolution(self):
         return tuple(self.max_resolution or self.index_dims)
 
-    @nn.compact
-    def __call__(self, batch_size: int, pos=None) -> jnp.ndarray:
-        pos = _check_or_build_spatial_positions(pos, tuple(self.index_dims), batch_size)
-        features = generate_fourier_features(
+    def _build_table(self) -> jnp.ndarray:
+        """Implicit-linear-position Fourier table, [prod(index_dims), C]."""
+        pos = _check_or_build_spatial_positions(
+            None, tuple(self.index_dims), 1
+        )
+        return generate_fourier_features(
             pos[0],
             num_bands=self.num_bands,
             max_resolution=self._resolution(),
             concat_pos=self.concat_pos,
             sine_only=self.sine_only,
         )
+
+    @nn.compact
+    def __call__(self, batch_size: int, pos=None) -> jnp.ndarray:
+        if pos is None:
+            # Implicit linear positions: the table is a pure function of the
+            # static shape config, so precompute it ONCE at init into a
+            # "consts" buffer and read it back at apply time.  In-graph
+            # recomputation costs ~1.5 ms/call of HBM-bound sin/broadcast on
+            # flow's 368x496 grid (xprof, v5e); embedding it as an XLA
+            # literal instead is far worse -- a 188 MB constant adds minutes
+            # of (remote) compile time.  A buffer argument costs neither.
+            if self.is_initializing():
+                features = self.variable(
+                    "consts", "fourier_table", self._build_table
+                ).value
+            elif self.has_variable("consts", "fourier_table"):
+                features = self.get_variable("consts", "fourier_table")
+            else:
+                # Stateless use (apply({}, ...) without an init'd table):
+                # fall back to the in-graph computation.
+                features = self._build_table()
+        else:
+            pos = _check_or_build_spatial_positions(
+                pos, tuple(self.index_dims), batch_size
+            )
+            features = generate_fourier_features(
+                pos[0],
+                num_bands=self.num_bands,
+                max_resolution=self._resolution(),
+                concat_pos=self.concat_pos,
+                sine_only=self.sine_only,
+            )
         return jnp.broadcast_to(features[None], (batch_size,) + features.shape)
 
     def n_output_channels(self) -> int:

@@ -215,7 +215,7 @@ class MultiModalPerceiver(nn.Module):
 
             scan_fn = nn.scan(
                 decode_chunk,
-                variable_broadcast="params",
+                variable_broadcast=["params", "consts"],
                 split_rngs={"params": False},
                 in_axes=0,
                 out_axes=0,
@@ -234,7 +234,7 @@ class MultiModalPerceiver(nn.Module):
                     decode_one,
                     in_axes=0,
                     out_axes=0,
-                    variable_axes={"params": None},
+                    variable_axes={"params": None, "consts": None},
                     split_rngs={"params": False},
                 )
                 outs = vm(perceiver, wave_idxs)
@@ -246,7 +246,7 @@ class MultiModalPerceiver(nn.Module):
 
             scan_fn = nn.scan(
                 decode_wave,
-                variable_broadcast="params",
+                variable_broadcast=["params", "consts"],
                 split_rngs={"params": False},
                 in_axes=0,
                 out_axes=0,

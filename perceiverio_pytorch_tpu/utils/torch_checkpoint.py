@@ -145,6 +145,12 @@ def convert_state_dict(
     used = set()
     new_vars = {}
     for collection, tree in variables_template.items():
+        if collection not in ("params", "batch_stats"):
+            # Derived buffers (e.g. the "consts" Fourier tables) are pure
+            # functions of the model config with no torch counterpart; keep
+            # the template's values.
+            new_vars[collection] = tree
+            continue
         flat = flatten_dict(tree)
         new_flat = {}
         for path, template_value in flat.items():
@@ -193,6 +199,8 @@ def export_state_dict(
     overrides = dict(overrides or {})
     out: Dict[str, np.ndarray] = {}
     for collection, tree in variables.items():
+        if collection not in ("params", "batch_stats"):
+            continue  # derived buffers ("consts") have no torch counterpart
         for path, value in flatten_dict(tree).items():
             flax_key = "/".join(path)
             torch_key = overrides.get(flax_key) or _translate_path(

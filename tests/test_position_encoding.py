@@ -92,3 +92,32 @@ def test_build_position_encoding_with_projection():
 def test_unknown_encoding_raises():
     with pytest.raises(ValueError):
         build_position_encoding(PosEncodingType.NONE, index_dims=(4,))
+
+
+def test_fourier_consts_table_matches_traced_path():
+    """pos=None reads a precomputed 'consts' buffer (init-time table); it
+    must equal the in-graph path fed the same implicit linear positions."""
+    enc = FourierPositionEncoding(
+        index_dims=(5, 7), num_bands=3, concat_pos=True, sine_only=False
+    )
+    variables = enc.init(jax.random.PRNGKey(0), batch_size=2)
+    assert "consts" in variables  # the table is a buffer, not an HLO const
+    const = enc.apply(variables, batch_size=2)
+    pos = build_linear_positions((5, 7)).reshape(1, 35, 2)
+    pos = jnp.broadcast_to(pos, (2, 35, 2))
+    traced = enc.apply(variables, batch_size=2, pos=pos)
+    np.testing.assert_allclose(
+        np.asarray(const), np.asarray(traced), rtol=1e-6, atol=1e-6
+    )
+    # sine_only / no-concat variant
+    enc2 = FourierPositionEncoding(
+        index_dims=(4,), num_bands=2, concat_pos=False, sine_only=True
+    )
+    v2 = enc2.init(jax.random.PRNGKey(0), batch_size=1)
+    const2 = enc2.apply(v2, batch_size=1)
+    traced2 = enc2.apply(
+        v2, batch_size=1, pos=build_linear_positions((4,)).reshape(1, 4, 1)
+    )
+    np.testing.assert_allclose(
+        np.asarray(const2), np.asarray(traced2), rtol=1e-6, atol=1e-6
+    )

@@ -540,30 +540,32 @@ def test_sharded_conv_classification_training_batchnorm(mesh_shape):
     labels = jnp.asarray(rng.randint(0, 5, (8,)), jnp.int32)
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), img)
 
-    def loss_fn(params, batch_stats, img, labels):
+    # model_state = every non-param collection (batch_stats EMA + the
+    # immutable "consts" Fourier tables), carried through the TrainState
+    def loss_fn(params, model_state, img, labels):
         logits, mutated = model.apply(
-            {"params": params, "batch_stats": batch_stats},
+            {"params": params, **model_state},
             img,
             deterministic=False,
             mutable=["batch_stats"],
         )
-        return classification_cross_entropy(logits, labels), mutated[
-            "batch_stats"
-        ]
+        return classification_cross_entropy(logits, labels), {
+            **model_state,
+            **mutated,
+        }
 
     tx = optax.sgd(1e-2)
+    aux = {k: v for k, v in variables.items() if k != "params"}
 
     # single-device reference
-    ref_state = create_train_state(
-        variables["params"], tx, model_state=variables["batch_stats"]
-    )
+    ref_state = create_train_state(variables["params"], tx, model_state=aux)
     ref_step = make_train_step(loss_fn, tx, donate=False, with_model_state=True)
     ref_state, ref_loss = ref_step(ref_state, img, labels)
     ref_state, ref_loss2 = ref_step(ref_state, img, labels)
 
     mesh = make_mesh(mesh_shape)
     state = create_sharded_train_state(
-        variables["params"], tx, mesh, model_state=variables["batch_stats"]
+        variables["params"], tx, mesh, model_state=aux
     )
     step = make_sharded_train_step(
         loss_fn, tx, mesh, state, num_batch_args=2, donate=False,

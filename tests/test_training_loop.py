@@ -190,18 +190,19 @@ def test_classification_train_step_updates_batch_stats():
     labels = jnp.asarray(rng.randint(0, 5, (4,)), jnp.int32)
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), img)
 
-    def loss_fn(params, batch_stats, img, labels):
+    def loss_fn(params, model_state, img, labels):
         logits, mutated = model.apply(
-            {"params": params, "batch_stats": batch_stats},
+            {"params": params, **model_state},
             img,
             deterministic=False,
             mutable=["batch_stats"],
         )
         return classification_cross_entropy(logits, labels), mutated
 
+    aux = {k: v for k, v in variables.items() if k != "params"}
     (loss, mutated), grads = jax.jit(
         jax.value_and_grad(loss_fn, has_aux=True)
-    )(variables["params"], variables["batch_stats"], img, labels)
+    )(variables["params"], aux, img, labels)
     assert np.isfinite(float(loss))
     # EMA stats must actually move
     before = jax.tree_util.tree_leaves(variables["batch_stats"])
