@@ -60,6 +60,17 @@ class Policy:
         already fuses the D-pad into the sequence-axis pad it must do
         anyway, so folding only added +19% projection FLOPs -- it pays off
         only once the token axis is also block-aligned upstream.
+      seq_align: block-align the long token/query axes at the model level
+        (PerceiverIO pads the preprocessed tokens to a flash block_k
+        multiple before the encoder cross-attend and the decoder query to a
+        block_q multiple, slicing outputs after the small final layer).
+        The flash wrapper's per-site jnp.pads then become no-ops; the
+        kernel masks the key tail via its existing static length check, so
+        nothing extra runs inside it.  Only active at sites that dispatch
+        to the flash kernel.  Combine with fold_flash_pad to also remove
+        the head-dim padding copies.  Measured NEUTRAL at flow scale
+        (PERFORMANCE.md: XLA fuses the wrapper pads anyway); off by
+        default, available for configs with wider pad fractions.
       interpret: run Pallas kernels in interpreter mode (CPU tests only).
     """
 
@@ -75,6 +86,7 @@ class Policy:
     sp_min_kv: int = 32768
     sp_impl: str = "auto"
     fold_flash_pad: bool = False
+    seq_align: bool = False
     interpret: bool = False
 
 

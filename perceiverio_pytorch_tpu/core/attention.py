@@ -204,6 +204,7 @@ class Attention(nn.Module):
         attention_bias=None,
         return_matrix: bool = False,
         deterministic: bool = True,
+        kv_logical_len: Optional[int] = None,
     ):
         dropout_rate = 0.0 if deterministic else self.dropout_prob
         dropout_rng = (
@@ -274,6 +275,7 @@ class Attention(nn.Module):
             sp_impl=self.policy.sp_impl,
             interpret=self.policy.interpret,
             softmax_scale=softmax_scale,
+            kv_logical_len=kv_logical_len,
         )
         if return_matrix:
             attention_matrix, result = result
@@ -456,6 +458,7 @@ class CrossAttention(nn.Module):
         attention_bias=None,
         return_matrix: bool = False,
         deterministic: bool = True,
+        kv_logical_len: Optional[int] = None,
     ):
         compute_dtype = self.policy.compute_dtype or inputs_q.dtype
         inputs_kv_norm = self.layer_norm_kv(inputs_kv).astype(compute_dtype)
@@ -471,6 +474,7 @@ class CrossAttention(nn.Module):
             attention_bias=attention_bias,
             return_matrix=return_matrix,
             deterministic=deterministic,
+            kv_logical_len=kv_logical_len,
         )
         if return_matrix:
             attention_matrix, attention = attention

@@ -30,6 +30,11 @@ import numpy as np
 from perceiverio_pytorch_tpu.config import DEFAULT, Policy
 from perceiverio_pytorch_tpu.core import position_encoding
 from perceiverio_pytorch_tpu.core.attention import CrossAttention, SelfAttention
+from perceiverio_pytorch_tpu.ops.attention import attention_path
+from perceiverio_pytorch_tpu.ops.pallas.flash_attention import (
+    DEFAULT_BLOCK_K,
+    DEFAULT_BLOCK_Q,
+)
 from perceiverio_pytorch_tpu.utils.initializers import lecun_normal, zeros as zeros_init
 
 ModuleOrDict = Union[None, nn.Module, Mapping[str, nn.Module]]
@@ -162,7 +167,7 @@ class PerceiverEncoder(nn.Module):
             # with broadcast params: the block body is traced/compiled once.
             scan_cls = nn.scan(
                 stack_cls,
-                variable_broadcast="params",
+                variable_broadcast=["params", "consts"],
                 split_rngs={"params": False, "dropout": True},
                 in_axes=nn.broadcast,
                 length=self.num_blocks,
@@ -175,7 +180,8 @@ class PerceiverEncoder(nn.Module):
         """Initial latent array for the first cross-attend: [B, N_lat, C_lat]."""
         return self.latent_pos_enc(batch_size=inputs.shape[0])
 
-    def __call__(self, inputs, latents, *, input_mask=None, deterministic=True):
+    def __call__(self, inputs, latents, *, input_mask=None, deterministic=True,
+                 kv_logical_len=None):
         # The reference builds an outer-product mask with an all-ones query
         # mask (perceiver.py:100-102); factored kv-mask form is equivalent.
         with jax.named_scope("encoder_cross_attend"):
@@ -184,6 +190,7 @@ class PerceiverEncoder(nn.Module):
                 inputs,
                 kv_mask=input_mask,
                 deterministic=deterministic,
+                kv_logical_len=kv_logical_len,
             )
         with jax.named_scope("encoder_self_attends"):
             latents, _ = self.self_attends(latents, deterministic)
@@ -496,7 +503,7 @@ class PerceiverIO(nn.Module):
             flat_inputs, input_mask=input_mask, deterministic=deterministic
         )
 
-        outputs = self.decoder(
+        outputs = self._decode_aligned(
             decoder_query,
             latents,
             query_mask=query_mask,
@@ -520,14 +527,82 @@ class PerceiverIO(nn.Module):
             )
         return inputs, modality_sizes, inputs_without_pos, flat_inputs
 
+    def _align_gate(self, q_len, kv_len, dropout_rate, deterministic) -> bool:
+        """True iff a cross-attend at (q_len, kv_len) dispatches to the
+        single-chip flash kernel -- the only path where block-aligning the
+        token axis pays (the kernel masks the tail statically for free)."""
+        pol = self.policy
+        return (
+            attention_path(
+                pol.attn_impl,
+                q_len=q_len,
+                kv_len=kv_len,
+                flash_min_kv=pol.flash_min_kv,
+                flash_min_self=pol.flash_min_self,
+                dropout_rate=0.0 if deterministic else dropout_rate,
+                interpret=pol.interpret,
+                sp_mesh=pol.sp_mesh,
+                sp_min_kv=pol.sp_min_kv,
+            )
+            == "flash"
+        )
+
     def _encode_flat(self, flat_inputs, *, input_mask=None, deterministic=True):
         encoder_query = self.encoder.latents(flat_inputs)
+        kv_logical = None
+        if self.policy.seq_align:
+            m = flat_inputs.shape[1]
+            pad = -m % DEFAULT_BLOCK_K
+            if pad and self._align_gate(
+                self.num_latents, m, self.encoder.dropout_prob, deterministic
+            ):
+                # Pad the token axis to the flash block size HERE, where XLA
+                # fuses the pad into the preprocess concat that produces the
+                # array, instead of inside the flash wrapper where it copies
+                # the (wider, per-layer) projected K and V.
+                flat_inputs = jnp.pad(flat_inputs, ((0, 0), (0, pad), (0, 0)))
+                if input_mask is not None:
+                    input_mask = jnp.pad(input_mask, ((0, 0), (0, pad)))
+                else:
+                    kv_logical = m
         return self.encoder(
             flat_inputs,
             encoder_query,
             input_mask=input_mask,
             deterministic=deterministic,
+            kv_logical_len=kv_logical,
         )
+
+    def _decode_aligned(
+        self, decoder_query, latents, *, query_mask=None, deterministic=True
+    ):
+        """Run the decoder, block-aligning the (long) query axis when the
+        decoding cross-attend takes the flash kernel.  Garbage pad rows are
+        independent of the real rows (attention is row-wise) and are sliced
+        off right after the decoder, where the channel count is small."""
+        tq = decoder_query.shape[1]
+        pad = 0
+        if self.policy.seq_align:
+            pad = -tq % DEFAULT_BLOCK_Q
+            if pad and self._align_gate(
+                tq, self.num_latents, 0.0, deterministic
+            ):
+                decoder_query = jnp.pad(
+                    decoder_query, ((0, 0), (0, pad), (0, 0))
+                )
+                if query_mask is not None:
+                    query_mask = jnp.pad(query_mask, ((0, 0), (0, pad)))
+            else:
+                pad = 0
+        outputs = self.decoder(
+            decoder_query,
+            latents,
+            query_mask=query_mask,
+            deterministic=deterministic,
+        )
+        if pad:
+            outputs = outputs[:, :tq]
+        return outputs
 
     def encode(self, inputs, *, pos=None, input_mask=None, deterministic=True):
         """Preprocess + encode once; returns (latents, preprocess state)."""
@@ -556,7 +631,7 @@ class PerceiverIO(nn.Module):
             inputs_without_pos,
             subsampled_points=subsampled_output_points,
         )
-        outputs = self.decoder(
+        outputs = self._decode_aligned(
             decoder_query,
             latents,
             query_mask=query_mask,

@@ -144,6 +144,7 @@ def multihead_attention(
     sp_min_kv: int = 32768,
     sp_impl: str = "auto",
     softmax_scale: Optional[float] = None,
+    kv_logical_len: Optional[int] = None,
 ):
     """Multi-head attention over [B, T, H, D] tensors.
 
@@ -155,6 +156,9 @@ def multihead_attention(
       interpret: run the Pallas kernel in interpreter mode (CPU tests).
       softmax_scale: logit scale override (default 1/sqrt(Dqk)); required
         when the caller lane-padded the head dims (see attention_path).
+      kv_logical_len: true key count when the caller block-aligned the
+        token axis; on the flash path the tail is masked statically for
+        free, on the fallback paths it is folded into kv_mask.
 
     Returns:
       [B, Tq, H*Dv] (plus the attention matrix when return_matrix=True).
@@ -175,6 +179,20 @@ def multihead_attention(
         sp_min_kv=sp_min_kv,
     )
 
+    if (
+        kv_logical_len is not None
+        and kv_logical_len < kv_len
+        and path != "flash"
+    ):
+        # Safety net for callers that aligned the token axis but whose call
+        # was dispatched off the flash path (CPU fallback, sp): express the
+        # alignment padding as an ordinary kv-mask instead.
+        tail_mask = jnp.broadcast_to(
+            jnp.arange(kv_len) < kv_logical_len, (k.shape[0], kv_len)
+        )
+        kv_mask = tail_mask if kv_mask is None else (kv_mask & tail_mask)
+        kv_logical_len = None
+
     if path == "sp":
         from perceiverio_pytorch_tpu.parallel.sequence_parallel import (
             sequence_parallel_attention,
@@ -193,7 +211,7 @@ def multihead_attention(
 
         return flash_attention(
             q, k, v, q_mask=q_mask, kv_mask=kv_mask, interpret=interpret,
-            softmax_scale=softmax_scale,
+            softmax_scale=softmax_scale, kv_logical_len=kv_logical_len,
         )
 
     if attention_mask is None and (q_mask is not None or kv_mask is not None):

@@ -202,10 +202,16 @@ def _flash_forward(
     interpret: bool,
     need_lse: bool = False,
     softmax_scale: Optional[float] = None,
+    kv_logical_len: Optional[int] = None,
 ) -> jnp.ndarray:
     """Core pallas_call on [B, H, T, D]-transposed operands."""
     batch, num_heads, q_len, qk_dim = q.shape
-    kv_len = k.shape[2]
+    kv_shape_len = k.shape[2]
+    # kv_logical_len: callers that block-align the token axis upstream (so
+    # the jnp.pad below is a no-op) pass the true key count here; keys in
+    # [kv_logical_len, shape) are masked by the same static iota comparison
+    # that handles wrapper padding -- zero extra kernel cost.
+    kv_len = kv_logical_len if kv_logical_len is not None else kv_shape_len
     v_dim = v.shape[3]
     # softmax_scale overrides the shape-derived 1/sqrt(d): callers that fold
     # the lane padding into their projection weights hand in q/k whose last
@@ -220,11 +226,15 @@ def _flash_forward(
     )
 
     q_pad = _round_up(q_len, block_q)
-    k_pad = _round_up(kv_len, block_k)
+    k_pad = _round_up(kv_shape_len, block_k)
 
     q = jnp.pad(q, ((0, 0), (0, 0), (0, q_pad - q_len), (0, d_pad - qk_dim)))
-    k = jnp.pad(k, ((0, 0), (0, 0), (0, k_pad - kv_len), (0, d_pad - qk_dim)))
-    v = jnp.pad(v, ((0, 0), (0, 0), (0, k_pad - kv_len), (0, dv_pad - v_dim)))
+    k = jnp.pad(
+        k, ((0, 0), (0, 0), (0, k_pad - kv_shape_len), (0, d_pad - qk_dim))
+    )
+    v = jnp.pad(
+        v, ((0, 0), (0, 0), (0, k_pad - kv_shape_len), (0, dv_pad - v_dim))
+    )
 
     num_q_blocks = q_pad // block_q
     num_k_blocks = k_pad // block_k
@@ -251,7 +261,7 @@ def _flash_forward(
     has_kv_mask = kv_mask is not None
     if has_kv_mask:
         mask_arr = jnp.pad(
-            kv_mask.astype(jnp.int32), ((0, 0), (0, k_pad - kv_len))
+            kv_mask.astype(jnp.int32), ((0, 0), (0, k_pad - kv_shape_len))
         )
         # Full-batch block: TPU requires the sublane dim of a block to be
         # 8-aligned or equal to the array dim; batch x block_k is small.
@@ -334,7 +344,7 @@ def _flash_forward(
 
 
 def _chunked_attention_bwd(q, k, v, kv_mask, q_mask, g, *, block_q,
-                           softmax_scale=None):
+                           softmax_scale=None, kv_logical_len=None):
     """O(N)-memory backward: recompute attention per Q chunk (lax.scan).
 
     Never materialises the full [B, H, Tq, Tk] matrix -- peak extra memory is
@@ -374,6 +384,14 @@ def _chunked_attention_bwd(q, k, v, kv_mask, q_mask, g, *, block_q,
         s = jnp.einsum("bthd,bshd->bhts", qc, kf) * scale
         if kv_mask is not None:
             s = jnp.where(kv_mask[:, None, None, :], s, -jnp.inf)
+        if kv_logical_len is not None and kv_logical_len < kv_len:
+            # keys beyond the logical length are upstream block-alignment
+            # padding, masked in the forward
+            s = jnp.where(
+                jnp.arange(kv_len)[None, None, None, :] < kv_logical_len,
+                s,
+                -jnp.inf,
+            )
         m = jnp.max(s, axis=-1, keepdims=True)
         m = jnp.where(m == -jnp.inf, 0.0, m)
         e = jnp.exp(s - m)
@@ -510,13 +528,18 @@ def _bwd_dq_kernel(*refs, scale, num_k_blocks, block_k, kv_len, k_pad,
 
 
 def _pallas_attention_bwd(q, k, v, kv_mask, q_mask, out, lse, g, *,
-                          block_q, block_k, interpret, softmax_scale=None):
+                          block_q, block_k, interpret, softmax_scale=None,
+                          kv_logical_len=None):
     """Flash backward: two Pallas sweeps (dKV over K blocks, dQ over Q blocks)
     recomputing p from the saved log-sum-exp -- O(block) VMEM, no [Tq, Tk]
     materialisation anywhere.
     """
     batch, q_len, num_heads, qk_dim = q.shape
-    kv_len, v_dim = k.shape[1], v.shape[3]
+    kv_shape_len, v_dim = k.shape[1], v.shape[3]
+    # keys in [kv_logical_len, shape) were masked in the forward: p
+    # recomputes to zero there via the same static kv_len comparison, so
+    # their dk/dv rows come out exactly zero.
+    kv_len = kv_logical_len if kv_logical_len is not None else kv_shape_len
     scale = softmax_scale if softmax_scale is not None else 1.0 / math.sqrt(qk_dim)
     in_dtype = q.dtype
 
@@ -540,12 +563,16 @@ def _pallas_attention_bwd(q, k, v, kv_mask, q_mask, out, lse, g, *,
         extra_scratch_cols=d_pad + dv_pad,
     )
     q_pad = _round_up(q_len, block_q)
-    k_pad = _round_up(kv_len, block_k)
+    k_pad = _round_up(kv_shape_len, block_k)
 
     qt = jnp.pad(qt, ((0, 0), (0, 0), (0, q_pad - q_len), (0, d_pad - qk_dim)))
     dot = jnp.pad(dot, ((0, 0), (0, 0), (0, q_pad - q_len), (0, dv_pad - v_dim)))
-    kt = jnp.pad(kt, ((0, 0), (0, 0), (0, k_pad - kv_len), (0, d_pad - qk_dim)))
-    vt = jnp.pad(vt, ((0, 0), (0, 0), (0, k_pad - kv_len), (0, dv_pad - v_dim)))
+    kt = jnp.pad(
+        kt, ((0, 0), (0, 0), (0, k_pad - kv_shape_len), (0, d_pad - qk_dim))
+    )
+    vt = jnp.pad(
+        vt, ((0, 0), (0, 0), (0, k_pad - kv_shape_len), (0, dv_pad - v_dim))
+    )
     # padded q rows: lse=+inf -> p=0 -> they contribute nothing
     lse_p = jnp.pad(lse, ((0, 0), (0, 0), (0, q_pad - q_len)),
                     constant_values=jnp.inf)[..., None]
@@ -572,7 +599,9 @@ def _pallas_attention_bwd(q, k, v, kv_mask, q_mask, out, lse, g, *,
     ]
     operands = [qt, dot, lse_p, delta_p, kt, vt]
     if has_kv_mask:
-        mask_arr = jnp.pad(kv_mask.astype(jnp.int32), ((0, 0), (0, k_pad - kv_len)))
+        mask_arr = jnp.pad(
+            kv_mask.astype(jnp.int32), ((0, 0), (0, k_pad - kv_shape_len))
+        )
         in_specs.append(
             pl.BlockSpec((batch, k_pad), lambda b, h, ik, iq: (0, 0),
                          memory_space=pltpu.VMEM)
@@ -657,27 +686,28 @@ def _pallas_attention_bwd(q, k, v, kv_mask, q_mask, out, lse, g, *,
     )(*operands2)
 
     dq = jnp.transpose(dq[:, :, :q_len, :qk_dim], (0, 2, 1, 3))
-    dk = jnp.transpose(dk[:, :, :kv_len, :qk_dim], (0, 2, 1, 3))
-    dv = jnp.transpose(dv[:, :, :kv_len, :v_dim], (0, 2, 1, 3))
+    dk = jnp.transpose(dk[:, :, :kv_shape_len, :qk_dim], (0, 2, 1, 3))
+    dv = jnp.transpose(dv[:, :, :kv_shape_len, :v_dim], (0, 2, 1, 3))
     return dq, dk, dv
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9)
+    jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10)
 )
 def _flash_attention_vjp(
     q, k, v, kv_mask, q_mask, block_q, block_k, interpret, pallas_backward,
-    softmax_scale,
+    softmax_scale, kv_logical_len,
 ):
     out, _ = _flash_impl(
         q, k, v, kv_mask, q_mask, block_q, block_k, interpret,
         need_lse=False, softmax_scale=softmax_scale,
+        kv_logical_len=kv_logical_len,
     )
     return out
 
 
 def _flash_impl(q, k, v, kv_mask, q_mask, block_q, block_k, interpret,
-                need_lse=False, softmax_scale=None):
+                need_lse=False, softmax_scale=None, kv_logical_len=None):
     # [B, T, H, D] -> [B, H, T, D] for blocking.
     qt = jnp.transpose(q, (0, 2, 1, 3))
     kt = jnp.transpose(k, (0, 2, 1, 3))
@@ -685,6 +715,7 @@ def _flash_impl(q, k, v, kv_mask, q_mask, block_q, block_k, interpret,
     out, lse = _flash_forward(
         qt, kt, vt, kv_mask, block_q=block_q, block_k=block_k,
         interpret=interpret, need_lse=need_lse, softmax_scale=softmax_scale,
+        kv_logical_len=kv_logical_len,
     )
     out = jnp.transpose(out, (0, 2, 1, 3))  # [B, Tq, H, Dv]
     if q_mask is not None:
@@ -694,27 +725,28 @@ def _flash_impl(q, k, v, kv_mask, q_mask, block_q, block_k, interpret,
 
 
 def _flash_fwd(q, k, v, kv_mask, q_mask, block_q, block_k, interpret,
-               pallas_backward, softmax_scale):
+               pallas_backward, softmax_scale, kv_logical_len):
     out, lse = _flash_impl(
         q, k, v, kv_mask, q_mask, block_q, block_k, interpret,
         need_lse=pallas_backward, softmax_scale=softmax_scale,
+        kv_logical_len=kv_logical_len,
     )
     return out, (q, k, v, kv_mask, q_mask, out, lse)
 
 
 def _flash_bwd(block_q, block_k, interpret, pallas_backward, softmax_scale,
-               residuals, g):
+               kv_logical_len, residuals, g):
     q, k, v, kv_mask, q_mask, out, lse = residuals
     if pallas_backward:
         dq, dk, dv = _pallas_attention_bwd(
             q, k, v, kv_mask, q_mask, out, lse, g,
             block_q=block_q, block_k=block_k, interpret=interpret,
-            softmax_scale=softmax_scale,
+            softmax_scale=softmax_scale, kv_logical_len=kv_logical_len,
         )
     else:
         dq, dk, dv = _chunked_attention_bwd(
             q, k, v, kv_mask, q_mask, g, block_q=block_q,
-            softmax_scale=softmax_scale,
+            softmax_scale=softmax_scale, kv_logical_len=kv_logical_len,
         )
     return dq, dk, dv, None, None
 
@@ -734,6 +766,7 @@ def flash_attention(
     interpret: bool = False,
     pallas_backward: bool = True,
     softmax_scale: Optional[float] = None,
+    kv_logical_len: Optional[int] = None,
 ) -> jnp.ndarray:
     """Flash multi-head attention.
 
@@ -747,6 +780,9 @@ def flash_attention(
       softmax_scale: logit scale; defaults to 1/sqrt(Dqk).  Callers that fold
         the lane padding into their projection weights pass 1/sqrt(logical d)
         here since Dqk is then already the padded width.
+      kv_logical_len: true key count when the caller block-aligned the token
+        axis upstream (so Tk is already a block multiple); keys beyond it are
+        masked by the kernel's static tail comparison at zero extra cost.
 
     Returns:
       [B, Tq, H*Dv].
@@ -757,5 +793,5 @@ def flash_attention(
         kv_mask = kv_mask.astype(bool)
     return _flash_attention_vjp(
         q, k, v, kv_mask, q_mask, block_q, block_k, interpret,
-        pallas_backward, softmax_scale,
+        pallas_backward, softmax_scale, kv_logical_len,
     )
