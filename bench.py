@@ -24,18 +24,21 @@ import numpy as np
 
 
 def _throughput(model, params, img, iters=20, warmup=3):
-    fn = jax.jit(model.apply)
     # A device->host fetch is the only reliable completion barrier on remote
     # TPU transports (block_until_ready can return before execution drains),
-    # so chain the outputs and fetch a scalar once per timing region.
-    acc = fn(params, img).sum()
+    # so chain the outputs and fetch a scalar once per timing region.  The
+    # reduction is jitted INTO the measured function: an eager .sum() on the
+    # remote transport dispatches a separate XLA computation per call and
+    # inflates wall time (CLAUDE.md environment quirks).
+    fn = jax.jit(lambda p, x: model.apply(p, x).sum())
+    acc = fn(params, img)
     for _ in range(warmup):
-        acc = acc + fn(params, img).sum()
+        acc = acc + fn(params, img)
     float(acc)
     t0 = time.perf_counter()
     acc = None
     for _ in range(iters):
-        out = fn(params, img).sum()
+        out = fn(params, img)
         acc = out if acc is None else acc + out
     float(acc)
     dt = (time.perf_counter() - t0) / iters
@@ -59,16 +62,16 @@ def bench_flow():
     params = cast_variables_for_inference(
         jax.jit(model.init)(jax.random.PRNGKey(0), i1[:1], i2[:1])
     )
-    fn = jax.jit(model.apply)
-    acc = fn(params, i1, i2).sum()
+    fn = jax.jit(lambda p, a, b: model.apply(p, a, b).sum())
+    acc = fn(params, i1, i2)
     for _ in range(2):
-        acc = acc + fn(params, i1, i2).sum()
+        acc = acc + fn(params, i1, i2)
     float(acc)
     t0 = time.perf_counter()
     acc = None
     iters = 8
     for _ in range(iters):
-        out = fn(params, i1, i2).sum()
+        out = fn(params, i1, i2)
         acc = out if acc is None else acc + out
     float(acc)
     dt = (time.perf_counter() - t0) / iters
@@ -99,16 +102,16 @@ def bench_mlm():
     params = cast_variables_for_inference(
         jax.jit(model.init)(jax.random.PRNGKey(0), tokens, mask)
     )
-    fn = jax.jit(model.apply)
-    acc = fn(params, tokens, mask).sum()
+    fn = jax.jit(lambda p, t, m: model.apply(p, t, m).sum())
+    acc = fn(params, tokens, mask)
     for _ in range(3):
-        acc = acc + fn(params, tokens, mask).sum()
+        acc = acc + fn(params, tokens, mask)
     float(acc)
     t0 = time.perf_counter()
     acc = None
     iters = 20
     for _ in range(iters):
-        out = fn(params, tokens, mask).sum()
+        out = fn(params, tokens, mask)
         acc = out if acc is None else acc + out
     float(acc)
     dt = (time.perf_counter() - t0) / iters
@@ -139,14 +142,17 @@ def bench_multimodal():
             jax.random.PRNGKey(0), imgs, aud
         )
     )
-    fn = jax.jit(lambda p, i, a: model.apply(p, i, a, n_chunks))
-    acc = fn(params, imgs, aud)["image"].sum()
+    fn = jax.jit(lambda p, i, a: model.apply(p, i, a, n_chunks)["image"].sum())
+    acc = fn(params, imgs, aud)
+    float(acc)
+    for _ in range(3):
+        acc = acc + fn(params, imgs, aud)
     float(acc)
     t0 = time.perf_counter()
     acc = None
     iters = 5
     for _ in range(iters):
-        out = fn(params, imgs, aud)["image"].sum()
+        out = fn(params, imgs, aud)
         acc = out if acc is None else acc + out
     float(acc)
     dt = (time.perf_counter() - t0) / iters
