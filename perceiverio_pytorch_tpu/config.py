@@ -71,6 +71,21 @@ class Policy:
         the head-dim padding copies.  Measured NEUTRAL at flow scale
         (PERFORMANCE.md: XLA fuses the wrapper pads anyway); off by
         default, available for configs with wider pad fractions.
+      fold_query_pad: fold the decoder query's constant channel padding
+        through LayerNorm + the Q projection analytically instead of
+        materialising the padded concat.  Multimodal decode queries are
+        ``concat([per-modality pos features, broadcast trainable pad])``
+        along channels (reference multimodal_perceiver.py:137-167 pads every
+        modality query to a common 1026 channels); the pad channels are
+        constant across positions, so their contribution to the layer-norm
+        statistics and to ``LN(q) @ W_q`` reduces to per-modality constant
+        vectors.  The folded path computes the projected Q directly from the
+        narrow pos features (image: 195 of 1026 channels for 97% of the
+        805k tokens), skipping the [B, 25k, 1026] concat + pad broadcast
+        per decode chunk.  Algebraically exact; only applies when the
+        decoder has no query residual (the padded query is then never
+        needed post-projection).  Training-compatible (gradients flow
+        through the folded form).
       interpret: run Pallas kernels in interpreter mode (CPU tests only).
     """
 
@@ -87,6 +102,7 @@ class Policy:
     sp_impl: str = "auto"
     fold_flash_pad: bool = False
     seq_align: bool = False
+    fold_query_pad: bool = False
     interpret: bool = False
 
 
@@ -95,7 +111,10 @@ PARITY = Policy(compute_dtype=jnp.float32, attn_impl=ATTN_XLA)
 
 # bfloat16 compute with fp32 softmax: the TPU production policy.
 PERFORMANCE = Policy(
-    compute_dtype=jnp.bfloat16, attn_impl=ATTN_AUTO, gelu_approximate=True
+    compute_dtype=jnp.bfloat16,
+    attn_impl=ATTN_AUTO,
+    gelu_approximate=True,
+    fold_query_pad=True,
 )
 
 DEFAULT = Policy()

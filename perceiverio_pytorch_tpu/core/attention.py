@@ -23,7 +23,7 @@ Differences by design (TPU-first, not a port):
 from __future__ import annotations
 
 import math
-from typing import Any, Optional
+from typing import Any, NamedTuple, Optional, Tuple
 
 import flax.linen as nn
 import jax
@@ -41,11 +41,46 @@ from perceiverio_pytorch_tpu.utils.initializers import variance_scaling
 
 __all__ = [
     "Attention",
+    "FoldedQuery",
     "MLP",
     "SelfAttention",
     "CrossAttention",
     "make_cross_attention_mask",
 ]
+
+
+class FoldedQuery(NamedTuple):
+    """A decoder query in factored (pos-features, constant-pad) form.
+
+    The multimodal decoder query is, per modality, ``concat([pos_query,
+    broadcast(trainable_pad)], axis=-1)`` padded to a common channel count
+    and concatenated along tokens (reference multimodal_perceiver.py:137-167
+    via perceiver.py:327-367).  The pad channels are constant across
+    positions, so their path through LayerNorm + the Q projection is
+    analytic; passing the query in this factored form lets ``Attention``
+    skip materialising the [B, Tq, C] concat entirely (at multimodal scale
+    ~1.7 GB of HBM writes per clip) and run the Q GEMM on the narrow pos
+    features only.
+
+    parts: per modality, ``(pos [B, T, C_m], pad [C - C_m])`` in the token
+      order of the equivalent concatenated query (sorted modality names).
+    ln_scale / ln_bias: the query LayerNorm parameters; filled in by
+      ``CrossAttention`` (which owns that LayerNorm) before handing the
+      query to ``Attention``.
+    """
+
+    parts: Tuple[Tuple[jnp.ndarray, jnp.ndarray], ...]
+    ln_scale: Optional[jnp.ndarray] = None
+    ln_bias: Optional[jnp.ndarray] = None
+
+    @property
+    def num_tokens(self) -> int:
+        return sum(pos.shape[1] for pos, _ in self.parts)
+
+    @property
+    def num_channels(self) -> int:
+        pos, pad = self.parts[0]
+        return pos.shape[-1] + pad.shape[-1]
 
 
 def _layer_norm(name: str):
@@ -192,6 +227,79 @@ class Attention(nn.Module):
             **dense_kwargs,
         )
 
+    def _project_q_folded(self, fq: "FoldedQuery", head_pad: int = 0):
+        """Project a factored decoder query: LayerNorm + proj_q with the
+        constant pad channels folded out analytically.
+
+        For a token with channels ``z = [x, p]`` (pos features x, constant
+        pad p) the query LayerNorm (eps 1e-5, two-pass variance -- see
+        ``_layer_norm``) followed by the Q projection is
+
+            q = LN(z) @ W + b
+              = ( (x*g1) @ W1  +  (p*g2) @ W2  -  mu * (g @ W) ) / sigma
+                + beta @ W + b
+
+        with per-token scalars mu, sigma computable from x and the
+        precomputed pad sums.  Only the first GEMM touches per-token data,
+        and it runs on the narrow C_m pos channels instead of the padded
+        C -- for the multimodal image modality that is 195 of 1026 channels
+        over 97% of the 805k decode tokens.  The [B, Tq, C] padded concat
+        is never materialised.
+        """
+        kernel = self.proj_q.variables["params"]["kernel"]
+        bias = self.proj_q.variables["params"]["bias"]
+        if head_pad:
+            h = self.num_heads
+            d = self._qk_out // h
+            kernel = jnp.pad(
+                kernel.reshape(kernel.shape[0], h, d),
+                ((0, 0), (0, 0), (0, head_pad)),
+            ).reshape(kernel.shape[0], h * (d + head_pad))
+            bias = jnp.pad(
+                bias.reshape(h, d), ((0, 0), (0, head_pad))
+            ).reshape(h * (d + head_pad))
+        w32 = kernel.astype(jnp.float32)
+        b32 = bias.astype(jnp.float32)
+        gamma = fq.ln_scale.astype(jnp.float32)
+        beta = fq.ln_bias.astype(jnp.float32)
+        total_c = w32.shape[0]
+        # Token-independent constants (tiny GEMVs).
+        u = gamma @ w32  # [qk_out]
+        const = beta @ w32 + b32  # [qk_out]
+        eps = 1e-5  # matches _layer_norm
+        compute_dtype = self.policy.compute_dtype or fq.parts[0][0].dtype
+
+        outs = []
+        for pos, pad in fq.parts:
+            cm = pos.shape[-1]
+            x32 = pos.astype(jnp.float32)
+            p32 = pad.astype(jnp.float32)
+            sum_p = jnp.sum(p32)
+            sumsq_p = jnp.sum(p32 * p32)
+            c2 = float(p32.shape[0])
+            mu = (jnp.sum(x32, axis=-1) + sum_p) / total_c  # [B, T]
+            # Variance: two-pass over the per-token pos channels (matching
+            # use_fast_variance=False where it matters), algebraic for the
+            # constant pad half -- sum((p - mu)^2) = sum(p^2) - 2*mu*sum(p)
+            # + C2*mu^2 exactly, with only per-token scalars (a broadcast
+            # [B, T, C2] reduction here measured 96 GB/s on TPU).
+            dx = x32 - mu[..., None]
+            pad_ss = sumsq_p - 2.0 * mu * sum_p + c2 * mu * mu
+            var = (jnp.sum(dx * dx, axis=-1) + pad_ss) / total_c
+            inv_sigma = jax.lax.rsqrt(var + eps)  # [B, T]
+            # The one per-token GEMM, on the narrow pos channels, in the
+            # compute dtype (the unfolded path also feeds the MXU in
+            # compute dtype after the fp32 LayerNorm).
+            t1 = (x32 * gamma[:cm]).astype(compute_dtype) @ w32[:cm].astype(
+                compute_dtype
+            )
+            cp = (p32 * gamma[cm:]) @ w32[cm:]  # [qk_out] constant
+            q_m = (
+                t1.astype(jnp.float32) + cp - mu[..., None] * u
+            ) * inv_sigma[..., None] + const
+            outs.append(q_m.astype(compute_dtype))
+        return jnp.concatenate(outs, axis=1) if len(outs) > 1 else outs[0]
+
     def __call__(
         self,
         inputs_q,
@@ -210,6 +318,8 @@ class Attention(nn.Module):
         dropout_rng = (
             self.make_rng("dropout") if dropout_rate > 0.0 else None
         )
+        folded_q = isinstance(inputs_q, FoldedQuery)
+        q_len = inputs_q.num_tokens if folded_q else inputs_q.shape[1]
 
         # When this site will run the Pallas flash kernel and its head dims
         # are not lane-aligned, fold the kernel's padding into the projection
@@ -223,7 +333,7 @@ class Attention(nn.Module):
         pad_v = (-d_v) % _LANE
         path = attention_path(
             self.policy.attn_impl,
-            q_len=inputs_q.shape[1],
+            q_len=q_len,
             kv_len=inputs_k.shape[1],
             flash_min_kv=self.policy.flash_min_kv,
             flash_min_self=self.policy.flash_min_self,
@@ -244,7 +354,10 @@ class Attention(nn.Module):
             pad_qk = pad_v = 0
         softmax_scale = 1.0 / math.sqrt(d_qk) if fold else None
 
-        q = self.proj_q(inputs_q, head_pad=pad_qk)
+        if folded_q:
+            q = self._project_q_folded(inputs_q, head_pad=pad_qk)
+        else:
+            q = self.proj_q(inputs_q, head_pad=pad_qk)
         k = self.proj_k(inputs_k, head_pad=pad_qk)
         v = self.proj_v(inputs_v, head_pad=pad_v)
 
@@ -460,9 +573,25 @@ class CrossAttention(nn.Module):
         deterministic: bool = True,
         kv_logical_len: Optional[int] = None,
     ):
-        compute_dtype = self.policy.compute_dtype or inputs_q.dtype
+        folded_q = isinstance(inputs_q, FoldedQuery)
+        compute_dtype = self.policy.compute_dtype or (
+            inputs_q.parts[0][0].dtype if folded_q else inputs_q.dtype
+        )
         inputs_kv_norm = self.layer_norm_kv(inputs_kv).astype(compute_dtype)
-        inputs_q_norm = self.layer_norm_q(inputs_q).astype(compute_dtype)
+        if folded_q:
+            if self.use_query_residual:
+                raise ValueError(
+                    "FoldedQuery requires use_query_residual=False (the"
+                    " padded query is never materialised)."
+                )
+            # Hand the query LayerNorm's parameters to Attention, which
+            # folds them through the Q projection analytically.
+            ln = self.layer_norm_q.variables["params"]
+            inputs_q_norm = inputs_q._replace(
+                ln_scale=ln["scale"], ln_bias=ln["bias"]
+            )
+        else:
+            inputs_q_norm = self.layer_norm_q(inputs_q).astype(compute_dtype)
 
         attention = self.attention(
             inputs_q_norm,

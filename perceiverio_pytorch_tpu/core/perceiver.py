@@ -29,7 +29,11 @@ import numpy as np
 
 from perceiverio_pytorch_tpu.config import DEFAULT, Policy
 from perceiverio_pytorch_tpu.core import position_encoding
-from perceiverio_pytorch_tpu.core.attention import CrossAttention, SelfAttention
+from perceiverio_pytorch_tpu.core.attention import (
+    CrossAttention,
+    FoldedQuery,
+    SelfAttention,
+)
 from perceiverio_pytorch_tpu.ops.attention import attention_path
 from perceiverio_pytorch_tpu.ops.pallas.flash_attention import (
     DEFAULT_BLOCK_K,
@@ -580,6 +584,16 @@ class PerceiverIO(nn.Module):
         decoding cross-attend takes the flash kernel.  Garbage pad rows are
         independent of the real rows (attention is row-wise) and are sliced
         off right after the decoder, where the channel count is small."""
+        if isinstance(decoder_query, FoldedQuery):
+            # The folded query is projected inside Attention; any block
+            # alignment of the query axis happens on the (narrower)
+            # projected Q in the flash wrapper.
+            return self.decoder(
+                decoder_query,
+                latents,
+                query_mask=query_mask,
+                deterministic=deterministic,
+            )
         tq = decoder_query.shape[1]
         pad = 0
         if self.policy.seq_align:
@@ -662,10 +676,29 @@ class PerceiverIO(nn.Module):
         inputs_without_pos=None,
         subsampled_points=None,
     ):
-        """Build the concatenated decoder query (perceiver.py:327-367)."""
+        """Build the concatenated decoder query (perceiver.py:327-367).
+
+        With ``policy.fold_query_pad`` the query is returned in factored
+        ``FoldedQuery`` form instead: per modality ``(pos features,
+        constant pad vector)``.  The padded [B, Tq, C] concat is then never
+        materialised -- Attention folds the pad channels through
+        LayerNorm + the Q projection analytically (core/attention.py
+        ``_project_q_folded``).  Init still runs the concatenated path so
+        the parameter structure (padding embeddings, query LayerNorm,
+        projections) is identical either way.
+        """
         inputs = restructure(modality_sizes, flat_inputs)
         subsampled_points = subsampled_points or {}
         decoder_queries = {}
+        fold = (
+            self.policy.fold_query_pad
+            and not self.is_initializing()
+            and not self.decoder.use_query_residual
+            and any(
+                self._query_channels > q.n_query_channels()
+                for q in self.queries.values()
+            )
+        )
 
         dummy_input = None
         if self.queries.keys() != inputs.keys():
@@ -694,6 +727,13 @@ class PerceiverIO(nn.Module):
                 query.shape[0], int(np.prod(query.shape[1:-1])), query.shape[-1]
             )
 
+            if fold:
+                # Keep the pad as its raw [C - C_m] parameter vector; the
+                # broadcast + concat is folded out downstream.
+                pad_vec = self.padding_embeddings[modality](1)[0, 0]
+                decoder_queries[modality] = (query, pad_vec)
+                continue
+
             pad = self.padding_embeddings[modality](query.shape[0])
             pad = jnp.broadcast_to(
                 pad,
@@ -704,6 +744,15 @@ class PerceiverIO(nn.Module):
                 ),
             ).astype(query.dtype)
             decoder_queries[modality] = jnp.concatenate([query, pad], axis=2)
+
+        if fold:
+            query_sizes = {
+                m: q.shape[1] for m, (q, _) in decoder_queries.items()
+            }
+            parts = tuple(
+                decoder_queries[m] for m in sorted(decoder_queries.keys())
+            )
+            return FoldedQuery(parts=parts), query_sizes
 
         query_sizes = {m: q.shape[1] for m, q in decoder_queries.items()}
         # Predictable (sorted) ordering across modalities.
