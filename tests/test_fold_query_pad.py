@@ -79,6 +79,31 @@ def test_forward_equality(mm_setup):
         )
 
 
+def test_fold_composes_with_chunk_mesh(mm_setup):
+    """FoldedQuery must flow through the chunk-parallel decode path
+    (nn.vmap over chunk indices, sharded over the mesh data axis)."""
+    from tests.test_sharding_training import make_mesh
+
+    images, audio, params = mm_setup
+    base = MultiModalPerceiver(policy=PARITY, **MM_KWARGS)
+    folded = MultiModalPerceiver(policy=FOLDED, **MM_KWARGS)
+    mesh = make_mesh((8, 1))
+    out_b = jax.jit(lambda p, i, a: base.apply(p, i, a, 8))(
+        params, images, audio
+    )
+    out_f = jax.jit(
+        lambda p, i, a: folded.apply(p, i, a, 8, chunk_mesh=mesh)
+    )(params, images, audio)
+    for key in out_b:
+        np.testing.assert_allclose(
+            np.asarray(out_f[key]),
+            np.asarray(out_b[key]),
+            rtol=2e-4,
+            atol=2e-5,
+            err_msg=f"modality {key}",
+        )
+
+
 def test_gradient_equality(mm_setup):
     images, audio, params = mm_setup
     base = MultiModalPerceiver(policy=PARITY, **MM_KWARGS)
