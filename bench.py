@@ -133,7 +133,10 @@ def bench_multimodal():
     from perceiverio_pytorch_tpu.models import MultiModalPerceiver
     from perceiverio_pytorch_tpu.utils.params import cast_variables_for_inference
 
-    n_chunks = 32  # measured sweet spot; outputs are chunk-count invariant
+    # Measured sweet spot post query-pad fold (one-process sweep: 8: 16.9,
+    # 16: 17.2, 32: 16.1-16.5, 64: 16.4 clips/s); outputs are chunk-count
+    # invariant.
+    n_chunks = 16
     model = MultiModalPerceiver(policy=PERFORMANCE)
     imgs = jnp.zeros((1, 16, 3, 224, 224), jnp.float32)
     aud = jnp.zeros((1, 16 * 1920, 1), jnp.float32)
