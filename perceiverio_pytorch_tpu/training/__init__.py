@@ -8,6 +8,7 @@ from perceiverio_pytorch_tpu.training.trainer import (  # noqa: F401
     TrainState,
     create_sharded_train_state,
     create_train_state,
+    make_multi_step,
     make_sharded_train_step,
     make_train_step,
     param_shardings,

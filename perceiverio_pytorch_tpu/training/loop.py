@@ -19,6 +19,7 @@ from perceiverio_pytorch_tpu.training.trainer import (
     TrainState,
     create_sharded_train_state,
     create_train_state,
+    make_multi_step,
     make_sharded_train_step,
     make_train_step,
 )
@@ -49,6 +50,24 @@ class MetricsLogger:
             self._file.close()
 
 
+def _stack_groups(batches, group: int):
+    """Stack consecutive batches on a new leading [group] step axis.
+
+    Feeds ``make_multi_step``.  A short tail group is stacked at its own
+    length (one extra compile for the tail shape).
+    """
+    import jax.numpy as jnp
+
+    buf = []
+    for b in batches:
+        buf.append(b if isinstance(b, (tuple, list)) else (b,))
+        if len(buf) == group:
+            yield tuple(jnp.stack(parts) for parts in zip(*buf))
+            buf = []
+    if buf:
+        yield tuple(jnp.stack(parts) for parts in zip(*buf))
+
+
 class Trainer:
     """Drives a jitted train step over a batch iterator.
 
@@ -64,6 +83,14 @@ class Trainer:
         model_state, mirroring loss_fn's signature minus the aux return);
         run over ``eval_batches`` every ``eval_every`` steps and logged as
         ``eval_loss``.
+      steps_per_call: run this many optimizer updates per device dispatch
+        (``make_multi_step``'s lax.scan).  Amortises the fixed per-launch
+        transport latency -- measured 28% of the full-size MLM step on the
+        remote TPU transport.  Consecutive batches are stacked on a new
+        leading axis host-side.  Single-device path only (ignored when a
+        mesh is given); log/eval/checkpoint cadences fire on boundary
+        crossings, so keep them multiples of ``steps_per_call`` for exact
+        alignment.
     """
 
     def __init__(
@@ -79,6 +106,7 @@ class Trainer:
         with_model_state: bool = False,
         eval_fn: Optional[Callable] = None,
         eval_every: int = 0,
+        steps_per_call: int = 1,
     ):
         self.loss_fn = loss_fn
         self.tx = tx
@@ -91,6 +119,7 @@ class Trainer:
         self.checkpoint_every = checkpoint_every
         self.eval_fn = eval_fn
         self.eval_every = eval_every
+        self.steps_per_call = max(int(steps_per_call), 1)
         self._eval_jit = None
 
     def init_state(self, params, model_state=None) -> TrainState:
@@ -130,10 +159,17 @@ class Trainer:
         num_steps: Optional[int] = None,
         eval_batches=None,
     ) -> TrainState:
+        group = 1
         if self.mesh is not None:
             step_fn = make_sharded_train_step(
                 self.loss_fn, self.tx, self.mesh, state,
                 num_batch_args=self.num_batch_args,
+                with_model_state=self.with_model_state,
+            )
+        elif self.steps_per_call > 1:
+            group = self.steps_per_call
+            step_fn = make_multi_step(
+                self.loss_fn, self.tx,
                 with_model_state=self.with_model_state,
             )
         else:
@@ -142,18 +178,32 @@ class Trainer:
                 with_model_state=self.with_model_state,
             )
 
+        def _crossed(step_num, prev_step, every):
+            return bool(every) and (step_num // every > prev_step // every)
+
+        if group > 1:
+            # num_steps that is not a multiple of the group overruns by at
+            # most group-1 updates (inherent to multi-step dispatch).
+            batches = _stack_groups(batches, group)
+
         t0 = time.perf_counter()
         window_start = t0
-        for i, batch in enumerate(batches):
-            if num_steps is not None and i >= num_steps:
+        window_step = 0
+        step_num = 0
+        for batch in batches:
+            if num_steps is not None and step_num >= num_steps:
                 break
             if not isinstance(batch, (tuple, list)):
                 batch = (batch,)
             state, loss = step_fn(state, *batch)
-
-            step_num = i + 1
-            if step_num % self.log_every == 0 or (
-                num_steps is not None and step_num == num_steps
+            prev_step = step_num
+            if group > 1:
+                loss = loss[-1]
+                step_num += int(batch[0].shape[0])
+            else:
+                step_num += 1
+            if _crossed(step_num, prev_step, self.log_every) or (
+                num_steps is not None and step_num >= num_steps
             ):
                 loss_val = float(loss)  # host fetch = completion barrier
                 now = time.perf_counter()
@@ -161,26 +211,26 @@ class Trainer:
                     step=int(step_num),
                     loss=loss_val,
                     steps_per_sec=round(
-                        self.log_every / max(now - window_start, 1e-9), 3
+                        (step_num - window_step)
+                        / max(now - window_start, 1e-9),
+                        3,
                     ),
                     elapsed_sec=round(now - t0, 3),
                 )
                 window_start = now
+                window_step = step_num
             if (
                 self.eval_fn is not None
                 and eval_batches is not None
-                and self.eval_every
-                and step_num % self.eval_every == 0
+                and _crossed(step_num, prev_step, self.eval_every)
             ):
                 ev = self.evaluate(
                     state,
                     eval_batches() if callable(eval_batches) else eval_batches,
                 )
                 self.logger.log(step=int(step_num), eval_loss=round(ev, 6))
-            if (
-                self.checkpoint_dir
-                and self.checkpoint_every
-                and step_num % self.checkpoint_every == 0
+            if self.checkpoint_dir and _crossed(
+                step_num, prev_step, self.checkpoint_every
             ):
                 from perceiverio_pytorch_tpu.training.checkpoint import (
                     save_train_state,

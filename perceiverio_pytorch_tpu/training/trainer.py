@@ -93,6 +93,54 @@ def make_train_step(
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
+def make_multi_step(
+    loss_fn: Callable[..., jnp.ndarray],
+    tx: optax.GradientTransformation,
+    donate: bool = True,
+    with_model_state: bool = False,
+):
+    """Build ``step(state, *stacked_batch) -> (state, losses)`` that runs
+    ONE optimizer update per leading-axis slice of the stacked batch args,
+    all inside a single XLA computation (``lax.scan`` over the step axis).
+
+    Why: on the remote TPU transport every executable launch costs fixed
+    dispatch latency on top of device time (measured on the full-size MLM
+    step: 30.7 ms wall vs 22.2 ms device busy -- 28% overhead).  Scanning
+    N steps per dispatch pays that cost once per N.  The scan body is the
+    same single-step computation, so compile time does not grow with N and
+    losses come back per step ([N] array).
+
+    Batch args must be stacked with a leading step axis: shapes
+    ``[n_steps, batch, ...]``.  Pair with ``utils.data.prefetch_to_device``
+    feeding stacked super-batches.
+    """
+
+    def one(state: TrainState, batch):
+        if with_model_state:
+            (loss, model_state), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state.params, state.model_state, *batch)
+        else:
+            loss, grads = jax.value_and_grad(loss_fn)(state.params, *batch)
+            model_state = state.model_state
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return (
+            TrainState(
+                step=state.step + 1,
+                params=params,
+                opt_state=opt_state,
+                model_state=model_state,
+            ),
+            loss,
+        )
+
+    def step(state: TrainState, *stacked_batch):
+        return jax.lax.scan(one, state, tuple(stacked_batch))
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
 def param_shardings(params, mesh: Mesh):
     """NamedSharding pytree for a params tree from the TP partition rules."""
     flat = flatten_dict(params)

@@ -51,6 +51,77 @@ def test_trainer_fit_logs_and_learns(tmp_path):
     assert lines[-1]["loss"] < lines[0]["loss"]
 
 
+def test_multi_step_matches_sequential_steps():
+    """make_multi_step (N updates per dispatch via lax.scan) must produce
+    the same state and per-step losses as N sequential make_train_step
+    calls on the same batches."""
+    from perceiverio_pytorch_tpu.training import (
+        make_multi_step,
+        make_train_step,
+    )
+
+    model = LanguagePerceiver(**TINY)
+    rng = np.random.RandomState(1)
+    n_steps = 3
+    tokens = jnp.asarray(rng.randint(0, 262, (n_steps, 4, 32)), jnp.int32)
+    mask = jnp.ones((n_steps, 4, 32), bool)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), tokens[0], mask[0])
+
+    def loss_fn(params, tokens, mask):
+        logits = model.apply(params, tokens, mask)
+        return masked_token_cross_entropy(logits, tokens, mask)
+
+    tx = optax.adamw(1e-3)
+    state_a = create_train_state(params, tx)
+    step = make_train_step(loss_fn, tx, donate=False)
+    losses_seq = []
+    for i in range(n_steps):
+        state_a, loss = step(state_a, tokens[i], mask[i])
+        losses_seq.append(float(loss))
+
+    state_b = create_train_state(params, tx)
+    multi = make_multi_step(loss_fn, tx, donate=False)
+    state_b, losses = multi(state_b, tokens, mask)
+
+    assert int(state_b.step) == n_steps
+    np.testing.assert_allclose(
+        np.asarray(losses), np.asarray(losses_seq), rtol=1e-6, atol=1e-7
+    )
+    flat_a = jax.tree_util.tree_leaves(state_a.params)
+    flat_b = jax.tree_util.tree_leaves(state_b.params)
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=1e-6, atol=1e-7
+        )
+
+
+def test_trainer_steps_per_call(tmp_path):
+    """Trainer(steps_per_call=N) groups batches into one dispatch per N
+    updates and still counts steps / fires cadences correctly."""
+    model = LanguagePerceiver(**TINY)
+    rng = np.random.RandomState(0)
+    tokens = jnp.asarray(rng.randint(0, 262, (4, 32)), jnp.int32)
+    mask = jnp.ones((4, 32), bool)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), tokens, mask)
+
+    def loss_fn(params, tokens, mask):
+        logits = model.apply(params, tokens, mask)
+        return masked_token_cross_entropy(logits, tokens, mask)
+
+    metrics_path = str(tmp_path / "metrics.jsonl")
+    trainer = Trainer(
+        loss_fn, optax.adamw(1e-3), metrics_path=metrics_path,
+        log_every=2, steps_per_call=2,
+    )
+    state = trainer.init_state(params)
+    state = trainer.fit(state, iter([(tokens, mask)] * 6), num_steps=6)
+    assert int(state.step) == 6
+
+    lines = [json.loads(l) for l in open(metrics_path)]
+    assert [l["step"] for l in lines] == [2, 4, 6]
+    assert lines[-1]["loss"] < lines[0]["loss"]
+
+
 def test_checkpoint_roundtrip(tmp_path):
     model = LanguagePerceiver(**TINY)
     tokens = jnp.zeros((2, 32), jnp.int32)
