@@ -208,10 +208,18 @@ class MultiModalPerceiver(nn.Module):
                 f"data axis ({n_par}) for chunk-parallel decoding"
             )
 
+        # With remat, recompute each chunk's decode in the backward pass:
+        # without it the scan stores every chunk's decoder activations
+        # ([n_chunks, B, 50k, 1026] fp32 several times over -- 12+ GB at
+        # full Kinetics scale), which cannot fit one chip's HBM.
+        decode_body = (
+            nn.remat(decode_one, prevent_cse=False) if self.remat else decode_one
+        )
+
         if n_par == 1:
 
             def decode_chunk(perceiver, carry, chunk_idx):
-                return carry, decode_one(perceiver, chunk_idx)
+                return carry, decode_body(perceiver, chunk_idx)
 
             scan_fn = nn.scan(
                 decode_chunk,
@@ -231,7 +239,7 @@ class MultiModalPerceiver(nn.Module):
                     wave_idxs, chunk_shard
                 )
                 vm = nn.vmap(
-                    decode_one,
+                    decode_body,
                     in_axes=0,
                     out_axes=0,
                     variable_axes={"params": None, "consts": None},

@@ -68,6 +68,9 @@ def make_train_step(
     ``loss_fn(params, model_state, *batch) -> (scalar, new_model_state)``
     (e.g. flax ``mutable=['batch_stats']`` apply for BatchNorm training);
     the updated model state is carried in the returned TrainState.
+    NOTE: the returned new_model_state REPLACES the old one wholesale --
+    when the model also carries immutable collections (e.g. the "consts"
+    Fourier tables), merge them back: ``{**model_state, **mutated}``.
     """
 
     def step(state: TrainState, *batch):

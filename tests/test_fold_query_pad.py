@@ -104,6 +104,41 @@ def test_fold_composes_with_chunk_mesh(mm_setup):
         )
 
 
+def test_remat_decode_gradient_equality(mm_setup):
+    """remat=True (chunk decode recomputed in backward -- required to fit
+    full-scale multimodal training in HBM) must not change gradients."""
+    images, audio, params = mm_setup
+    base = MultiModalPerceiver(policy=PARITY, **MM_KWARGS)
+    remat = MultiModalPerceiver(policy=PARITY, remat=True, **MM_KWARGS)
+
+    def loss(model):
+        def f(p):
+            out = model.apply(p, images, audio, 4)
+            return jnp.mean(out["image"] ** 2) + jnp.mean(out["label"] ** 2)
+
+        return f
+
+    trainable = params["params"]
+    consts = {k: v for k, v in params.items() if k != "params"}
+    g_b = jax.jit(jax.grad(lambda t: loss(base)({"params": t, **consts})))(
+        trainable
+    )
+    g_r = jax.jit(jax.grad(lambda t: loss(remat)({"params": t, **consts})))(
+        trainable
+    )
+    for (k, vb), (_, vr) in zip(
+        jax.tree_util.tree_leaves_with_path(g_b),
+        jax.tree_util.tree_leaves_with_path(g_r),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(vr),
+            np.asarray(vb),
+            rtol=1e-5,
+            atol=1e-6,  # recompute reassociates fp32 sums (~1e-7 noise)
+            err_msg=jax.tree_util.keystr(k),
+        )
+
+
 def test_gradient_equality(mm_setup):
     images, audio, params = mm_setup
     base = MultiModalPerceiver(policy=PARITY, **MM_KWARGS)
