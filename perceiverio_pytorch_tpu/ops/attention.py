@@ -102,7 +102,11 @@ def _flash_eligible(
     if impl == "flash":
         return True
     # "auto" must only pick the Mosaic kernel where it can actually run
-    # (TPU, or interpreter mode for CPU tests).
+    # (TPU, or interpreter mode for CPU tests).  Known limitation: this
+    # keys on the PROCESS default backend -- inside a
+    # ``jax.default_device(cpu_device)`` context on a TPU-default process,
+    # "auto" still picks the kernel and the CPU compile fails; use
+    # Policy(attn_impl="xla") or Policy(interpret=True) there instead.
     import jax
 
     if not (interpret or jax.default_backend() == "tpu"):

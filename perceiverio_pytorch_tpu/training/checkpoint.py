@@ -81,6 +81,32 @@ def restore_train_state(path: str, template: TrainState) -> TrainState:
     }
     if template.model_state is not None:
         tree["model_state"] = template.model_state
+    else:
+        # The restore is template-driven, so a checkpoint that carries
+        # model_state (e.g. BatchNorm batch_stats) would be silently
+        # dropped -- resuming with freshly-initialised statistics.  Detect
+        # from the checkpoint's tree metadata and refuse instead.
+        has_model_state = False
+        try:
+            import json
+
+            meta_path = os.path.join(os.path.abspath(path), "_METADATA")
+            with open(meta_path) as f:
+                tree_meta = json.load(f).get("tree_metadata", {})
+            has_model_state = any(
+                entry.get("key_metadata")
+                and entry["key_metadata"][0].get("key") == "model_state"
+                for entry in tree_meta.values()
+            )
+        except Exception:
+            pass  # metadata layout unknown -> keep the legacy behaviour
+        if has_model_state:
+            raise ValueError(
+                f"checkpoint at {path} contains 'model_state' (e.g. BatchNorm"
+                " batch_stats) but the restore template has model_state=None;"
+                " build the template with create_train_state(...,"
+                " model_state=aux) so it is restored rather than dropped."
+            )
     restored = restore_variables(path, tree)
     return TrainState(
         step=restored["step"],

@@ -54,18 +54,26 @@ def _stack_groups(batches, group: int):
     """Stack consecutive batches on a new leading [group] step axis.
 
     Feeds ``make_multi_step``.  A short tail group is stacked at its own
-    length (one extra compile for the tail shape).
+    length (one extra compile for the tail shape).  Host-numpy batches are
+    stacked with numpy (one device transfer, no extra XLA dispatch);
+    device-resident batches fall back to jnp.stack.
     """
     import jax.numpy as jnp
+    import numpy as np
+
+    def _stack(parts):
+        if all(isinstance(p, np.ndarray) for p in parts):
+            return np.stack(parts)
+        return jnp.stack(parts)
 
     buf = []
     for b in batches:
         buf.append(b if isinstance(b, (tuple, list)) else (b,))
         if len(buf) == group:
-            yield tuple(jnp.stack(parts) for parts in zip(*buf))
+            yield tuple(_stack(parts) for parts in zip(*buf))
             buf = []
     if buf:
-        yield tuple(jnp.stack(parts) for parts in zip(*buf))
+        yield tuple(_stack(parts) for parts in zip(*buf))
 
 
 class Trainer:
@@ -159,6 +167,12 @@ class Trainer:
         num_steps: Optional[int] = None,
         eval_batches=None,
     ) -> TrainState:
+        # A plain generator would be exhausted by the first evaluation and
+        # every later eval would silently report 0.0; materialise it once
+        # (pass a callable to re-create batches lazily instead).
+        if eval_batches is not None and not callable(eval_batches):
+            eval_batches = list(eval_batches)
+
         group = 1
         if self.mesh is not None:
             step_fn = make_sharded_train_step(
@@ -198,13 +212,17 @@ class Trainer:
             state, loss = step_fn(state, *batch)
             prev_step = step_num
             if group > 1:
-                loss = loss[-1]
                 step_num += int(batch[0].shape[0])
             else:
                 step_num += 1
             if _crossed(step_num, prev_step, self.log_every) or (
                 num_steps is not None and step_num >= num_steps
             ):
+                # Index the per-step losses only when actually logging: an
+                # eager slice on the device array is an extra XLA dispatch
+                # per call on the remote transport.
+                if group > 1:
+                    loss = loss[-1]
                 loss_val = float(loss)  # host fetch = completion barrier
                 now = time.perf_counter()
                 self.logger.log(

@@ -244,6 +244,28 @@ def test_checkpoint_roundtrip_with_model_state(tmp_path):
     assert restore_train_state(path2, legacy).model_state is None
 
 
+def test_restore_refuses_to_drop_model_state(tmp_path):
+    """Restoring a checkpoint that carries model_state with a template that
+    has none must raise (silently dropping e.g. BatchNorm batch_stats would
+    resume training on freshly-initialised statistics)."""
+    import optax
+
+    model = LanguagePerceiver(**TINY)
+    tokens = jnp.zeros((2, 32), jnp.int32)
+    mask = jnp.ones((2, 32), bool)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), tokens, mask)
+    tx = optax.adamw(1e-3)
+    state = create_train_state(
+        params, tx, model_state={"batch_stats": {"mean": jnp.ones((3,))}}
+    )
+    path = str(tmp_path / "ck")
+    save_train_state(path, state)
+
+    bare = create_train_state(params, tx)  # no model_state
+    with pytest.raises(ValueError, match="model_state"):
+        restore_train_state(path, bare)
+
+
 def test_classification_train_step_updates_batch_stats():
     """deterministic=False must run BatchNorm in batch-stats mode and allow
     mutable EMA updates through the conv preprocessor."""
