@@ -62,6 +62,10 @@ def multimodal_example(
 
     video = load_video(_resolve_sample(video_path), resize=(IMG_SZ, IMG_SZ))
 
+    # Outputs are chunk-count invariant (tested); 16 is the measured
+    # throughput sweet spot (the reference example uses 128).
+    n_chunks = 16
+
     model = MultiModalPerceiver(
         num_frames=NUM_FRAMES,
         audio_samples_per_frame=AUDIO_SAMPLES_PER_FRAME,
@@ -79,15 +83,15 @@ def multimodal_example(
 
     if random_init:
         variables = jax.jit(
-            lambda k, i, a: model.init(k, i, a, 128)
+            lambda k, i, a: model.init(k, i, a, n_chunks)
         )(jax.random.PRNGKey(0), video_input, audio_input)
     else:
         template = jax.eval_shape(
-            lambda: model.init(jax.random.PRNGKey(0), video_input, audio_input, 128)
+            lambda: model.init(jax.random.PRNGKey(0), video_input, audio_input, n_chunks)
         )
         variables, _ = convert_state_dict(load_torch_checkpoint(CKPT_FILE), template)
 
-    fwd = jax.jit(lambda v, i, a: model.apply(v, i, a, 128))
+    fwd = jax.jit(lambda v, i, a: model.apply(v, i, a, n_chunks))
     reconstruction = fwd(variables, video_input, audio_input)
 
     scipy.io.wavfile.write(

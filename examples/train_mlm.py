@@ -37,7 +37,7 @@ def synthetic_corpus(n: int, seq_len: int, vocab: int, seed: int = 0):
 
 
 def main(steps: int = 50, batch_size: int = 8, seq_len: int = 256,
-         mesh_shape=None, checkpoint_dir=None):
+         mesh_shape=None, checkpoint_dir=None, steps_per_call: int = 1):
     model = LanguagePerceiver(
         max_seq_len=seq_len, embed_dim=64, num_self_attends_per_block=4,
         num_latents=64, num_latent_channels=256,
@@ -78,6 +78,9 @@ def main(steps: int = 50, batch_size: int = 8, seq_len: int = 256,
         checkpoint_every=0 if checkpoint_dir is None else max(steps // 2, 1),
         eval_fn=eval_fn,
         eval_every=max(steps // 2, 1),
+        # >1 scans several optimizer updates per device dispatch
+        # (training.make_multi_step); single-device path only.
+        steps_per_call=steps_per_call,
     )
     state = trainer.init_state(params)
     eval_batches = list(epoch_batches((eval_tokens, eval_mask), batch_size))
@@ -101,6 +104,8 @@ if __name__ == "__main__":
     parser.add_argument("--mesh", type=int, nargs=2, default=None,
                         help="(data, model) mesh shape")
     parser.add_argument("--checkpoint-dir", default=None)
+    parser.add_argument("--steps-per-call", type=int, default=1)
     args = parser.parse_args()
     main(args.steps, args.batch_size, mesh_shape=args.mesh,
-         checkpoint_dir=args.checkpoint_dir)
+         checkpoint_dir=args.checkpoint_dir,
+         steps_per_call=args.steps_per_call)
