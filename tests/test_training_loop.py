@@ -244,6 +244,84 @@ def test_checkpoint_roundtrip_with_model_state(tmp_path):
     assert restore_train_state(path2, legacy).model_state is None
 
 
+def test_flow_train_step_learns():
+    """End-to-end flow training: endpoint-error loss decreases over a few
+    adamw steps on a repeated batch (tiny config)."""
+    import optax
+
+    from perceiverio_pytorch_tpu.models import FlowPerceiver
+    from perceiverio_pytorch_tpu.training import (
+        flow_endpoint_error,
+        make_train_step,
+    )
+
+    model = FlowPerceiver(
+        img_size=(16, 24), num_latents=8, num_latent_channels=32,
+        num_self_attends_per_block=1, num_blocks=1,
+    )
+    rng = np.random.RandomState(0)
+    img1 = jnp.asarray(rng.uniform(-1, 1, (2, 3, 16, 24)), jnp.float32)
+    img2 = jnp.asarray(rng.uniform(-1, 1, (2, 3, 16, 24)), jnp.float32)
+    gt = jnp.asarray(rng.randn(2, 2, 16, 24) * 0.1, jnp.float32)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), img1, img2)
+
+    def loss_fn(p, a, b, flow):
+        return flow_endpoint_error(model.apply(p, a, b), flow)
+
+    tx = optax.adamw(1e-3)
+    state = create_train_state(params, tx)
+    step = make_train_step(loss_fn, tx)
+    losses = []
+    for _ in range(5):
+        state, loss = step(state, img1, img2, gt)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+
+
+def test_multimodal_train_step_learns():
+    """End-to-end multimodal training with the rematted chunk decode: the
+    autoencode loss decreases over a few adamw steps (tiny config)."""
+    import optax
+
+    from perceiverio_pytorch_tpu.models import MultiModalPerceiver
+    from perceiverio_pytorch_tpu.training import (
+        make_train_step,
+        multimodal_autoencode_loss,
+    )
+
+    model = MultiModalPerceiver(
+        img_size=(16, 16), num_frames=2, num_classes=11,
+        audio_samples_per_frame=128, audio_samples_per_patch=16,
+        num_self_attends_per_block=1, num_blocks=1,
+        num_latents=8, num_latent_channels=512, remat=True,
+    )
+    rng = np.random.RandomState(1)
+    imgs = jnp.asarray(rng.rand(1, 2, 3, 16, 16), jnp.float32)
+    aud = jnp.asarray(rng.uniform(-1, 1, (1, 256, 1)), jnp.float32)
+    lab = jnp.asarray([5], jnp.int32)
+    variables = jax.jit(lambda k, i, a: model.init(k, i, a, 4))(
+        jax.random.PRNGKey(0), imgs, aud
+    )
+    consts = {k: v for k, v in variables.items() if k != "params"}
+
+    def loss_fn(p, i, a, l):
+        out = model.apply({"params": p, **consts}, i, a, 4)
+        return multimodal_autoencode_loss(
+            out, {"image": i, "audio": a, "label": l}
+        )
+
+    tx = optax.adamw(1e-4)
+    state = create_train_state(variables["params"], tx)
+    step = make_train_step(loss_fn, tx)
+    losses = []
+    for _ in range(5):
+        state, loss = step(state, imgs, aud, lab)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+
+
 def test_restore_refuses_to_drop_model_state(tmp_path):
     """Restoring a checkpoint that carries model_state with a template that
     has none must raise (silently dropping e.g. BatchNorm batch_stats would
