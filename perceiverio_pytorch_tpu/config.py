@@ -103,6 +103,10 @@ class Policy:
     fold_flash_pad: bool = False
     seq_align: bool = False
     fold_query_pad: bool = False
+    # Single-pass E[x^2]-E[x]^2 layer-norm variance instead of the
+    # reference-faithful two-pass form.  ~1e-5 accuracy cost per norm;
+    # enable only if measured to pay on the target workload.
+    fast_layer_norm: bool = False
     interpret: bool = False
 
 

@@ -83,12 +83,13 @@ class FoldedQuery(NamedTuple):
         return pos.shape[-1] + pad.shape[-1]
 
 
-def _layer_norm(name: str):
+def _layer_norm(name: str, fast: bool = False):
     # torch nn.LayerNorm default eps=1e-5; keep normalisation in fp32 with the
     # two-pass variance (fast E[x^2]-E[x]^2 variance costs ~1e-5 of accuracy
-    # that compounds through deep residual stacks).
+    # that compounds through deep residual stacks).  ``fast`` switches to the
+    # single-pass form (Policy.fast_layer_norm).
     return nn.LayerNorm(
-        epsilon=1e-5, dtype=jnp.float32, use_fast_variance=False, name=name
+        epsilon=1e-5, dtype=jnp.float32, use_fast_variance=fast, name=name
     )
 
 
@@ -278,14 +279,21 @@ class Attention(nn.Module):
             sumsq_p = jnp.sum(p32 * p32)
             c2 = float(p32.shape[0])
             mu = (jnp.sum(x32, axis=-1) + sum_p) / total_c  # [B, T]
-            # Variance: two-pass over the per-token pos channels (matching
-            # use_fast_variance=False where it matters), algebraic for the
-            # constant pad half -- sum((p - mu)^2) = sum(p^2) - 2*mu*sum(p)
-            # + C2*mu^2 exactly, with only per-token scalars (a broadcast
-            # [B, T, C2] reduction here measured 96 GB/s on TPU).
-            dx = x32 - mu[..., None]
-            pad_ss = sumsq_p - 2.0 * mu * sum_p + c2 * mu * mu
-            var = (jnp.sum(dx * dx, axis=-1) + pad_ss) / total_c
+            if self.policy.fast_layer_norm:
+                # Single-pass E[x^2] - mu^2, matching use_fast_variance.
+                var = (
+                    jnp.sum(x32 * x32, axis=-1) + sumsq_p
+                ) / total_c - mu * mu
+            else:
+                # Variance: two-pass over the per-token pos channels
+                # (matching use_fast_variance=False where it matters),
+                # algebraic for the constant pad half -- sum((p - mu)^2) =
+                # sum(p^2) - 2*mu*sum(p) + C2*mu^2 exactly, with only
+                # per-token scalars (a broadcast [B, T, C2] reduction here
+                # measured 96 GB/s on TPU).
+                dx = x32 - mu[..., None]
+                pad_ss = sumsq_p - 2.0 * mu * sum_p + c2 * mu * mu
+                var = (jnp.sum(dx * dx, axis=-1) + pad_ss) / total_c
             inv_sigma = jax.lax.rsqrt(var + eps)  # [B, T]
             # The one per-token GEMM, on the narrow pos channels, in the
             # compute dtype (the unfolded path also feeds the MXU in
@@ -463,8 +471,9 @@ class SelfAttention(nn.Module):
             init_scale=self.dense_init_scale,
             policy=self.policy,
         )
-        self.layer_norm1 = _layer_norm("layer_norm1")
-        self.layer_norm2 = _layer_norm("layer_norm2")
+        fast = self.policy.fast_layer_norm
+        self.layer_norm1 = _layer_norm("layer_norm1", fast)
+        self.layer_norm2 = _layer_norm("layer_norm2", fast)
 
     def __call__(
         self,
@@ -556,9 +565,10 @@ class CrossAttention(nn.Module):
             init_scale=self.mlp_init_scale,
             policy=self.policy,
         )
-        self.layer_norm_q = _layer_norm("layer_norm_q")
-        self.layer_norm_kv = _layer_norm("layer_norm_kv")
-        self.layer_norm2 = _layer_norm("layer_norm2")
+        fast = self.policy.fast_layer_norm
+        self.layer_norm_q = _layer_norm("layer_norm_q", fast)
+        self.layer_norm_kv = _layer_norm("layer_norm_kv", fast)
+        self.layer_norm2 = _layer_norm("layer_norm2", fast)
 
     def __call__(
         self,
