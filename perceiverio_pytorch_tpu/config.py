@@ -95,6 +95,12 @@ class Policy:
     attn_impl: str = ATTN_AUTO
     flash_min_kv: int = 8192
     flash_min_self: int = 2048
+    # A long-Q cross-attend (q_len >= flash_min_kv) only takes the flash
+    # kernel when the KV axis is at least this long: with a short KV the
+    # per-block logits are small and XLA's fused GEMM+softmax wins
+    # (multimodal decode, 25k queries x 784 latents: 18.7 vs 17.6 clips/s);
+    # flow's 182k queries x 2048 latents (1.5 GB of logits) stays flash.
+    flash_long_q_min_kv: int = 1024
     gelu_approximate: bool = False
     sp_mesh: Optional[Mesh] = None
     sp_axis: str = "model"

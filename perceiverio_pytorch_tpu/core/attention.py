@@ -345,6 +345,7 @@ class Attention(nn.Module):
             kv_len=inputs_k.shape[1],
             flash_min_kv=self.policy.flash_min_kv,
             flash_min_self=self.policy.flash_min_self,
+            flash_long_q_min_kv=self.policy.flash_long_q_min_kv,
             attention_mask=attention_mask,
             attention_bias=attention_bias,
             dropout_rate=dropout_rate,
@@ -389,6 +390,7 @@ class Attention(nn.Module):
             impl=self.policy.attn_impl,
             flash_min_kv=self.policy.flash_min_kv,
             flash_min_self=self.policy.flash_min_self,
+            flash_long_q_min_kv=self.policy.flash_long_q_min_kv,
             return_matrix=return_matrix,
             sp_mesh=self.policy.sp_mesh,
             sp_axis=self.policy.sp_axis,

@@ -543,6 +543,7 @@ class PerceiverIO(nn.Module):
                 kv_len=kv_len,
                 flash_min_kv=pol.flash_min_kv,
                 flash_min_self=pol.flash_min_self,
+                flash_long_q_min_kv=pol.flash_long_q_min_kv,
                 dropout_rate=0.0 if deterministic else dropout_rate,
                 interpret=pol.interpret,
                 sp_mesh=pol.sp_mesh,

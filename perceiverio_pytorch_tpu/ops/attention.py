@@ -40,6 +40,7 @@ def attention_path(
     kv_len: int,
     flash_min_kv: int = 8192,
     flash_min_self: int = 2048,
+    flash_long_q_min_kv: int = 1024,
     attention_mask=None,
     attention_bias=None,
     dropout_rate: float = 0.0,
@@ -70,6 +71,7 @@ def attention_path(
         kv_len=kv_len,
         flash_min_kv=flash_min_kv,
         flash_min_self=flash_min_self,
+        flash_long_q_min_kv=flash_long_q_min_kv,
         attention_mask=attention_mask,
         attention_bias=attention_bias,
         dropout_rate=dropout_rate,
@@ -89,6 +91,7 @@ def _flash_eligible(
     attention_mask,
     attention_bias,
     flash_min_self: int,
+    flash_long_q_min_kv: int,
     dropout_rate: float,
     return_matrix: bool,
     interpret: bool,
@@ -120,9 +123,15 @@ def _flash_eligible(
     if q_len == kv_len and q_len >= flash_min_self:
         return True
     # Long KV (encoder cross-attend) streams keys; long Q (decoder
-    # cross-attend, e.g. flow's 182k queries) blocks the query axis --
-    # either way the [Tq, Tk] matrix must not materialise.
-    return kv_len >= flash_min_kv or q_len >= flash_min_kv
+    # cross-attend, e.g. flow's 182k queries x 2048 latents = 1.5 GB fp32
+    # logits) blocks the query axis -- either way the [Tq, Tk] matrix must
+    # not materialise.  The long-Q branch additionally requires the KV axis
+    # to be non-trivial: with a SHORT KV the per-block logits are small and
+    # XLA's fused GEMM+softmax beats the kernel (multimodal decode,
+    # Tq=25k x Tk=784: 18.7 vs 17.6 clips/s in-model A/B).
+    return kv_len >= flash_min_kv or (
+        q_len >= flash_min_kv and kv_len >= flash_long_q_min_kv
+    )
 
 
 def multihead_attention(
@@ -141,6 +150,7 @@ def multihead_attention(
     impl: str = "auto",
     flash_min_kv: int = 8192,
     flash_min_self: int = 2048,
+    flash_long_q_min_kv: int = 1024,
     return_matrix: bool = False,
     interpret: bool = False,
     sp_mesh=None,
@@ -174,6 +184,7 @@ def multihead_attention(
         kv_len=kv_len,
         flash_min_kv=flash_min_kv,
         flash_min_self=flash_min_self,
+        flash_long_q_min_kv=flash_long_q_min_kv,
         attention_mask=attention_mask,
         attention_bias=attention_bias,
         dropout_rate=dropout_rate,
