@@ -113,6 +113,17 @@ class Policy:
     # reference-faithful two-pass form.  ~1e-5 accuracy cost per norm;
     # enable only if measured to pay on the target workload.
     fast_layer_norm: bool = False
+    # Flash-kernel block sizes (None = kernel defaults, 512x1024, further
+    # shrunk to fit VMEM).  Exposed for tuning and for interpreter-mode
+    # parity tests at full model scale, where large blocks keep the grid
+    # small (the interpreter's unit of overhead is the grid cell).
+    flash_block_q: Optional[int] = None
+    flash_block_k: Optional[int] = None
+    # Target platform for the "auto" attention dispatch ("tpu"/"cpu"/...).
+    # None resolves device-correctly at trace time: the jax_default_device
+    # config (set by ``jax.default_device(...)``) first, then the process
+    # default backend.  Set explicitly only to force a choice.
+    backend: Optional[str] = None
     interpret: bool = False
 
 

@@ -353,6 +353,7 @@ class Attention(nn.Module):
             interpret=self.policy.interpret,
             sp_mesh=self.policy.sp_mesh,
             sp_min_kv=self.policy.sp_min_kv,
+            backend=self.policy.backend,
         )
         fold = (
             self.policy.fold_flash_pad
@@ -399,6 +400,9 @@ class Attention(nn.Module):
             interpret=self.policy.interpret,
             softmax_scale=softmax_scale,
             kv_logical_len=kv_logical_len,
+            backend=self.policy.backend,
+            flash_block_q=self.policy.flash_block_q,
+            flash_block_k=self.policy.flash_block_k,
         )
         if return_matrix:
             attention_matrix, result = result

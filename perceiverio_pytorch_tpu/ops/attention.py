@@ -33,6 +33,26 @@ from perceiverio_pytorch_tpu.ops.attention_xla import (
 )
 
 
+def _resolve_backend(backend=None) -> str:
+    """The platform the computation will actually run on.
+
+    ``jax.default_backend()`` alone is wrong inside a
+    ``jax.default_device(cpu_device)`` scope on a TPU-default process: the
+    trace compiles for CPU but the process backend still says "tpu".  The
+    ``jax_default_device`` config (which that context manager sets) is the
+    authoritative signal, so consult it first; an explicit ``backend``
+    string (Policy.backend) overrides everything.
+    """
+    if backend is not None:
+        return backend
+    import jax
+
+    default_device = jax.config.jax_default_device
+    if default_device is not None:
+        return default_device.platform
+    return jax.default_backend()
+
+
 def attention_path(
     impl: str,
     *,
@@ -48,6 +68,7 @@ def attention_path(
     interpret: bool = False,
     sp_mesh=None,
     sp_min_kv: int = 32768,
+    backend=None,
 ) -> str:
     """Which implementation ``multihead_attention`` will dispatch to.
 
@@ -77,6 +98,7 @@ def attention_path(
         dropout_rate=dropout_rate,
         return_matrix=return_matrix,
         interpret=interpret,
+        backend=backend,
     ):
         return "flash"
     return "xla"
@@ -95,6 +117,7 @@ def _flash_eligible(
     dropout_rate: float,
     return_matrix: bool,
     interpret: bool,
+    backend=None,
 ) -> bool:
     if impl == "xla":
         return False
@@ -105,14 +128,11 @@ def _flash_eligible(
     if impl == "flash":
         return True
     # "auto" must only pick the Mosaic kernel where it can actually run
-    # (TPU, or interpreter mode for CPU tests).  Known limitation: this
-    # keys on the PROCESS default backend -- inside a
-    # ``jax.default_device(cpu_device)`` context on a TPU-default process,
-    # "auto" still picks the kernel and the CPU compile fails; use
-    # Policy(attn_impl="xla") or Policy(interpret=True) there instead.
-    import jax
-
-    if not (interpret or jax.default_backend() == "tpu"):
+    # (TPU, or interpreter mode for CPU tests).  The backend is resolved
+    # device-correctly: an explicit Policy.backend wins, then the
+    # jax_default_device config (set by ``jax.default_device(...)``), then
+    # the process default backend.
+    if not (interpret or _resolve_backend(backend) == "tpu"):
         return False
     # Self-attention over a large latent array: the [B,H,T,T] softmax
     # traffic dominates (flow: 24 layers x 16 heads x 2048^2 fp32 = 268 MB
@@ -159,6 +179,9 @@ def multihead_attention(
     sp_impl: str = "auto",
     softmax_scale: Optional[float] = None,
     kv_logical_len: Optional[int] = None,
+    backend: Optional[str] = None,
+    flash_block_q: Optional[int] = None,
+    flash_block_k: Optional[int] = None,
 ):
     """Multi-head attention over [B, T, H, D] tensors.
 
@@ -192,6 +215,7 @@ def multihead_attention(
         interpret=interpret,
         sp_mesh=sp_mesh,
         sp_min_kv=sp_min_kv,
+        backend=backend,
     )
 
     if (
@@ -224,9 +248,15 @@ def multihead_attention(
     if path == "flash":
         from perceiverio_pytorch_tpu.ops.pallas.flash_attention import flash_attention
 
+        block_kwargs = {}
+        if flash_block_q is not None:
+            block_kwargs["block_q"] = flash_block_q
+        if flash_block_k is not None:
+            block_kwargs["block_k"] = flash_block_k
         return flash_attention(
             q, k, v, q_mask=q_mask, kv_mask=kv_mask, interpret=interpret,
             softmax_scale=softmax_scale, kv_logical_len=kv_logical_len,
+            **block_kwargs,
         )
 
     if attention_mask is None and (q_mask is not None or kv_mask is not None):

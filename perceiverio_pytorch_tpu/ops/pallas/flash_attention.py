@@ -166,12 +166,19 @@ def _flash_kernel(
 
 
 def _pick_blocks(block_q, block_k, q_len, kv_len, d_pad, dv_pad, itemsize,
-                 extra_scratch_cols=0):
+                 extra_scratch_cols=0, unbounded=False):
     """Shrink block sizes until the kernel's VMEM footprint fits (~16 MB/core):
     wide heads (e.g. the multimodal 704-ch single-head cross-attend) or fp32
-    operands would otherwise overflow scoped VMEM at the defaults."""
+    operands would otherwise overflow scoped VMEM at the defaults.
+
+    ``unbounded`` (interpreter mode) skips the VMEM budget: the interpreter
+    has no VMEM, and CPU parity tests at full model scale NEED large blocks
+    (grid cells are the interpreter's unit of overhead -- 182k tokens at the
+    hardware block sizes is hundreds of cells)."""
     block_q = min(block_q, _round_up(q_len, 8))
     block_k = min(block_k, _round_up(kv_len, _LANE))
+    if unbounded:
+        return block_q, block_k
 
     def _vmem_bytes(bq, bk):
         operands = (bq * (d_pad + dv_pad) + bk * (d_pad + dv_pad)) * itemsize * 2
@@ -222,7 +229,8 @@ def _flash_forward(
     d_pad = _round_up(qk_dim, _LANE)
     dv_pad = _round_up(v_dim, _LANE)
     block_q, block_k = _pick_blocks(
-        block_q, block_k, q_len, kv_len, d_pad, dv_pad, q.dtype.itemsize
+        block_q, block_k, q_len, kv_len, d_pad, dv_pad, q.dtype.itemsize,
+        unbounded=interpret,
     )
 
     q_pad = _round_up(q_len, block_q)
@@ -560,7 +568,7 @@ def _pallas_attention_bwd(q, k, v, kv_mask, q_mask, out, lse, g, *,
     dv_pad = _round_up(v_dim, _LANE)
     block_q, block_k = _pick_blocks(
         block_q, block_k, q_len, kv_len, d_pad, dv_pad, q.dtype.itemsize,
-        extra_scratch_cols=d_pad + dv_pad,
+        extra_scratch_cols=d_pad + dv_pad, unbounded=interpret,
     )
     q_pad = _round_up(q_len, block_q)
     k_pad = _round_up(kv_shape_len, block_k)

@@ -187,3 +187,32 @@ def test_fold_flash_pad_matches_unfolded_and_xla():
             np.testing.assert_allclose(
                 np.asarray(ga), np.asarray(gb), rtol=2e-4, atol=2e-5
             )
+
+
+def test_auto_dispatch_is_device_correct(monkeypatch):
+    """`auto` must not pick the Mosaic kernel for a CPU-bound trace even when
+    the PROCESS default backend is TPU (regression: VERDICT r2 item 5)."""
+    from perceiverio_pytorch_tpu.ops.attention import (
+        attention_path,
+        multihead_attention,
+    )
+
+    flash_shape = dict(q_len=2048, kv_len=16384)
+
+    # Simulate a TPU-default process: the process backend says "tpu", but
+    # the jax_default_device config (what jax.default_device(...) sets)
+    # points at a CPU device -- the trace will compile for CPU.
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert attention_path("auto", **flash_shape) == "flash"
+    with jax.default_device(jax.devices("cpu")[0]):
+        assert attention_path("auto", **flash_shape) == "xla"
+        # And the full call actually executes on CPU (would fail to compile
+        # if the Mosaic kernel were still selected).
+        rng = np.random.RandomState(0)
+        q = jnp.asarray(rng.randn(1, 256, 1, 8), jnp.float32)
+        kv = jnp.asarray(rng.randn(1, 16384, 1, 8), jnp.float32)
+        out = multihead_attention(q, kv, kv, impl="auto")
+        assert np.isfinite(np.asarray(out)).all()
+    # An explicit Policy.backend overrides everything.
+    assert attention_path("auto", backend="cpu", **flash_shape) == "xla"
+    assert attention_path("auto", backend="tpu", **flash_shape) == "flash"
