@@ -308,17 +308,6 @@ class MultimodalPreprocessor(nn.Module):
         else:
             self.padding_embeddings = None
 
-    @staticmethod
-    def _accepts_train(preprocessor) -> bool:
-        import inspect
-
-        try:
-            return "train" in inspect.signature(
-                type(preprocessor).__call__
-            ).parameters
-        except (TypeError, ValueError):  # pragma: no cover
-            return False
-
     def __call__(self, inputs, *, pos=None, train: bool = False):
         if self.input_preprocessors is None:
             outputs = dict(inputs)
@@ -327,12 +316,11 @@ class MultimodalPreprocessor(nn.Module):
             outputs = {}
             inputs_without_pos = {}
             for modality, preprocessor in self.input_preprocessors.items():
-                # Thread train-mode into preprocessors that distinguish it
-                # (ImagePreprocessor's BatchNorm uses batch statistics and
-                # updates its EMA state when train=True).
-                kwargs = {"train": train} if self._accepts_train(preprocessor) else {}
+                # Uniform preprocessor protocol: every preprocessor accepts
+                # ``train`` (ImagePreprocessor's BatchNorm uses batch
+                # statistics and updates its EMA state when train=True).
                 outputs[modality], inputs_without_pos[modality] = preprocessor(
-                    inputs[modality], pos=pos, **kwargs
+                    inputs[modality], pos=pos, train=train
                 )
 
         if self.padding_embeddings is not None:
@@ -548,6 +536,7 @@ class PerceiverIO(nn.Module):
                 interpret=pol.interpret,
                 sp_mesh=pol.sp_mesh,
                 sp_min_kv=pol.sp_min_kv,
+                backend=pol.backend,
             )
             == "flash"
         )

@@ -65,7 +65,8 @@ class EmbeddingPreprocessor(nn.Module):
     def n_output_channels(self) -> int:
         return self.embedding_dims
 
-    def __call__(self, inputs, *, pos=None) -> PreprocessorOutput:
+    def __call__(self, inputs, *, pos=None, train: bool = False) -> PreprocessorOutput:
+        del train  # no train-dependent state; part of the uniform protocol
         batch_size = inputs.shape[0]
         embedding_inputs = self.embedding(inputs)
         input_pos_encoding = self.input_pos_encoding(batch_size)
@@ -280,7 +281,8 @@ class OneHotPreprocessor(nn.Module):
     def n_output_channels(self) -> int:
         return self.input_channels
 
-    def __call__(self, inputs, *, pos=None) -> PreprocessorOutput:
+    def __call__(self, inputs, *, pos=None, train: bool = False) -> PreprocessorOutput:
+        del train  # no train-dependent state; part of the uniform protocol
         inputs = inputs[:, None, :]
         return inputs, inputs
 
@@ -340,7 +342,8 @@ class AudioPreprocessor(nn.Module):
                 channels=self._pos_enc_channels(),
             )
 
-    def __call__(self, inputs, *, pos=None) -> PreprocessorOutput:
+    def __call__(self, inputs, *, pos=None, train: bool = False) -> PreprocessorOutput:
+        del train  # no train-dependent state; part of the uniform protocol
         inputs = inputs.reshape(inputs.shape[0], -1, self.samples_per_patch)
         batch_size = inputs.shape[0]
 
