@@ -70,8 +70,24 @@ def _ring_flash_merge(q, k_shard, v_shard, kv_mask_shard, axis_name, *,
     return out_g, lse_g
 
 
+def _batch_axis(mesh, axis_name, batch):
+    """Mesh axis to keep the batch sharded over inside the shard_map.
+
+    Without this, in_specs of ``P(None, ...)`` replicate every activation
+    across the data axis -- redundant compute under DP, and the [B, Tk]
+    kv_mask's P(data, None) -> P(None, model) transition triggers an SPMD
+    "involuntary full rematerialization".  Keeping the batch dim on the
+    data axis makes the mask transition a free local slice and the whole
+    attention data-parallel.  Only engaged when the batch divides the axis.
+    """
+    for ax in mesh.axis_names:
+        if ax != axis_name and mesh.shape[ax] > 1 and batch % mesh.shape[ax] == 0:
+            return ax
+    return None
+
+
 def _make_ring_flash(mesh, axis_name, block_q, block_k, interpret,
-                     softmax_scale=None):
+                     softmax_scale=None, batch_axis=None):
     """Ring-flash attention with a custom VJP OUTSIDE shard_map.
 
     Both passes are primal-only shard_maps (AD never differentiates through
@@ -89,9 +105,10 @@ def _make_ring_flash(mesh, axis_name, block_q, block_k, interpret,
         _pallas_attention_bwd,
     )
 
-    repl = P()
-    kv4 = P(None, axis_name, None, None)
-    kv2 = P(None, axis_name)
+    b = batch_axis  # None -> replicated batch dim
+    repl = P(b)
+    kv4 = P(b, axis_name, None, None)
+    kv2 = P(b, axis_name)
 
     def _fwd_shardmap(q, k, v, kv_mask):
         def body(q, k_s, v_s, m_s=None):
@@ -239,24 +256,27 @@ def sequence_parallel_attention(
         else:
             kv_mask = jnp.pad(kv_mask, ((0, 0), (0, pad)))
 
+    from perceiverio_pytorch_tpu.ops.attention import _resolve_backend
+
     local_kv = k.shape[1] // n
-    flash_runnable = interpret or jax.default_backend() == "tpu"
+    batch_axis = _batch_axis(mesh, axis_name, q.shape[0])
+    flash_runnable = interpret or _resolve_backend() == "tpu"
     if impl == "flash" or (
         impl == "auto" and flash_runnable and local_kv >= flash_min_shard
     ):
         ring = _make_ring_flash(
             mesh, axis_name, block_q, block_k, interpret,
-            softmax_scale=softmax_scale,
+            softmax_scale=softmax_scale, batch_axis=batch_axis,
         )
         return ring(q, k, v, kv_mask).astype(out_dtype)
 
-    kv_spec = P(None, axis_name)
-    replicated = P()
+    kv_spec = P(batch_axis, axis_name)
+    replicated = P(batch_axis)
 
     in_specs = (
         replicated,
-        P(None, axis_name, None, None),
-        P(None, axis_name, None, None),
+        P(batch_axis, axis_name, None, None),
+        P(batch_axis, axis_name, None, None),
     )
     args = (q, k, v)
     if kv_mask is not None:
