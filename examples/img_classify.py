@@ -61,13 +61,15 @@ def img_classify_example(
     img_norm = normalize_imagenet(center_crop_resize(img, img_size))
     img_norm = jnp.asarray(img_norm)
 
-    if random_init:
-        variables = jax.jit(model.init)(jax.random.PRNGKey(0), img_norm)
-    else:
-        template = jax.eval_shape(
-            lambda: model.init(jax.random.PRNGKey(0), img_norm)
+    # Jitted init (NOT eval_shape): the template must carry CONCRETE values
+    # for the derived "consts" collection (the Fourier position tables) --
+    # convert_state_dict keeps them from the template since torch
+    # checkpoints have no counterpart.  Jitted init is ~1 s on TPU.
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), img_norm)
+    if not random_init:
+        variables, _ = convert_state_dict(
+            load_torch_checkpoint(ckpt_file), variables
         )
-        variables, _ = convert_state_dict(load_torch_checkpoint(ckpt_file), template)
 
     logits = np.asarray(jax.jit(model.apply)(variables, img_norm))
     probs = jax.nn.softmax(jnp.asarray(logits), axis=-1)

@@ -53,14 +53,10 @@ def language_example(random_init: bool = False):
     inputs = jnp.asarray(inputs, jnp.int32)
     input_mask = jnp.asarray(input_mask, bool)
 
-    if random_init:
-        variables = jax.jit(model.init)(jax.random.PRNGKey(0), inputs, input_mask)
-    else:
-        template = jax.eval_shape(
-            lambda: model.init(jax.random.PRNGKey(0), inputs, input_mask)
-        )
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), inputs, input_mask)
+    if not random_init:
         variables, _ = convert_state_dict(
-            load_torch_checkpoint(CKPT_FILE), template, LANGUAGE_OVERRIDES
+            load_torch_checkpoint(CKPT_FILE), variables, LANGUAGE_OVERRIDES
         )
 
     out = jax.jit(model.apply)(variables, inputs, input_mask)

@@ -81,15 +81,16 @@ def multimodal_example(
         audio[None, : NUM_FRAMES * AUDIO_SAMPLES_PER_FRAME, 0:1], jnp.float32
     )
 
-    if random_init:
-        variables = jax.jit(
-            lambda k, i, a: model.init(k, i, a, n_chunks)
-        )(jax.random.PRNGKey(0), video_input, audio_input)
-    else:
-        template = jax.eval_shape(
-            lambda: model.init(jax.random.PRNGKey(0), video_input, audio_input, n_chunks)
+    # Jitted init (NOT eval_shape): the template must carry CONCRETE values
+    # for the derived "consts" Fourier tables, which convert_state_dict
+    # keeps from the template (no torch counterpart).
+    variables = jax.jit(
+        lambda k, i, a: model.init(k, i, a, n_chunks)
+    )(jax.random.PRNGKey(0), video_input, audio_input)
+    if not random_init:
+        variables, _ = convert_state_dict(
+            load_torch_checkpoint(CKPT_FILE), variables
         )
-        variables, _ = convert_state_dict(load_torch_checkpoint(CKPT_FILE), template)
 
     fwd = jax.jit(lambda v, i, a: model.apply(v, i, a, n_chunks))
     reconstruction = fwd(variables, video_input, audio_input)

@@ -54,19 +54,16 @@ def flow_example(
     img2_norm = jnp.asarray(2 * (img2 / 255.0) - 1.0)
 
     h, w = model.img_size
-    if random_init:
-        variables = jax.jit(model.init)(
-            jax.random.PRNGKey(0), jnp.zeros((1, 3, h, w)), jnp.zeros((1, 3, h, w))
+    # Jitted init (NOT eval_shape): the template must carry CONCRETE values
+    # for the derived "consts" Fourier tables, which convert_state_dict
+    # keeps from the template (no torch counterpart).
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, 3, h, w)), jnp.zeros((1, 3, h, w))
+    )
+    if not random_init:
+        variables, _ = convert_state_dict(
+            load_torch_checkpoint(CKPT_FILE), variables
         )
-    else:
-        template = jax.eval_shape(
-            lambda: model.init(
-                jax.random.PRNGKey(0),
-                jnp.zeros((1, 3, h, w)),
-                jnp.zeros((1, 3, h, w)),
-            )
-        )
-        variables, _ = convert_state_dict(load_torch_checkpoint(CKPT_FILE), template)
 
     infer = FlowInference(model, variables)
     flow = np.asarray(infer(img1_norm, img2_norm, test_mode=True))

@@ -148,7 +148,19 @@ def convert_state_dict(
         if collection not in ("params", "batch_stats"):
             # Derived buffers (e.g. the "consts" Fourier tables) are pure
             # functions of the model config with no torch counterpart; keep
-            # the template's values.
+            # the template's values.  They must therefore be CONCRETE: a
+            # jax.eval_shape template would leak ShapeDtypeStructs into the
+            # returned variables and fail only later, inside apply.
+            for path, leaf in flatten_dict(tree).items():
+                if not hasattr(leaf, "__array__"):
+                    raise TypeError(
+                        f"variables_template[{collection!r}]"
+                        f"[{'/'.join(path)}] is abstract"
+                        f" ({type(leaf).__name__}); the {collection!r}"
+                        " collection is copied from the template, so build"
+                        " it with a real (jitted) model.init, not"
+                        " jax.eval_shape."
+                    )
             new_vars[collection] = tree
             continue
         flat = flatten_dict(tree)
