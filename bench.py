@@ -229,8 +229,9 @@ if __name__ == "__main__":
     parser = argparse.ArgumentParser()
     parser.add_argument(
         "--task", default="imagenet",
-        choices=["imagenet", "flow", "mlm", "multimodal"],
-        help="headline metric (default) or a secondary task metric",
+        choices=["imagenet", "flow", "mlm", "multimodal", "all"],
+        help="headline metric (default), a secondary task metric, or "
+             "'all' to emit one JSON line per task",
     )
     task = parser.parse_args().task
     if task == "flow":
@@ -238,6 +239,11 @@ if __name__ == "__main__":
     elif task == "mlm":
         bench_mlm()
     elif task == "multimodal":
+        bench_multimodal()
+    elif task == "all":
+        main()
+        bench_flow()
+        bench_mlm()
         bench_multimodal()
     else:
         main()

@@ -1,0 +1,278 @@
+"""Offline example-level golden tests: the full example PIPELINES -- media
+IO, tokenize/pad, normalize/center-crop, tiling, wav/avi reassembly, label
+tables -- asserted against the reference's own example code end-to-end.
+
+The reference's de-facto spec is its four examples run against converted
+checkpoints (/root/reference/example_*.py); the checkpoints are not in this
+environment, so each test manufactures weights BOTH sides can load:
+
+  * language / classification / multimodal: OUR random init exported with
+    ``utils.torch_checkpoint.export_state_dict`` to a reference-convention
+    .pth, loaded natively by the reference example code and through our
+    adapter by our examples/ scripts -- certifying the export direction and
+    the example pipelines in one pass.
+  * flow: randomized TORCH weights saved to .pth and loaded by both sides
+    (the shipped flow decoder is zeros-init -- exporting OUR init would
+    make every flow field exactly zero and the comparison vacuous).
+
+Each test chdirs into a tmp dir with ``sample_data/`` (the reference's
+bundled media) and ``pytorch_checkpoints/`` so both example codebases find
+their hardcoded relative paths.  Several minutes each on one CPU core.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from conftest import requires_reference
+
+REF_SAMPLE = "/root/reference/sample_data"
+OUR_EXAMPLES = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "examples"
+)
+
+TOL = dict(rtol=2e-3, atol=2e-4)
+
+
+@pytest.fixture
+def example_env(tmp_path, monkeypatch):
+    """cwd with sample_data/ (reference media) + pytorch_checkpoints/."""
+    import matplotlib
+
+    matplotlib.use("Agg", force=True)
+    (tmp_path / "pytorch_checkpoints").mkdir()
+    sample = tmp_path / "sample_data"
+    sample.mkdir()
+    for name in os.listdir(REF_SAMPLE):
+        os.symlink(os.path.join(REF_SAMPLE, name), sample / name)
+    monkeypatch.chdir(tmp_path)
+    if OUR_EXAMPLES not in sys.path:
+        monkeypatch.syspath_prepend(OUR_EXAMPLES)
+    return tmp_path
+
+
+@requires_reference
+@pytest.mark.slow
+def test_language_example_golden(example_env, capsys):
+    """Tokenize -> mask bytes 51:60 -> pad to 2048 -> forward -> greedy
+    byte decode: the predicted string from the reference example
+    (example_language.py:25-74) must equal ours, with weights exported from
+    our random init."""
+    from perceiverio_pytorch_tpu.models import LanguagePerceiver
+    from perceiverio_pytorch_tpu.utils.torch_checkpoint import (
+        LANGUAGE_OVERRIDES,
+        LANGUAGE_TIED,
+        save_torch_checkpoint,
+    )
+
+    model = LanguagePerceiver()
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(42),
+        jnp.zeros((1, 2048), jnp.int32),
+        jnp.ones((1, 2048), bool),
+    )
+    save_torch_checkpoint(
+        "pytorch_checkpoints/language_perceiver_io_bytes.pth",
+        variables,
+        LANGUAGE_OVERRIDES,
+        LANGUAGE_TIED,
+    )
+
+    import example_language  # reference, in-process
+
+    example_language.language_example()
+    ref_out = capsys.readouterr().out
+    assert "Predicted string:" in ref_out
+    ref_pred = ref_out.split("Predicted string:\n", 1)[1].rstrip("\n")
+
+    from language import language_example as ours
+
+    our_pred = ours()
+    capsys.readouterr()
+    assert our_pred.rstrip("\n") == ref_pred
+
+
+@requires_reference
+@pytest.mark.slow
+def test_img_classify_example_golden(example_env, capsys, monkeypatch):
+    """load dalmation.jpg -> center-crop-resize 224 -> ImageNet mean/std
+    normalize -> forward -> top-5 label lookup: the reference example's
+    printed top-5 (example_img_classify.py:63-77) must equal our example's
+    returned labels."""
+    from perceiverio_pytorch_tpu.models import ClassificationPerceiver, PrepType
+    from perceiverio_pytorch_tpu.utils.torch_checkpoint import (
+        save_torch_checkpoint,
+    )
+
+    model = ClassificationPerceiver(
+        num_classes=1000, img_size=(224, 224),
+        prep_type=PrepType.FOURIER_POS_CONVNET,
+    )
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(42), jnp.zeros((1, 3, 224, 224), jnp.float32)
+    )
+    save_torch_checkpoint(
+        "pytorch_checkpoints/imagenet_conv_preprocessing.pth", variables
+    )
+
+    import example_img_classify  # reference, in-process
+
+    monkeypatch.setattr(example_img_classify.plt, "show", lambda: None)
+    example_img_classify.img_classify_example()
+    ref_out = capsys.readouterr().out
+    assert "Top 5 labels:" in ref_out
+    ref_labels = [
+        line.rsplit(":", 1)[0]
+        for line in ref_out.split("Top 5 labels:\n", 1)[1].splitlines()[:5]
+    ]
+
+    from img_classify import img_classify_example as ours
+
+    our_labels = ours()
+    capsys.readouterr()
+    assert our_labels == ref_labels
+
+
+@requires_reference
+@pytest.mark.slow
+def test_flow_example_golden(example_env, monkeypatch, capsys):
+    """load PNG frames -> normalize to [-1,1] -> test-mode tiled inference
+    -> Middlebury flow rendering: the flow field inside the reference
+    example (example_opt_flow.py:11-56, captured at its flow_to_image call)
+    must match our example's returned field, and the rendered images must
+    agree.  Frames are center-cropped to one 368x496 tile (the multi-tile
+    blending path has its own parity test); weights are randomized torch
+    weights loaded by both sides (our adapter reads the .pth)."""
+    import torch
+    from PIL import Image
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from parity_utils import randomize_state_dict
+
+    from perceiver_io.flow_perceiver import FlowPerceiver as TorchFlow
+
+    sd = randomize_state_dict(TorchFlow().eval(), seed=30)
+    torch.save(
+        {"model_state_dict": sd}, "pytorch_checkpoints/optical_flow_checkpoint.pth"
+    )
+
+    # One-tile media: crop the 436x1024 Sintel frames to 368x496.
+    for name in ("frame_0016.png", "frame_0017.png"):
+        src = np.asarray(Image.open(os.path.join(REF_SAMPLE, name)))
+        os.unlink(os.path.join("sample_data", name))
+        Image.fromarray(src[:368, :496]).save(os.path.join("sample_data", name))
+
+    import example_opt_flow  # reference, in-process
+
+    captured = {}
+    real_flow_to_image = example_opt_flow.flow_to_image
+
+    def spy(flow_uv, *a, **kw):
+        captured["flow"] = np.array(flow_uv)
+        return real_flow_to_image(flow_uv, *a, **kw)
+
+    monkeypatch.setattr(example_opt_flow, "flow_to_image", spy)
+    monkeypatch.setattr(example_opt_flow.plt, "show", lambda: None)
+    example_opt_flow.flow_example()
+    capsys.readouterr()
+    ref_flow_hwc = captured["flow"]  # [H, W, 2]
+
+    from opt_flow import flow_example as ours
+
+    our_flow = ours(output_path="our_flow.png")  # [1, 2, H, W]
+    capsys.readouterr()
+    our_flow_hwc = np.transpose(np.asarray(our_flow[0]), (1, 2, 0))
+    assert our_flow_hwc.shape == ref_flow_hwc.shape
+    np.testing.assert_allclose(our_flow_hwc, ref_flow_hwc, **TOL)
+
+    # The rendered artifacts (Middlebury wheel, uint8) must agree too.
+    from perceiverio_pytorch_tpu.utils.flow_viz import flow_to_image as our_fti
+
+    ref_img = real_flow_to_image(ref_flow_hwc)
+    our_img = np.asarray(Image.open("our_flow.png"))
+    assert our_img.shape == ref_img.shape
+    assert np.abs(our_img.astype(int) - ref_img.astype(int)).max() <= 1
+    del our_fti
+
+
+@requires_reference
+@pytest.mark.slow
+def test_multimodal_example_golden(example_env, capsys):
+    """wav/avi IO -> 16-frame clip -> chunked autoencode -> reassembly ->
+    wav write: the reference example's first-clip pipeline
+    (example_multimodal.py:53-113, its own load_video/save helpers and
+    model call) vs our example script on the same media with weights
+    exported from our random init.  The reference runs at n_chunks=2 and
+    ours at its production 16 -- outputs are chunk-count invariant, so this
+    also re-certifies invariance on real media.  (The reference example's
+    own default is 128 chunks, re-encoding the 52k-token input each time --
+    hours on one CPU core.)"""
+    import torch
+
+    from perceiverio_pytorch_tpu.models import MultiModalPerceiver
+    from perceiverio_pytorch_tpu.utils.torch_checkpoint import (
+        save_torch_checkpoint,
+    )
+
+    model = MultiModalPerceiver()
+    video0 = jnp.zeros((1, 16, 3, 224, 224), jnp.float32)
+    audio0 = jnp.zeros((1, 16 * 1920, 1), jnp.float32)
+    variables = jax.jit(lambda k, i, a: model.init(k, i, a, 16))(
+        jax.random.PRNGKey(42), video0, audio0
+    )
+    save_torch_checkpoint(
+        "pytorch_checkpoints/video_autoencoding_checkpoint.pth", variables
+    )
+
+    # Reference first-clip pipeline, using the reference example's own
+    # media helpers (example_multimodal.py:26-50) and model call.
+    import example_multimodal as ref_ex
+    import scipy.io.wavfile
+
+    sample_rate, ref_audio = scipy.io.wavfile.read("sample_data/audio.wav")
+    assert ref_audio.dtype == np.int16
+    ref_audio = ref_audio.astype(np.float32) / 2**15
+    ref_video = ref_ex.load_video("./sample_data/video.avi")
+
+    from perceiver_io.multimodal_perceiver import MultiModalPerceiver as TorchMM
+
+    torch_model = TorchMM().eval()
+    ckpt = torch.load(
+        "pytorch_checkpoints/video_autoencoding_checkpoint.pth",
+        map_location="cpu", weights_only=False,
+    )
+    torch_model.load_state_dict(ckpt["model_state_dict"])
+    video_input = (
+        torch.from_numpy(ref_video[None, :16]).movedim(-1, -3).float()
+    )
+    audio_input = torch.from_numpy(ref_audio[None, : 16 * 1920, 0:1]).float()
+    with torch.inference_mode():
+        ref_rec = torch_model(video_input, audio_input, n_chunks=2)
+
+    # Our example script end-to-end (adapter load, IO, reassembly, wav/avi
+    # writes into the cwd).
+    from multimodal import multimodal_example as ours
+
+    our_rec = ours()
+    capsys.readouterr()
+
+    for key in ("image", "audio", "label"):
+        theirs = ref_rec[key].cpu().numpy()
+        mine = np.asarray(our_rec[key])
+        assert mine.shape == theirs.shape, key
+        np.testing.assert_allclose(mine, theirs, err_msg=key, **TOL)
+
+    # The written wav must be the int16 conversion of the reconstruction.
+    sr, wav = scipy.io.wavfile.read("audio_reconstruction.wav")
+    assert sr == sample_rate
+    expected = (
+        (ref_rec["audio"][0].cpu().numpy() * 2**15).astype(np.int16).ravel()
+    )
+    wav = wav.ravel()  # scipy reads single-channel wavs as 1-D
+    assert wav.shape == expected.shape
+    assert np.abs(wav.astype(int) - expected.astype(int)).max() <= 2
