@@ -347,3 +347,35 @@ def test_seq_align_matches_unaligned():
                 )
     finally:
         pm.DEFAULT_BLOCK_Q, pm.DEFAULT_BLOCK_K = orig
+
+
+def test_flow_inference_waves_match_wide_batch():
+    """FlowInference's scanned fixed-size waves must equal the single wide
+    batched call exactly (same per-tile math; only the dispatch shape
+    changes), including the non-divisible pad-and-drop path."""
+    import numpy as np
+
+    from perceiverio_pytorch_tpu.models import FlowInference, FlowPerceiver
+
+    model = FlowPerceiver(
+        img_size=(16, 20), num_latents=8, num_latent_channels=32,
+        num_self_attends_per_block=1, num_blocks=1,
+    )
+    rng = np.random.RandomState(0)
+    # 24x32 image with 16x20 tiles and overlap 4 -> 2x2 grid = 4 tiles;
+    # wave_size=3 forces the pad-and-drop path (4 -> 6 stacked tiles).
+    img1 = jnp.asarray(rng.uniform(-1, 1, (1, 3, 24, 32)), jnp.float32)
+    img2 = jnp.asarray(rng.uniform(-1, 1, (1, 3, 24, 32)), jnp.float32)
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, 3, 16, 20)),
+        jnp.zeros((1, 3, 16, 20)),
+    )
+    wide = FlowInference(model, params, min_overlap=4, wave_size=0)
+    for wave in (2, 3):
+        waved = FlowInference(model, params, min_overlap=4, wave_size=wave)
+        np.testing.assert_allclose(
+            np.asarray(waved(img1, img2)),
+            np.asarray(wide(img1, img2)),
+            rtol=1e-5, atol=1e-6,
+        )
