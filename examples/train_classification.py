@@ -1,0 +1,125 @@
+"""End-to-end training demo: image classification with the conv preprocessor.
+
+Exercises the part of the training stack the other demos don't: a model
+with non-param state (the Conv2DDownsample BatchNorm EMAs + the "consts"
+Fourier tables) carried through the TrainState via ``with_model_state``.
+Synthetic task with a known answer: the class is the quadrant holding the
+bright patch, so cross-entropy can drive to zero.
+
+Default config is tiny (runs anywhere in seconds).  ``--full-scale``
+trains the exact shipped ImageNet conv-prep config
+(/root/reference/perceiver_io/classification_perceiver.py:21-131) with
+remat and the bf16 PERFORMANCE policy: 87.9 ms/step at the swept-optimal
+batch 8 on one v5e chip = 91.1 img/s (PERFORMANCE.md).
+
+    python examples/train_classification.py --steps 30 [--full-scale] [--mesh D M]
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import argparse
+
+import jax
+import numpy as np
+
+from perceiverio_pytorch_tpu import PERFORMANCE
+from perceiverio_pytorch_tpu.models import ClassificationPerceiver, PrepType
+from perceiverio_pytorch_tpu.training import (
+    Trainer,
+    build_optimizer,
+    classification_cross_entropy,
+)
+from perceiverio_pytorch_tpu.utils.data import epoch_batches, prefetch_to_device
+
+
+def synthetic_quadrants(n: int, hw, num_classes: int, seed: int = 0):
+    """Images whose label is the quadrant containing a bright patch."""
+    h, w = hw
+    rng = np.random.RandomState(seed)
+    img = rng.uniform(-1, 0, (n, 3, h, w)).astype(np.float32)
+    labels = rng.randint(0, min(num_classes, 4), n)
+    for i, lab in enumerate(labels):
+        y0 = (lab // 2) * (h // 2)
+        x0 = (lab % 2) * (w // 2)
+        img[i, :, y0 : y0 + h // 4, x0 : x0 + w // 4] = 1.0
+    return img, labels.astype(np.int32)
+
+
+def main(steps=30, batch_size=8, full_scale=False, mesh_shape=None,
+         checkpoint_dir=None):
+    if full_scale:
+        model = ClassificationPerceiver(policy=PERFORMANCE, remat=True)
+        hw, num_classes = (224, 224), 1000
+    else:
+        model = ClassificationPerceiver(
+            num_classes=4, img_size=(32, 32), num_latents=32,
+            num_latent_channels=128, num_self_attends_per_block=2,
+            num_blocks=1, prep_type=PrepType.FOURIER_POS_CONVNET,
+        )
+        hw, num_classes = (32, 32), 4
+
+    img, labels = synthetic_quadrants(8 * batch_size, hw, num_classes)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), img[:batch_size])
+    # Non-param collections (batch_stats EMA + immutable "consts" Fourier
+    # tables) ride in TrainState.model_state; the loss threads them through
+    # a mutable apply and merges the mutated subset back.
+    aux = {k: v for k, v in variables.items() if k != "params"}
+
+    def loss_fn(params, model_state, img, labels):
+        logits, mutated = model.apply(
+            {"params": params, **model_state}, img,
+            deterministic=False, mutable=["batch_stats"],
+        )
+        return classification_cross_entropy(logits, labels), {
+            **model_state, **mutated,
+        }
+
+    mesh = None
+    if mesh_shape is not None:
+        from perceiverio_pytorch_tpu.parallel import make_mesh
+
+        mesh = make_mesh(tuple(mesh_shape))
+
+    trainer = Trainer(
+        loss_fn,
+        build_optimizer(
+            1e-4 if full_scale else 1e-3, schedule="cosine",
+            total_steps=steps, warmup_steps=max(steps // 10, 1),
+            clip_norm=1.0,
+        ),
+        mesh=mesh,
+        num_batch_args=2,
+        with_model_state=True,
+        metrics_path="./classification_metrics.jsonl",
+        log_every=10,
+        checkpoint_dir=checkpoint_dir,
+        checkpoint_every=0 if checkpoint_dir is None else max(steps // 2, 1),
+    )
+    state = trainer.init_state(variables["params"], model_state=aux)
+
+    def batches():
+        while True:
+            yield from epoch_batches((img, labels), batch_size)
+
+    state = trainer.fit(
+        state, prefetch_to_device(batches(), 2), num_steps=steps
+    )
+    print(f"finished at step {int(state.step)}")
+    return state
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--steps", type=int, default=30)
+    parser.add_argument("--batch-size", type=int, default=8)
+    parser.add_argument("--full-scale", action="store_true",
+                        help="exact shipped ImageNet conv-prep config")
+    parser.add_argument("--mesh", type=int, nargs=2, default=None,
+                        help="(data, model) mesh shape")
+    parser.add_argument("--checkpoint-dir", default=None)
+    args = parser.parse_args()
+    main(args.steps, args.batch_size, full_scale=args.full_scale,
+         mesh_shape=args.mesh, checkpoint_dir=args.checkpoint_dir)

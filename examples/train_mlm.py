@@ -4,7 +4,7 @@ Shows the full training stack: Trainer loop, JSONL metrics, prefetched
 batches, optional mesh sharding, orbax checkpoints.  Synthetic corpus
 (random byte strings with a learnable marker pattern) so it runs anywhere.
 
-    python examples/train_mlm.py --steps 50 [--mesh DATA MODEL]
+    python examples/train_mlm.py --steps 50 [--full-scale] [--mesh DATA MODEL]
 """
 
 import os
@@ -37,11 +37,21 @@ def synthetic_corpus(n: int, seq_len: int, vocab: int, seed: int = 0):
 
 
 def main(steps: int = 50, batch_size: int = 8, seq_len: int = 256,
-         mesh_shape=None, checkpoint_dir=None, steps_per_call: int = 1):
-    model = LanguagePerceiver(
-        max_seq_len=seq_len, embed_dim=64, num_self_attends_per_block=4,
-        num_latents=64, num_latent_channels=256,
-    )
+         mesh_shape=None, checkpoint_dir=None, steps_per_call: int = 1,
+         full_scale: bool = False):
+    if full_scale:
+        # Exact shipped config (language_perceiver.py: 2048 tokens, 26
+        # layers, 256x1280 latents): 28.8 ms/step at batch 8 on one v5e
+        # chip (PERFORMANCE.md).
+        from perceiverio_pytorch_tpu import PERFORMANCE
+
+        seq_len = 2048
+        model = LanguagePerceiver(policy=PERFORMANCE)
+    else:
+        model = LanguagePerceiver(
+            max_seq_len=seq_len, embed_dim=64, num_self_attends_per_block=4,
+            num_latents=64, num_latent_channels=256,
+        )
     tokens, mask = synthetic_corpus(1024, seq_len, 262)
     eval_tokens, eval_mask = synthetic_corpus(2 * batch_size, seq_len, 262, seed=1)
     params = jax.jit(model.init)(
@@ -105,7 +115,10 @@ if __name__ == "__main__":
                         help="(data, model) mesh shape")
     parser.add_argument("--checkpoint-dir", default=None)
     parser.add_argument("--steps-per-call", type=int, default=1)
+    parser.add_argument("--full-scale", action="store_true",
+                        help="exact shipped 2048-token config, bf16")
     args = parser.parse_args()
     main(args.steps, args.batch_size, mesh_shape=args.mesh,
          checkpoint_dir=args.checkpoint_dir,
-         steps_per_call=args.steps_per_call)
+         steps_per_call=args.steps_per_call,
+         full_scale=args.full_scale)

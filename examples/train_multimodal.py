@@ -1,0 +1,127 @@
+"""End-to-end training demo: multimodal (video+audio+label) autoencoding.
+
+Trains MultiModalPerceiver with the rematted encode-once + scanned chunk
+decode on a synthetic clip task: reconstruct smooth video/audio and
+classify a planted label, driving the weighted autoencode loss down.
+
+The immutable "consts" collection (precomputed Fourier query/position
+tables -- large at full scale) rides in ``TrainState.model_state`` so it
+enters the jitted step as a runtime argument, never a trace-time constant
+(see CLAUDE.md: a 188 MB captured table costs minutes of compile).
+
+Default config is tiny (runs anywhere in seconds).  ``--full-scale``
+trains the exact shipped Kinetics config
+(/root/reference/perceiver_io/multimodal_perceiver.py:30-41) with remat:
+~215 ms/step at batch 1, n_chunks=16 on one v5e chip (PERFORMANCE.md).
+
+    python examples/train_multimodal.py --steps 20 [--full-scale]
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import argparse
+
+import jax
+import numpy as np
+
+from perceiverio_pytorch_tpu import PERFORMANCE
+from perceiverio_pytorch_tpu.models import MultiModalPerceiver
+from perceiverio_pytorch_tpu.training import (
+    Trainer,
+    build_optimizer,
+    multimodal_autoencode_loss,
+)
+from perceiverio_pytorch_tpu.utils.data import epoch_batches, prefetch_to_device
+
+
+def synthetic_clips(n: int, num_frames, hw, n_audio, num_classes, seed=0):
+    """Smooth video + sine audio, label = dominant hue bucket."""
+    h, w = hw
+    rng = np.random.RandomState(seed)
+    base = rng.rand(n, num_frames, 3, max(h // 4, 1), max(w // 4, 1))
+    video = np.stack(
+        [np.kron(clip, np.ones((1, 1, 4, 4)))[:, :, :h, :w] for clip in base]
+    ).astype(np.float32)
+    t = np.arange(n_audio) / n_audio
+    freqs = rng.randint(2, 10, n)
+    audio = np.sin(2 * np.pi * freqs[:, None] * t)[..., None].astype(np.float32)
+    labels = (video.mean(axis=(1, 3, 4)).argmax(axis=1) * num_classes // 3).astype(
+        np.int32
+    )
+    return video, audio, labels
+
+
+def main(steps=20, batch_size=1, n_chunks=4, full_scale=False,
+         checkpoint_dir=None):
+    if full_scale:
+        model = MultiModalPerceiver(policy=PERFORMANCE, remat=True)
+        num_frames, hw, num_classes, n_chunks = 16, (224, 224), 700, 16
+        n_audio = 16 * (48000 // 25)
+    else:
+        model = MultiModalPerceiver(
+            img_size=(16, 16), num_frames=2, num_classes=11,
+            audio_samples_per_frame=128, audio_samples_per_patch=16,
+            num_self_attends_per_block=1, num_blocks=1,
+            num_latents=8, num_latent_channels=512, remat=True,
+        )
+        num_frames, hw, num_classes = 2, (16, 16), 11
+        n_audio = 2 * 128
+
+    video, audio, labels = synthetic_clips(
+        4 * batch_size, num_frames, hw, n_audio, num_classes
+    )
+    variables = jax.jit(lambda k, i, a: model.init(k, i, a, n_chunks))(
+        jax.random.PRNGKey(0), video[:batch_size], audio[:batch_size]
+    )
+    consts = {k: v for k, v in variables.items() if k != "params"}
+
+    def loss_fn(params, model_state, video, audio, labels):
+        out = model.apply({"params": params, **model_state}, video, audio,
+                          n_chunks, deterministic=False)
+        loss = multimodal_autoencode_loss(
+            out, {"image": video, "audio": audio, "label": labels},
+            weights={"image": 1.0, "audio": 1.0, "label": 0.01},
+        )
+        return loss, model_state
+
+    trainer = Trainer(
+        loss_fn,
+        build_optimizer(
+            1e-4 if full_scale else 1e-3, schedule="cosine",
+            total_steps=steps, warmup_steps=max(steps // 10, 1),
+            clip_norm=1.0,
+        ),
+        num_batch_args=3,
+        with_model_state=True,
+        metrics_path="./multimodal_metrics.jsonl",
+        log_every=5,
+        checkpoint_dir=checkpoint_dir,
+        checkpoint_every=0 if checkpoint_dir is None else max(steps // 2, 1),
+    )
+    state = trainer.init_state(variables["params"], model_state=consts)
+
+    def batches():
+        while True:
+            yield from epoch_batches((video, audio, labels), batch_size)
+
+    state = trainer.fit(
+        state, prefetch_to_device(batches(), 2), num_steps=steps
+    )
+    print(f"finished at step {int(state.step)}")
+    return state
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--steps", type=int, default=20)
+    parser.add_argument("--batch-size", type=int, default=1)
+    parser.add_argument("--n-chunks", type=int, default=4)
+    parser.add_argument("--full-scale", action="store_true",
+                        help="exact shipped Kinetics config, remat + bf16")
+    parser.add_argument("--checkpoint-dir", default=None)
+    args = parser.parse_args()
+    main(args.steps, args.batch_size, n_chunks=args.n_chunks,
+         full_scale=args.full_scale, checkpoint_dir=args.checkpoint_dir)
