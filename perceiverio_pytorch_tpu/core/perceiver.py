@@ -319,9 +319,15 @@ class MultimodalPreprocessor(nn.Module):
                 # Uniform preprocessor protocol: every preprocessor accepts
                 # ``train`` (ImagePreprocessor's BatchNorm uses batch
                 # statistics and updates its EMA state when train=True).
-                outputs[modality], inputs_without_pos[modality] = preprocessor(
-                    inputs[modality], pos=pos, train=train
-                )
+                # User-supplied preprocessors without a ``train`` kwarg are
+                # tolerated (docs/MIGRATION.md "Custom preprocessors").
+                try:
+                    out = preprocessor(inputs[modality], pos=pos, train=train)
+                except TypeError as e:
+                    if "train" not in str(e):
+                        raise
+                    out = preprocessor(inputs[modality], pos=pos)
+                outputs[modality], inputs_without_pos[modality] = out
 
         if self.padding_embeddings is not None:
             modality_sizes = {}
@@ -546,7 +552,8 @@ class PerceiverIO(nn.Module):
         kv_logical = None
         if self.policy.seq_align:
             m = flat_inputs.shape[1]
-            pad = -m % DEFAULT_BLOCK_K
+            block_k = self.policy.flash_block_k or DEFAULT_BLOCK_K
+            pad = -m % block_k
             if pad and self._align_gate(
                 self.num_latents, m, self.encoder.dropout_prob, deterministic
             ):
@@ -587,7 +594,8 @@ class PerceiverIO(nn.Module):
         tq = decoder_query.shape[1]
         pad = 0
         if self.policy.seq_align:
-            pad = -tq % DEFAULT_BLOCK_Q
+            block_q = self.policy.flash_block_q or DEFAULT_BLOCK_Q
+            pad = -tq % block_q
             if pad and self._align_gate(
                 tq, self.num_latents, 0.0, deterministic
             ):

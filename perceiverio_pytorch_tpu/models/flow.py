@@ -169,16 +169,6 @@ class FlowInference:
         self.mesh = mesh
         self.wave_size = wave_size or 0
         self._wave_fn = None
-        if self.wave_size and mesh is None:
-
-            def scan_tiles(p, tiles1, tiles2):
-                def body(carry, ab):
-                    return carry, model.apply(p, ab[0], ab[1])
-
-                _, flows = jax.lax.scan(body, 0, (tiles1, tiles2))
-                return flows
-
-            self._wave_fn = jax.jit(scan_tiles)
         self._dp_size = 1
         if mesh is not None:
             # Data-parallel tiles: the stacked tile batch shards over the
@@ -201,6 +191,30 @@ class FlowInference:
             self.params = params
             self._tile_fn = jax.jit(
                 lambda p, i1, i2: model.apply(p, i1, i2)
+            )
+        if self.wave_size:
+            if self._dp_size > 1:
+                # Each wave's batch shards over the data axis, so the wave
+                # must be divisible by it; round up rather than silently
+                # dropping the memory bound.
+                self.wave_size = (
+                    -(-self.wave_size // self._dp_size) * self._dp_size
+                )
+                wave_sh = NamedSharding(mesh, P(None, DATA_AXIS))
+                _put = lambda t: jax.device_put(t, wave_sh)
+            else:
+                _put = lambda t: t
+
+            def scan_tiles(p, tiles1, tiles2):
+                def body(carry, ab):
+                    return carry, model.apply(p, ab[0], ab[1])
+
+                _, flows = jax.lax.scan(body, 0, (tiles1, tiles2))
+                return flows
+
+            jitted_scan = jax.jit(scan_tiles)
+            self._wave_fn = lambda p, t1, t2: jitted_scan(
+                p, _put(t1), _put(t2)
             )
         h, w = model.img_size
         wy, wx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")

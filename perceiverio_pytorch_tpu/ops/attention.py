@@ -49,7 +49,9 @@ def _resolve_backend(backend=None) -> str:
 
     default_device = jax.config.jax_default_device
     if default_device is not None:
-        return default_device.platform
+        # jax.default_device() accepts either a Device or a platform string
+        # ("cpu"); the config then holds whichever was passed.
+        return getattr(default_device, "platform", default_device)
     return jax.default_backend()
 
 
@@ -237,9 +239,15 @@ def multihead_attention(
             sequence_parallel_attention,
         )
 
+        sp_block_kwargs = {}
+        if flash_block_q is not None:
+            sp_block_kwargs["block_q"] = flash_block_q
+        if flash_block_k is not None:
+            sp_block_kwargs["block_k"] = flash_block_k
         out = sequence_parallel_attention(
             q, k, v, sp_mesh, kv_mask=kv_mask, axis_name=sp_axis,
             impl=sp_impl, interpret=interpret, softmax_scale=softmax_scale,
+            **sp_block_kwargs,
         )
         if q_mask is not None:
             out = jnp.where(q_mask[:, :, None], out, 0.0)

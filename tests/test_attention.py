@@ -213,6 +213,10 @@ def test_auto_dispatch_is_device_correct(monkeypatch):
         kv = jnp.asarray(rng.randn(1, 16384, 1, 8), jnp.float32)
         out = multihead_attention(q, kv, kv, impl="auto")
         assert np.isfinite(np.asarray(out)).all()
+    # jax.default_device also accepts a bare platform STRING (JAX >= 0.4.27)
+    # and the config then holds the string, not a Device.
+    with jax.default_device("cpu"):
+        assert attention_path("auto", **flash_shape) == "xla"
     # An explicit Policy.backend overrides everything.
     assert attention_path("auto", backend="cpu", **flash_shape) == "xla"
     assert attention_path("auto", backend="tpu", **flash_shape) == "flash"

@@ -190,14 +190,13 @@ def test_flow_example_golden(example_env, monkeypatch, capsys):
     assert our_flow_hwc.shape == ref_flow_hwc.shape
     np.testing.assert_allclose(our_flow_hwc, ref_flow_hwc, **TOL)
 
-    # The rendered artifacts (Middlebury wheel, uint8) must agree too.
-    from perceiverio_pytorch_tpu.utils.flow_viz import flow_to_image as our_fti
-
+    # The rendered artifacts (Middlebury wheel, uint8) must agree too:
+    # our_flow.png came from our flow_to_image inside the example script,
+    # compared against the reference renderer on the reference flow.
     ref_img = real_flow_to_image(ref_flow_hwc)
     our_img = np.asarray(Image.open("our_flow.png"))
     assert our_img.shape == ref_img.shape
     assert np.abs(our_img.astype(int) - ref_img.astype(int)).max() <= 1
-    del our_fti
 
 
 @requires_reference

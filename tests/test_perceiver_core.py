@@ -209,6 +209,36 @@ def test_single_tensor_input_unwraps_default():
     assert isinstance(out, jnp.ndarray) and out.shape == (2, 3, 8)
 
 
+def test_custom_preprocessor_without_train_kwarg():
+    """A user preprocessor following the older protocol (no ``train``
+    kwarg) still works through MultimodalPreprocessor — the framework
+    retries without it (docs/MIGRATION.md "Custom preprocessors")."""
+    import flax.linen as nn
+
+    class LegacyPreprocessor(nn.Module):
+        def n_output_channels(self):
+            return 16
+
+        @nn.compact
+        def __call__(self, inputs, *, pos=None):
+            return nn.Dense(16)(inputs), inputs
+
+    model = PerceiverIO(
+        num_blocks=1,
+        num_self_attends_per_block=1,
+        num_latents=4,
+        num_latent_channels=32,
+        final_project=True,
+        final_project_out_channels=8,
+        input_preprocessors={"a": LegacyPreprocessor()},
+        output_queries={"a": TrainableQuery(output_index_dims=2, num_channels=8)},
+    )
+    x = {"a": jnp.ones((2, 5, 12))}
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), x)
+    out = jax.jit(model.apply)(params, x)
+    assert out.shape == (2, 2, 8)
+
+
 def test_stochastic_mask_probs_use_rng():
     """0 < p < 1 mask probs draw from the 'mask' rng stream."""
     from perceiverio_pytorch_tpu.io_processors import OneHotPreprocessor

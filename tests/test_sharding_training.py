@@ -210,6 +210,16 @@ def test_flow_inference_on_mesh_matches():
     mesh = make_mesh((4, 2))
     dp = FlowInference(model, params, min_overlap=8, mesh=mesh)(img1, img2)
     np.testing.assert_allclose(np.asarray(ref), np.asarray(dp), rtol=1e-5, atol=1e-5)
+    # wave_size composes with the mesh (scanned waves, each wave's batch
+    # sharded over the data axis); a wave_size below the data-axis size is
+    # rounded up to it rather than silently dropped.
+    waved = FlowInference(
+        model, params, min_overlap=8, mesh=mesh, wave_size=2
+    )
+    assert waved.wave_size == 4 and waved._wave_fn is not None
+    np.testing.assert_allclose(
+        np.asarray(ref), np.asarray(waved(img1, img2)), rtol=1e-5, atol=1e-5
+    )
 
 
 def test_sequence_parallel_attention_matches_single_device():
