@@ -57,12 +57,15 @@ def synthetic_flow_pairs(n: int, hw, max_shift: int = 3, seed: int = 0):
     return img1, img2, flow
 
 
-def main(steps=30, batch_size=2, full_scale=False, mesh_shape=None,
+def main(steps=30, batch_size=None, full_scale=False, mesh_shape=None,
          checkpoint_dir=None):
     if full_scale:
         model = FlowPerceiver(policy=PERFORMANCE, remat=True)
+        if batch_size not in (None, 1):
+            print(f"--full-scale forces batch_size=1 (requested {batch_size})")
         hw, batch_size = (368, 496), 1
     else:
+        batch_size = 2 if batch_size is None else batch_size
         model = FlowPerceiver(
             img_size=(32, 48), num_latents=64, num_latent_channels=128,
             num_self_attends_per_block=2,
@@ -113,7 +116,8 @@ def main(steps=30, batch_size=2, full_scale=False, mesh_shape=None,
 if __name__ == "__main__":
     parser = argparse.ArgumentParser()
     parser.add_argument("--steps", type=int, default=30)
-    parser.add_argument("--batch-size", type=int, default=2)
+    parser.add_argument("--batch-size", type=int, default=None,
+                        help="default 2 (tiny); --full-scale forces 1")
     parser.add_argument("--full-scale", action="store_true",
                         help="exact shipped 368x496 config, remat + bf16")
     parser.add_argument("--mesh", type=int, nargs=2, default=None,

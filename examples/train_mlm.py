@@ -36,7 +36,7 @@ def synthetic_corpus(n: int, seq_len: int, vocab: int, seed: int = 0):
     return tokens, mask
 
 
-def main(steps: int = 50, batch_size: int = 8, seq_len: int = 256,
+def main(steps: int = 50, batch_size: int = 8, seq_len: int = None,
          mesh_shape=None, checkpoint_dir=None, steps_per_call: int = 1,
          full_scale: bool = False):
     if full_scale:
@@ -45,9 +45,12 @@ def main(steps: int = 50, batch_size: int = 8, seq_len: int = 256,
         # chip (PERFORMANCE.md).
         from perceiverio_pytorch_tpu import PERFORMANCE
 
+        if seq_len not in (None, 2048):
+            print(f"--full-scale forces seq_len=2048 (requested {seq_len})")
         seq_len = 2048
         model = LanguagePerceiver(policy=PERFORMANCE)
     else:
+        seq_len = 256 if seq_len is None else seq_len
         model = LanguagePerceiver(
             max_seq_len=seq_len, embed_dim=64, num_self_attends_per_block=4,
             num_latents=64, num_latent_channels=256,

@@ -54,13 +54,16 @@ def synthetic_clips(n: int, num_frames, hw, n_audio, num_classes, seed=0):
     return video, audio, labels
 
 
-def main(steps=20, batch_size=1, n_chunks=4, full_scale=False,
+def main(steps=20, batch_size=1, n_chunks=None, full_scale=False,
          checkpoint_dir=None):
     if full_scale:
         model = MultiModalPerceiver(policy=PERFORMANCE, remat=True)
+        if n_chunks not in (None, 16):
+            print(f"--full-scale forces n_chunks=16 (requested {n_chunks})")
         num_frames, hw, num_classes, n_chunks = 16, (224, 224), 700, 16
         n_audio = 16 * (48000 // 25)
     else:
+        n_chunks = 4 if n_chunks is None else n_chunks
         model = MultiModalPerceiver(
             img_size=(16, 16), num_frames=2, num_classes=11,
             audio_samples_per_frame=128, audio_samples_per_patch=16,
@@ -118,7 +121,8 @@ if __name__ == "__main__":
     parser = argparse.ArgumentParser()
     parser.add_argument("--steps", type=int, default=20)
     parser.add_argument("--batch-size", type=int, default=1)
-    parser.add_argument("--n-chunks", type=int, default=4)
+    parser.add_argument("--n-chunks", type=int, default=None,
+                        help="default 4 (tiny); --full-scale forces 16")
     parser.add_argument("--full-scale", action="store_true",
                         help="exact shipped Kinetics config, remat + bf16")
     parser.add_argument("--checkpoint-dir", default=None)

@@ -44,6 +44,27 @@ from perceiverio_pytorch_tpu.utils.initializers import lecun_normal, zeros as ze
 ModuleOrDict = Union[None, nn.Module, Mapping[str, nn.Module]]
 
 
+def _signature_accepts_train(fn: Any) -> bool:
+    """Whether ``fn``'s call signature accepts ``train`` (or ``**kwargs``).
+
+    Used only to adjudicate the legacy-preprocessor fallback after a
+    TypeError: if the signature accepts ``train``, the error came from
+    *inside* the preprocessor and must propagate. Returns True when the
+    signature cannot be introspected, so undiagnosable errors surface
+    rather than being retried.
+    """
+    import inspect
+
+    try:
+        sig = inspect.signature(fn)
+    except (TypeError, ValueError):
+        return True
+    return any(
+        p.name == "train" or p.kind is inspect.Parameter.VAR_KEYWORD
+        for p in sig.parameters.values()
+    )
+
+
 def restructure(
     modality_sizes: Mapping[str, int], inputs: jnp.ndarray
 ) -> Dict[str, jnp.ndarray]:
@@ -320,11 +341,14 @@ class MultimodalPreprocessor(nn.Module):
                 # ``train`` (ImagePreprocessor's BatchNorm uses batch
                 # statistics and updates its EMA state when train=True).
                 # User-supplied preprocessors without a ``train`` kwarg are
-                # tolerated (docs/MIGRATION.md "Custom preprocessors").
+                # tolerated (docs/MIGRATION.md "Custom preprocessors") — but
+                # only when the signature positively lacks it, so a TypeError
+                # raised *inside* a train-aware preprocessor is never
+                # swallowed and silently re-run without train.
                 try:
                     out = preprocessor(inputs[modality], pos=pos, train=train)
-                except TypeError as e:
-                    if "train" not in str(e):
+                except TypeError:
+                    if _signature_accepts_train(preprocessor):
                         raise
                     out = preprocessor(inputs[modality], pos=pos)
                 outputs[modality], inputs_without_pos[modality] = out

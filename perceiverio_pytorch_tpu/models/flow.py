@@ -168,6 +168,12 @@ class FlowInference:
         self.batch_tiles = batch_tiles
         self.mesh = mesh
         self.wave_size = wave_size or 0
+        if self.wave_size and not batch_tiles:
+            raise ValueError(
+                "wave_size requires batch_tiles=True: waves are scanned "
+                "slices of the stacked tile batch; the per-tile loop path "
+                "would silently drop the requested memory bound."
+            )
         self._wave_fn = None
         self._dp_size = 1
         if mesh is not None:

@@ -247,6 +247,7 @@ def multihead_attention(
         out = sequence_parallel_attention(
             q, k, v, sp_mesh, kv_mask=kv_mask, axis_name=sp_axis,
             impl=sp_impl, interpret=interpret, softmax_scale=softmax_scale,
+            backend=backend,
             **sp_block_kwargs,
         )
         if q_mask is not None:

@@ -221,6 +221,7 @@ def sequence_parallel_attention(
     interpret: bool = False,
     flash_min_shard: int = 8192,
     softmax_scale: Optional[float] = None,
+    backend: Optional[str] = None,
 ):
     """Cross-attention with the KV/token axis sharded over ``axis_name``.
 
@@ -260,7 +261,11 @@ def sequence_parallel_attention(
 
     local_kv = k.shape[1] // n
     batch_axis = _batch_axis(mesh, axis_name, q.shape[0])
-    flash_runnable = interpret or _resolve_backend() == "tpu"
+    # Policy.backend must override the resolved default here exactly as it
+    # does at the single-chip dispatch sites -- otherwise a forced-tpu
+    # config silently falls back to the stat-merge path and materialises
+    # the [Tq, Tk/n] local logits ring-flash exists to avoid.
+    flash_runnable = interpret or _resolve_backend(backend) == "tpu"
     if impl == "flash" or (
         impl == "auto" and flash_runnable and local_kv >= flash_min_shard
     ):

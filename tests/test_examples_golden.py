@@ -151,7 +151,7 @@ def test_flow_example_golden(example_env, monkeypatch, capsys):
     import torch
     from PIL import Image
 
-    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    monkeypatch.syspath_prepend(os.path.dirname(os.path.abspath(__file__)))
     from parity_utils import randomize_state_dict
 
     from perceiver_io.flow_perceiver import FlowPerceiver as TorchFlow

@@ -5,6 +5,7 @@ decoder-query assembly, encode/decode split, subsampled decoding, masking.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from perceiverio_pytorch_tpu import (
     PerceiverIO,
@@ -239,6 +240,36 @@ def test_custom_preprocessor_without_train_kwarg():
     assert out.shape == (2, 2, 8)
 
 
+def test_train_aware_preprocessor_internal_typeerror_propagates():
+    """A TypeError raised INSIDE a train-accepting preprocessor must
+    surface, not be swallowed by the legacy-protocol retry (which would
+    silently re-run the preprocessor without ``train``)."""
+    import flax.linen as nn
+
+    class BuggyPreprocessor(nn.Module):
+        def n_output_channels(self):
+            return 16
+
+        @nn.compact
+        def __call__(self, inputs, *, pos=None, train: bool = False):
+            # Simulates forwarding train= to a submodule lacking the kwarg.
+            raise TypeError("got an unexpected keyword argument 'train'")
+
+    model = PerceiverIO(
+        num_blocks=1,
+        num_self_attends_per_block=1,
+        num_latents=4,
+        num_latent_channels=32,
+        final_project=True,
+        final_project_out_channels=8,
+        input_preprocessors={"a": BuggyPreprocessor()},
+        output_queries={"a": TrainableQuery(output_index_dims=2, num_channels=8)},
+    )
+    x = {"a": jnp.ones((2, 5, 12))}
+    with pytest.raises(TypeError, match="unexpected keyword argument"):
+        jax.jit(model.init)(jax.random.PRNGKey(0), x)
+
+
 def test_stochastic_mask_probs_use_rng():
     """0 < p < 1 mask probs draw from the 'mask' rng stream."""
     from perceiverio_pytorch_tpu.io_processors import OneHotPreprocessor
@@ -409,3 +440,7 @@ def test_flow_inference_waves_match_wide_batch():
             np.asarray(wide(img1, img2)),
             rtol=1e-5, atol=1e-6,
         )
+    # wave_size only bounds memory on the stacked-batch path; combining it
+    # with batch_tiles=False must be rejected, not silently ignored.
+    with pytest.raises(ValueError, match="batch_tiles"):
+        FlowInference(model, params, batch_tiles=False, wave_size=2)

@@ -672,3 +672,38 @@ def test_sequence_parallel_attention_gradients():
     ))(q, k, v)
     for a, b in zip(g_sp, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+
+def test_sequence_parallel_auto_respects_backend_override(monkeypatch):
+    """Policy.backend must reach the SP impl='auto' decision exactly as it
+    reaches the single-chip dispatch sites: on a CPU-default process,
+    backend='tpu' selects the ring-flash branch (regression: the SP site
+    used to consult only the process default and silently fell back to the
+    stat-merge path, materialising the local logits)."""
+    from perceiverio_pytorch_tpu.parallel import sequence_parallel
+    from perceiverio_pytorch_tpu.parallel import sequence_parallel_attention
+
+    rng = np.random.RandomState(4)
+    mesh = make_mesh((2, 4))
+    q = jnp.asarray(rng.randn(2, 8, 2, 16), jnp.float32)
+    k = jnp.asarray(rng.randn(2, 64, 2, 16), jnp.float32)
+    v = jnp.asarray(rng.randn(2, 64, 2, 16), jnp.float32)
+
+    class _FlashSelected(Exception):
+        pass
+
+    def _sentinel(*a, **kw):
+        raise _FlashSelected
+
+    monkeypatch.setattr(sequence_parallel, "_make_ring_flash", _sentinel)
+
+    # local_kv = 16 >= flash_min_shard=8: auto takes flash iff the backend
+    # resolves to TPU.  This process resolves to CPU, so without the
+    # override auto must use the stat-merge path (no sentinel).
+    out = sequence_parallel_attention(q, k, v, mesh, flash_min_shard=8)
+    assert np.isfinite(np.asarray(out)).all()
+
+    with pytest.raises(_FlashSelected):
+        sequence_parallel_attention(
+            q, k, v, mesh, flash_min_shard=8, backend="tpu"
+        )
