@@ -45,3 +45,7 @@ from perceiverio_pytorch_tpu.core.queries import (  # noqa: F401
     FourierQuery,
     TrainableQuery,
 )
+from perceiverio_pytorch_tpu.serving import (  # noqa: F401
+    export_apply,
+    load_exported,
+)

@@ -124,7 +124,24 @@ class Policy:
     # config (set by ``jax.default_device(...)``) first, then the process
     # default backend.  Set explicitly only to force a choice.
     backend: Optional[str] = None
+    # Selective rematerialisation: when a model is built with remat=True,
+    # this names a jax.checkpoint_policies entry controlling WHAT the
+    # wrapped block stacks save for the backward pass.  None = full remat
+    # (save nothing, recompute the whole stack forward -- minimum memory).
+    # "dots_with_no_batch_dims_saveable" saves projection/MLP GEMM outputs
+    # but still recomputes batched attention logits/softmax -- it skips the
+    # forward-GEMM recompute at the cost of O(saved dots) HBM.
+    remat_policy: Optional[str] = None
     interpret: bool = False
+
+
+def resolve_remat_policy(policy: "Policy"):
+    """Map Policy.remat_policy to a jax.checkpoint policy callable (or None)."""
+    if policy.remat_policy is None:
+        return None
+    import jax
+
+    return getattr(jax.checkpoint_policies, policy.remat_policy)
 
 
 # fp32 everywhere; used by parity tests against the PyTorch reference.

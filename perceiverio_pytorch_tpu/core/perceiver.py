@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from perceiverio_pytorch_tpu.config import DEFAULT, Policy
+from perceiverio_pytorch_tpu.config import DEFAULT, Policy, resolve_remat_policy
 from perceiverio_pytorch_tpu.core import position_encoding
 from perceiverio_pytorch_tpu.core.attention import (
     CrossAttention,
@@ -186,7 +186,11 @@ class PerceiverEncoder(nn.Module):
         stack_cls = _SelfAttendStack
         if self.remat:
             # deterministic (arg index 2 incl. the module) must stay static
-            stack_cls = nn.remat(stack_cls, static_argnums=(2,))
+            stack_cls = nn.remat(
+                stack_cls,
+                static_argnums=(2,),
+                policy=resolve_remat_policy(self.policy),
+            )
         if self.num_blocks > 1:
             # Weight sharing across blocks (perceiver.py:104-106) as a scan
             # with broadcast params: the block body is traced/compiled once.

@@ -21,7 +21,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from perceiverio_pytorch_tpu.config import DEFAULT, Policy
+from perceiverio_pytorch_tpu.config import DEFAULT, Policy, resolve_remat_policy
 from perceiverio_pytorch_tpu.core.perceiver import PerceiverIO
 from perceiverio_pytorch_tpu.core.position_encoding import PosEncodingType
 from perceiverio_pytorch_tpu.core.queries import FourierQuery, TrainableQuery
@@ -213,7 +213,13 @@ class MultiModalPerceiver(nn.Module):
         # ([n_chunks, B, 50k, 1026] fp32 several times over -- 12+ GB at
         # full Kinetics scale), which cannot fit one chip's HBM.
         decode_body = (
-            nn.remat(decode_one, prevent_cse=False) if self.remat else decode_one
+            nn.remat(
+                decode_one,
+                prevent_cse=False,
+                policy=resolve_remat_policy(self.policy),
+            )
+            if self.remat
+            else decode_one
         )
 
         if n_par == 1:

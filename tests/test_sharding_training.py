@@ -173,6 +173,46 @@ def test_remat_gradients_match():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=1e-4)
 
 
+@pytest.mark.parametrize(
+    "remat_policy", ["dots_with_no_batch_dims_saveable", "dots_saveable"]
+)
+def test_selective_remat_gradients_match(remat_policy):
+    """Policy.remat_policy (selective jax.checkpoint policies) must be a pure
+    memory/speed trade: loss and gradients identical to full remat."""
+    import dataclasses
+
+    from perceiverio_pytorch_tpu import PerceiverIO, TrainableQuery
+    from perceiverio_pytorch_tpu.config import DEFAULT
+
+    kwargs = dict(
+        num_blocks=2,
+        num_self_attends_per_block=2,
+        num_latents=8,
+        num_latent_channels=32,
+        final_project=True,
+        final_project_out_channels=8,
+        input_channels=16,
+        output_queries=TrainableQuery(output_index_dims=3, num_channels=16),
+    )
+    model = PerceiverIO(remat=True, **kwargs)
+    model_s = PerceiverIO(
+        remat=True,
+        policy=dataclasses.replace(DEFAULT, remat_policy=remat_policy),
+        **kwargs,
+    )
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 20, 16), jnp.float32)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), x)
+
+    def loss(m):
+        return lambda p: jnp.sum(m.apply(p, x) ** 2)
+
+    l0, g0 = jax.jit(jax.value_and_grad(loss(model)))(params)
+    l1, g1 = jax.jit(jax.value_and_grad(loss(model_s)))(params)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=1e-4)
+
+
 def test_data_parallel_apply_matches_single_device():
     from perceiverio_pytorch_tpu.models import ClassificationPerceiver, PrepType
     from perceiverio_pytorch_tpu.parallel import make_data_parallel_apply
