@@ -12,7 +12,8 @@ enters the jitted step as a runtime argument, never a trace-time constant
 Default config is tiny (runs anywhere in seconds).  ``--full-scale``
 trains the exact shipped Kinetics config
 (/root/reference/perceiver_io/multimodal_perceiver.py:30-41) with remat:
-~215 ms/step at batch 1, n_chunks=16 on one v5e chip (PERFORMANCE.md).
+~214 ms/step at batch 1, n_chunks=16 on one v5e chip with selective remat
+(PERFORMANCE.md item 12).
 
     python examples/train_multimodal.py --steps 20 [--full-scale]
 """
@@ -23,6 +24,7 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import argparse
+import dataclasses
 
 import jax
 import numpy as np
@@ -57,7 +59,10 @@ def synthetic_clips(n: int, num_frames, hw, n_audio, num_classes, seed=0):
 def main(steps=20, batch_size=1, n_chunks=None, full_scale=False,
          checkpoint_dir=None):
     if full_scale:
-        model = MultiModalPerceiver(policy=PERFORMANCE, remat=True)
+        # dots_saveable measured 214.3 vs 227.1 ms/step full-remat here
+        # (PERFORMANCE.md item 12); the other model families keep full remat.
+        policy = dataclasses.replace(PERFORMANCE, remat_policy="dots_saveable")
+        model = MultiModalPerceiver(policy=policy, remat=True)
         if n_chunks not in (None, 16):
             print(f"--full-scale forces n_chunks=16 (requested {n_chunks})")
         num_frames, hw, num_classes, n_chunks = 16, (224, 224), 700, 16

@@ -21,3 +21,7 @@ from perceiverio_pytorch_tpu.training.optim import (  # noqa: F401
     build_optimizer,
     build_schedule,
 )
+from perceiverio_pytorch_tpu.training.data import (  # noqa: F401
+    batch_iterator,
+    prefetch_to_device,
+)

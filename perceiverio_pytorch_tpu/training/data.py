@@ -1,0 +1,145 @@
+"""Host-side input pipeline: batching and async device prefetch.
+
+The reference is inference-only and feeds tensors by hand (SURVEY.md 4);
+a training framework needs the host input path to overlap with device
+compute.  On TPU the recipe is: produce numpy batches on the host, issue
+``jax.device_put`` from a background thread a few batches ahead of the
+training loop, and let the async dispatch overlap the PCIe/ICI transfer
+with the previous step's compute.  ``prefetch_to_device`` is that recipe;
+``batch_iterator`` is the minimal epoch/shuffle batcher that feeds it.
+
+Both compose with the mesh-sharded training path: pass
+``parallel.sharding.batch_sharding(mesh)`` (or any ``jax.sharding.Sharding``,
+or a pytree of them matching the batch structure) as ``sharding`` and each
+batch lands on the mesh already laid out over the data axis — the train
+step then consumes it without a second all-gather/reshard.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Any, Iterable, Iterator, Optional, Sequence
+
+import jax
+import numpy as np
+
+__all__ = ["batch_iterator", "prefetch_to_device"]
+
+
+def batch_iterator(
+    arrays: Sequence[np.ndarray],
+    batch_size: int,
+    *,
+    shuffle: bool = False,
+    seed: int = 0,
+    epochs: Optional[int] = 1,
+    drop_remainder: bool = True,
+) -> Iterator[tuple]:
+    """Yield tuples of aligned ``batch_size`` slices from host arrays.
+
+    Args:
+      arrays: equal-length arrays (e.g. ``(images, labels)``); each yielded
+        batch is a tuple of matching slices, ready for ``Trainer.fit``.
+      shuffle: reshuffle indices every epoch (deterministic in ``seed``).
+      epochs: number of passes; ``None`` repeats forever (bound the loop
+        with ``Trainer.fit(num_steps=...)``).
+      drop_remainder: drop the short tail batch so every batch has a static
+        shape — one XLA compilation instead of one per tail size.  Set
+        False only for host-side consumers (eval loops that tolerate a
+        recompile).
+    """
+    n = len(arrays[0])
+    for a in arrays[1:]:
+        if len(a) != n:
+            raise ValueError(
+                f"batch_iterator arrays must be equal length; got {len(a)} != {n}"
+            )
+    if batch_size <= 0:
+        raise ValueError(f"batch_size must be positive; got {batch_size}")
+    rng = np.random.default_rng(seed)
+    epoch = 0
+    while epochs is None or epoch < epochs:
+        idx = rng.permutation(n) if shuffle else np.arange(n)
+        stop = n - (n % batch_size) if drop_remainder else n
+        for start in range(0, stop, batch_size):
+            take = idx[start : start + batch_size]
+            yield tuple(a[take] for a in arrays)
+        epoch += 1
+
+
+class _Stop:
+    pass
+
+
+class _Raised:
+    def __init__(self, exc: BaseException):
+        self.exc = exc
+
+
+def prefetch_to_device(
+    batches: Iterable[Any],
+    size: int = 2,
+    *,
+    sharding: Optional[Any] = None,
+) -> Iterator[Any]:
+    """Iterate ``batches`` with up to ``size`` batches already on device.
+
+    A daemon thread pulls from the source iterator and issues
+    ``jax.device_put`` (async on TPU) into a bounded queue, so the host
+    input path — file reads, augmentation, the transfer itself — runs
+    concurrently with the device executing the current step.  ``size=2``
+    (double buffering) is enough to hide the transfer; larger only pays
+    when individual host batches are slow and bursty.
+
+    Args:
+      sharding: optional ``jax.sharding.Sharding`` applied to every array
+        leaf (e.g. ``batch_sharding(mesh)`` to land batches sharded over
+        the mesh data axis), or a pytree of shardings matching each batch's
+        structure.  ``None`` puts on the default device.
+
+    The source iterator's exception (if any) is re-raised at the consuming
+    site.  The thread stops when the source is exhausted or the consumer
+    drops the iterator.
+    """
+    if size < 1:
+        raise ValueError(f"prefetch size must be >= 1; got {size}")
+
+    if sharding is None:
+        _put = jax.device_put
+    else:
+        def _put(batch):
+            return jax.device_put(batch, sharding)
+
+    q: "queue.Queue" = queue.Queue(maxsize=size)
+    done = threading.Event()
+
+    def _worker():
+        try:
+            for batch in batches:
+                out = _put(batch)
+                while not done.is_set():
+                    try:
+                        q.put(out, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
+                if done.is_set():
+                    return
+            q.put(_Stop())
+        except BaseException as e:  # re-raised on the consumer thread
+            q.put(_Raised(e))
+
+    thread = threading.Thread(target=_worker, daemon=True, name="prefetch_to_device")
+    thread.start()
+
+    try:
+        while True:
+            item = q.get()
+            if isinstance(item, _Stop):
+                return
+            if isinstance(item, _Raised):
+                raise item.exc
+            yield item
+    finally:
+        done.set()

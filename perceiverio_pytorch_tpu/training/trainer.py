@@ -114,7 +114,7 @@ def make_multi_step(
     losses come back per step ([N] array).
 
     Batch args must be stacked with a leading step axis: shapes
-    ``[n_steps, batch, ...]``.  Pair with ``utils.data.prefetch_to_device``
+    ``[n_steps, batch, ...]``.  Pair with ``training.data.prefetch_to_device``
     feeding stacked super-batches.
     """
 
