@@ -70,6 +70,8 @@ def save_train_state(path: str, state: TrainState) -> None:
     }
     if state.model_state is not None:
         tree["model_state"] = state.model_state
+    if state.ema_params is not None:
+        tree["ema_params"] = state.ema_params
     save_variables(path, tree)
 
 
@@ -81,7 +83,9 @@ def restore_train_state(path: str, template: TrainState) -> TrainState:
     }
     if template.model_state is not None:
         tree["model_state"] = template.model_state
-    else:
+    if template.ema_params is not None:
+        tree["ema_params"] = template.ema_params
+    if template.model_state is None:
         # The restore is template-driven, so a checkpoint that carries
         # model_state (e.g. BatchNorm batch_stats) would be silently
         # dropped -- resuming with freshly-initialised statistics.  Detect
@@ -113,4 +117,5 @@ def restore_train_state(path: str, template: TrainState) -> TrainState:
         params=restored["params"],
         opt_state=restored["opt_state"],
         model_state=restored.get("model_state"),
+        ema_params=restored.get("ema_params"),
     )

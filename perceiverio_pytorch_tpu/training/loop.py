@@ -91,6 +91,9 @@ class Trainer:
         model_state, mirroring loss_fn's signature minus the aux return);
         run over ``eval_batches`` every ``eval_every`` steps and logged as
         ``eval_loss``.
+      ema_decay: maintain an exponential moving average of params in
+        ``state.ema_params`` (evaluate/export with those for the usual
+        late-training stability win).  Fused into the train step.
       prefetch: keep this many batches device-put ahead of the step loop
         (training.data.prefetch_to_device) so the host input path and the
         transfer overlap device compute.  With a mesh, batches land
@@ -120,6 +123,7 @@ class Trainer:
         eval_every: int = 0,
         steps_per_call: int = 1,
         prefetch: int = 0,
+        ema_decay: Optional[float] = None,
     ):
         self.loss_fn = loss_fn
         self.tx = tx
@@ -134,14 +138,18 @@ class Trainer:
         self.eval_every = eval_every
         self.steps_per_call = max(int(steps_per_call), 1)
         self.prefetch = max(int(prefetch), 0)
+        self.ema_decay = ema_decay
         self._eval_jit = None
 
     def init_state(self, params, model_state=None) -> TrainState:
         if self.mesh is not None:
             return create_sharded_train_state(
-                params, self.tx, self.mesh, model_state=model_state
+                params, self.tx, self.mesh, model_state=model_state,
+                ema_decay=self.ema_decay,
             )
-        return create_train_state(params, self.tx, model_state=model_state)
+        return create_train_state(
+            params, self.tx, model_state=model_state, ema_decay=self.ema_decay
+        )
 
     def evaluate(self, state: TrainState, eval_batches) -> float:
         """Mean eval_fn value over the eval batches (params frozen)."""
@@ -185,17 +193,20 @@ class Trainer:
                 self.loss_fn, self.tx, self.mesh, state,
                 num_batch_args=self.num_batch_args,
                 with_model_state=self.with_model_state,
+                ema_decay=self.ema_decay,
             )
         elif self.steps_per_call > 1:
             group = self.steps_per_call
             step_fn = make_multi_step(
                 self.loss_fn, self.tx,
                 with_model_state=self.with_model_state,
+                ema_decay=self.ema_decay,
             )
         else:
             step_fn = make_train_step(
                 self.loss_fn, self.tx,
                 with_model_state=self.with_model_state,
+                ema_decay=self.ema_decay,
             )
 
         def _crossed(step_num, prev_step, every):

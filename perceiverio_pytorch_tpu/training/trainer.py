@@ -35,24 +35,76 @@ class TrainState:
     # preprocessor's BatchNorm batch_stats).  None for purely functional
     # models.
     model_state: Any = None
+    # Exponential moving average of params (None unless the state was built
+    # with ema_decay); evaluate/export with these for the usual late-training
+    # stability win.
+    ema_params: Any = None
 
 
 jax.tree_util.register_pytree_node(
     TrainState,
-    lambda s: ((s.step, s.params, s.opt_state, s.model_state), None),
+    lambda s: ((s.step, s.params, s.opt_state, s.model_state, s.ema_params), None),
     lambda _, c: TrainState(*c),
 )
 
 
+def _ema_update(ema, params, decay):
+    return jax.tree_util.tree_map(
+        lambda e, p: e * decay + p.astype(e.dtype) * (1.0 - decay), ema, params
+    )
+
+
 def create_train_state(
-    params, tx: optax.GradientTransformation, model_state: Any = None
+    params,
+    tx: optax.GradientTransformation,
+    model_state: Any = None,
+    ema_decay: Any = None,
 ) -> TrainState:
     return TrainState(
         step=jnp.zeros((), jnp.int32),
         params=params,
         opt_state=tx.init(params),
         model_state=model_state,
+        # A jitted identity forces fresh buffers (one XLA dispatch for the
+        # whole tree): params and ema_params must not alias or the donated
+        # step would receive the same buffer twice.
+        ema_params=(
+            jax.jit(lambda t: jax.tree_util.tree_map(jnp.array, t))(params)
+            if ema_decay is not None
+            else None
+        ),
     )
+
+
+def _step_body(
+    state: TrainState,
+    batch,
+    loss_fn,
+    tx,
+    with_model_state: bool,
+    ema_decay,
+):
+    """One optimizer update; shared by all three step builders."""
+    if with_model_state:
+        (loss, model_state), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params, state.model_state, *batch)
+    else:
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, *batch)
+        model_state = state.model_state
+    updates, opt_state = tx.update(grads, state.opt_state, state.params)
+    params = optax.apply_updates(state.params, updates)
+    ema_params = state.ema_params
+    if ema_decay is not None:
+        ema_params = _ema_update(state.ema_params, params, ema_decay)
+    new_state = TrainState(
+        step=state.step + 1,
+        params=params,
+        opt_state=opt_state,
+        model_state=model_state,
+        ema_params=ema_params,
+    )
+    return new_state, loss, grads
 
 
 def make_train_step(
@@ -60,6 +112,8 @@ def make_train_step(
     tx: optax.GradientTransformation,
     donate: bool = True,
     with_model_state: bool = False,
+    ema_decay: Any = None,
+    with_metrics: bool = False,
 ):
     """Build a jitted ``step(state, *batch) -> (state, loss)``.
 
@@ -71,27 +125,28 @@ def make_train_step(
     NOTE: the returned new_model_state REPLACES the old one wholesale --
     when the model also carries immutable collections (e.g. the "consts"
     Fourier tables), merge them back: ``{**model_state, **mutated}``.
+
+    ``ema_decay``: maintain ``state.ema_params`` as an exponential moving
+    average of params (the state must come from
+    ``create_train_state(..., ema_decay=...)``).  Fused into the same XLA
+    computation -- no extra dispatch.
+
+    ``with_metrics``: return ``(state, {"loss", "grad_norm", "param_norm"})``
+    instead of ``(state, loss)`` -- the norms are computed from the grads
+    already in registers, so logging them costs no extra pass.
     """
 
     def step(state: TrainState, *batch):
-        if with_model_state:
-            (loss, model_state), grads = jax.value_and_grad(
-                loss_fn, has_aux=True
-            )(state.params, state.model_state, *batch)
-        else:
-            loss, grads = jax.value_and_grad(loss_fn)(state.params, *batch)
-            model_state = state.model_state
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
-        return (
-            TrainState(
-                step=state.step + 1,
-                params=params,
-                opt_state=opt_state,
-                model_state=model_state,
-            ),
-            loss,
+        new_state, loss, grads = _step_body(
+            state, batch, loss_fn, tx, with_model_state, ema_decay
         )
+        if with_metrics:
+            return new_state, {
+                "loss": loss,
+                "grad_norm": optax.global_norm(grads),
+                "param_norm": optax.global_norm(new_state.params),
+            }
+        return new_state, loss
 
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
@@ -101,6 +156,7 @@ def make_multi_step(
     tx: optax.GradientTransformation,
     donate: bool = True,
     with_model_state: bool = False,
+    ema_decay: Any = None,
 ):
     """Build ``step(state, *stacked_batch) -> (state, losses)`` that runs
     ONE optimizer update per leading-axis slice of the stacked batch args,
@@ -119,24 +175,10 @@ def make_multi_step(
     """
 
     def one(state: TrainState, batch):
-        if with_model_state:
-            (loss, model_state), grads = jax.value_and_grad(
-                loss_fn, has_aux=True
-            )(state.params, state.model_state, *batch)
-        else:
-            loss, grads = jax.value_and_grad(loss_fn)(state.params, *batch)
-            model_state = state.model_state
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
-        return (
-            TrainState(
-                step=state.step + 1,
-                params=params,
-                opt_state=opt_state,
-                model_state=model_state,
-            ),
-            loss,
+        new_state, loss, _ = _step_body(
+            state, batch, loss_fn, tx, with_model_state, ema_decay
         )
+        return new_state, loss
 
     def step(state: TrainState, *stacked_batch):
         return jax.lax.scan(one, state, tuple(stacked_batch))
@@ -160,6 +202,7 @@ def create_sharded_train_state(
     tx: optax.GradientTransformation,
     mesh: Mesh,
     model_state: Any = None,
+    ema_decay: Any = None,
 ) -> TrainState:
     """Place params per the TP rules and build the optimizer state on-mesh.
 
@@ -188,11 +231,19 @@ def create_sharded_train_state(
         model_state = jax.tree_util.tree_map(
             lambda v: jax.device_put(v, NamedSharding(mesh, P())), model_state
         )
+    ema_params = None
+    if ema_decay is not None:
+        # Fresh buffers with the params' shardings (see create_train_state on
+        # why ema must not alias params under donation).
+        ema_params = jax.jit(
+            lambda t: jax.tree_util.tree_map(jnp.array, t), out_shardings=p_sh
+        )(params)
     return TrainState(
         step=jax.device_put(jnp.zeros((), jnp.int32), NamedSharding(mesh, P())),
         params=params,
         opt_state=opt_state,
         model_state=model_state,
+        ema_params=ema_params,
     )
 
 
@@ -204,6 +255,8 @@ def make_sharded_train_step(
     num_batch_args: int = 1,
     donate: bool = True,
     with_model_state: bool = False,
+    ema_decay: Any = None,
+    with_metrics: bool = False,
 ):
     """Mesh-sharded train step for a state built by create_sharded_train_state.
 
@@ -213,33 +266,33 @@ def make_sharded_train_step(
     batch statistics reduce over the GLOBAL (all-replica) batch
     automatically -- the sharded batch axis mean IS the cross-replica
     mean, XLA inserts the collectives (no pmap-style axis_name plumbing).
+    ``ema_decay`` / ``with_metrics`` as in make_train_step (EMA leaves keep
+    their params' shardings).
     """
     state_sh = jax.tree_util.tree_map(lambda x: x.sharding, state)
     batch_sh = (batch_sharding(mesh),) * num_batch_args
+    scalar_sh = NamedSharding(mesh, P())
+    out_sh = (
+        {"loss": scalar_sh, "grad_norm": scalar_sh, "param_norm": scalar_sh}
+        if with_metrics
+        else scalar_sh
+    )
 
     def step(state: TrainState, *batch):
-        if with_model_state:
-            (loss, model_state), grads = jax.value_and_grad(
-                loss_fn, has_aux=True
-            )(state.params, state.model_state, *batch)
-        else:
-            loss, grads = jax.value_and_grad(loss_fn)(state.params, *batch)
-            model_state = state.model_state
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
-        return (
-            TrainState(
-                step=state.step + 1,
-                params=params,
-                opt_state=opt_state,
-                model_state=model_state,
-            ),
-            loss,
+        new_state, loss, grads = _step_body(
+            state, batch, loss_fn, tx, with_model_state, ema_decay
         )
+        if with_metrics:
+            return new_state, {
+                "loss": loss,
+                "grad_norm": optax.global_norm(grads),
+                "param_norm": optax.global_norm(new_state.params),
+            }
+        return new_state, loss
 
     return jax.jit(
         step,
         in_shardings=(state_sh,) + batch_sh,
-        out_shardings=(state_sh, NamedSharding(mesh, P())),
+        out_shardings=(state_sh, out_sh),
         donate_argnums=(0,) if donate else (),
     )

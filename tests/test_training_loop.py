@@ -402,3 +402,148 @@ def test_prefetch_and_epoch_batches():
         assert isinstance(bx, jax.Array)
         seen.append(np.asarray(by))
     np.testing.assert_array_equal(np.concatenate(seen), y[:16])
+
+
+def test_ema_and_metrics_single_chip():
+    """EMA params follow the closed-form recurrence; metrics carry the
+    true gradient/param norms (checked against a hand jax.grad)."""
+    import optax as _optax
+
+    from perceiverio_pytorch_tpu.training import make_train_step
+
+    def loss_fn(params, x, y):
+        pred = x @ params["w"]
+        return jnp.mean((pred - y) ** 2)
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(8, 4), jnp.float32)
+    y = jnp.asarray(rng.randn(8, 2), jnp.float32)
+    params = {"w": jnp.asarray(rng.randn(4, 2), jnp.float32)}
+
+    tx = optax.sgd(0.1)
+    decay = 0.8
+    state = create_train_state(params, tx, ema_decay=decay)
+    np.testing.assert_array_equal(
+        np.asarray(state.ema_params["w"]), np.asarray(params["w"])
+    )
+    step = make_train_step(
+        loss_fn, tx, donate=False, ema_decay=decay, with_metrics=True
+    )
+
+    expected_ema = np.asarray(params["w"])
+    st = state
+    for i in range(3):
+        grads = jax.grad(loss_fn)(st.params, x, y)
+        expected_gnorm = float(_optax.global_norm(grads))
+        st2, metrics = step(st, x, y)
+        assert set(metrics) == {"loss", "grad_norm", "param_norm"}
+        assert np.isclose(float(metrics["grad_norm"]), expected_gnorm, rtol=1e-5)
+        assert np.isclose(
+            float(metrics["param_norm"]),
+            float(_optax.global_norm(st2.params)),
+            rtol=1e-5,
+        )
+        expected_ema = expected_ema * decay + np.asarray(st2.params["w"]) * (
+            1 - decay
+        )
+        np.testing.assert_allclose(
+            np.asarray(st2.ema_params["w"]), expected_ema, rtol=1e-5
+        )
+        st = st2
+    # EMA lags the live params
+    assert not np.allclose(np.asarray(st.ema_params["w"]), np.asarray(st.params["w"]))
+
+
+def test_ema_multi_step_matches_sequential():
+    from perceiverio_pytorch_tpu.training import make_multi_step, make_train_step
+
+    def loss_fn(params, x, y):
+        return jnp.mean((x @ params["w"] - y) ** 2)
+
+    rng = np.random.RandomState(1)
+    xs = jnp.asarray(rng.randn(3, 8, 4), jnp.float32)
+    ys = jnp.asarray(rng.randn(3, 8, 2), jnp.float32)
+    params = {"w": jnp.asarray(rng.randn(4, 2), jnp.float32)}
+    tx = optax.adam(1e-2)
+
+    st_a = create_train_state(params, tx, ema_decay=0.9)
+    step = make_train_step(loss_fn, tx, donate=False, ema_decay=0.9)
+    for i in range(3):
+        st_a, _ = step(st_a, xs[i], ys[i])
+
+    st_b = create_train_state(params, tx, ema_decay=0.9)
+    multi = make_multi_step(loss_fn, tx, donate=False, ema_decay=0.9)
+    st_b, losses = multi(st_b, xs, ys)
+
+    np.testing.assert_allclose(
+        np.asarray(st_a.ema_params["w"]), np.asarray(st_b.ema_params["w"]),
+        rtol=1e-6,
+    )
+    assert losses.shape == (3,)
+
+
+def test_ema_sharded_and_checkpoint_roundtrip(tmp_path):
+    from perceiverio_pytorch_tpu.parallel import make_mesh
+    from perceiverio_pytorch_tpu.training import (
+        create_sharded_train_state,
+        make_sharded_train_step,
+    )
+    from perceiverio_pytorch_tpu.training.checkpoint import (
+        restore_train_state,
+        save_train_state,
+    )
+
+    def loss_fn(params, x, y):
+        return jnp.mean((x @ params["w"] - y) ** 2)
+
+    mesh = make_mesh((8, 1))
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.randn(16, 4), jnp.float32)
+    y = jnp.asarray(rng.randn(16, 2), jnp.float32)
+    # numpy params: on the virtual CPU mesh, device_put of an already
+    # device-resident array may alias its buffer, and the donated step
+    # would delete it out from under the template below.
+    params = {"w": rng.randn(4, 2).astype(np.float32)}
+    tx = optax.adamw(1e-3)
+
+    state = create_sharded_train_state(params, tx, mesh, ema_decay=0.95)
+    assert state.ema_params["w"].sharding == state.params["w"].sharding
+    step = make_sharded_train_step(
+        loss_fn, tx, mesh, state, num_batch_args=2,
+        ema_decay=0.95, with_metrics=True,
+    )
+    state, metrics = step(state, x, y)
+    assert float(metrics["grad_norm"]) > 0
+    assert not np.allclose(
+        np.asarray(state.ema_params["w"]), np.asarray(state.params["w"])
+    )
+
+    path = str(tmp_path / "ema_ckpt")
+    save_train_state(path, state)
+    template = create_sharded_train_state(params, tx, mesh, ema_decay=0.95)
+    restored = restore_train_state(path, template)
+    np.testing.assert_array_equal(
+        np.asarray(restored.ema_params["w"]), np.asarray(state.ema_params["w"])
+    )
+    assert int(restored.step) == 1
+
+
+def test_trainer_ema_decay_threads_through():
+    def loss_fn(params, x, y):
+        return jnp.mean((x @ params["w"] - y) ** 2)
+
+    rng = np.random.RandomState(3)
+    xs = rng.randn(16, 4).astype(np.float32)
+    ys = rng.randn(16, 2).astype(np.float32)
+    params = {"w": jnp.zeros((4, 2))}
+    trainer = Trainer(loss_fn, optax.sgd(0.1), log_every=100, ema_decay=0.9)
+    state = trainer.init_state(params)
+    from perceiverio_pytorch_tpu.training import batch_iterator
+
+    state = trainer.fit(
+        state, batch_iterator((xs, ys), 8, epochs=None), num_steps=4
+    )
+    assert state.ema_params is not None
+    assert not np.allclose(
+        np.asarray(state.ema_params["w"]), np.asarray(state.params["w"])
+    )
