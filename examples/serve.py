@@ -1,0 +1,122 @@
+"""End-to-end deployment demo: AOT-export a model, then serve the artifact.
+
+The reference deploys by re-running eager PyTorch from a pickled
+state_dict (/root/reference/README.md:38-44); here the deployment unit is
+a compiled StableHLO artifact (serving.export_apply) plus an orbax weights
+directory.  This script plays both roles:
+
+  1. "build": construct ClassificationPerceiver, init (or load) weights,
+     export a batch-polymorphic artifact + the weights to --out.
+  2. "serve": reload BOTH from disk (no model code needed in a real server
+     -- only jax + the two files) and answer timed requests at several
+     batch sizes, printing per-request latency.
+
+Run:  python examples/serve.py            (tiny config, quick)
+      python examples/serve.py --full-scale   (shipped ImageNet config)
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import argparse
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from perceiverio_pytorch_tpu import PERFORMANCE, export_apply, load_exported
+from perceiverio_pytorch_tpu.models import ClassificationPerceiver, PrepType
+from perceiverio_pytorch_tpu.training.checkpoint import (
+    restore_variables,
+    save_variables,
+)
+from perceiverio_pytorch_tpu.utils.params import cast_variables_for_inference
+
+
+def build(out_dir: str, full_scale: bool) -> None:
+    if full_scale:
+        model = ClassificationPerceiver(
+            num_classes=1000, img_size=(224, 224),
+            prep_type=PrepType.FOURIER_POS_CONVNET, policy=PERFORMANCE,
+        )
+        img_shape = (1, 3, 224, 224)
+    else:
+        model = ClassificationPerceiver(
+            num_classes=10, img_size=(32, 32),
+            prep_type=PrepType.FOURIER_POS_PIXEL,
+            num_self_attends_per_block=2, num_blocks=1,
+            num_latents=16, num_latent_channels=64,
+        )
+        img_shape = (1, 3, 32, 32)
+
+    example = jnp.zeros(img_shape, jnp.float32)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), example)
+    variables = cast_variables_for_inference(variables)
+
+    blob = export_apply(
+        model.apply, variables, example,
+        batch_polymorphic=True, deterministic=True,
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    artifact = os.path.join(out_dir, "model.stablehlo")
+    with open(artifact, "wb") as f:
+        f.write(blob)
+    weights_dir = os.path.join(out_dir, "weights")
+    if os.path.exists(weights_dir):  # orbax refuses to overwrite
+        import shutil
+
+        shutil.rmtree(weights_dir)
+    save_variables(weights_dir, variables)
+    print(f"exported {len(blob)/1e6:.1f} MB artifact + weights to {out_dir}")
+
+
+def serve_demo(out_dir: str, hw: int, batch_sizes=(1, 4, 16), requests: int = 20):
+    # A real serving process imports only jax: the artifact embeds the
+    # computation, the weights directory embeds the pytree structure.
+    with open(os.path.join(out_dir, "model.stablehlo"), "rb") as f:
+        fn = load_exported(f.read())
+    variables = restore_variables(os.path.join(out_dir, "weights"))
+    call = jax.jit(fn)
+
+    rng = np.random.RandomState(0)
+    for b in batch_sizes:
+        img = jnp.asarray(rng.uniform(-1, 1, (b, 3, hw, hw)), jnp.float32)
+        logits = call(variables, img)  # compile for this batch size
+        logits.block_until_ready()
+        times = []
+        for _ in range(requests):
+            t0 = time.perf_counter()
+            out = call(variables, img)
+            float(out[0, 0])  # host fetch = completion barrier
+            times.append(time.perf_counter() - t0)
+        times.sort()
+        p50 = times[len(times) // 2] * 1e3
+        p99 = times[min(len(times) - 1, int(len(times) * 0.99))] * 1e3
+        print(
+            f"batch {b:3d}: p50 {p50:7.2f} ms  p99 {p99:7.2f} ms  "
+            f"{b / (sum(times) / len(times)):8.1f} img/s"
+        )
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="/tmp/perceiver_serve")
+    ap.add_argument("--full-scale", action="store_true",
+                    help="shipped ImageNet conv-prep config")
+    ap.add_argument("--requests", type=int, default=20)
+    args = ap.parse_args()
+
+    build(args.out, args.full_scale)
+    serve_demo(
+        args.out,
+        hw=224 if args.full_scale else 32,
+        batch_sizes=(1, 4, 16) if args.full_scale else (1, 4),
+        requests=args.requests,
+    )
+
+
+if __name__ == "__main__":
+    main()

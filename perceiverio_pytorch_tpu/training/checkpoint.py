@@ -35,16 +35,69 @@ def _mask_zero_size(tree):
     )
 
 
+_ZERO_META = "zero_size_leaves.json"
+
+
+def _path_keys(path) -> list:
+    keys = []
+    for k in path:
+        if hasattr(k, "key"):
+            keys.append(k.key)
+        elif hasattr(k, "idx"):
+            keys.append(k.idx)
+        else:  # GetAttrKey etc. -- not produced by variables/state trees
+            keys.append(str(k))
+    return keys
+
+
 def save_variables(path: str, variables: Any) -> None:
-    """Save a flax variables pytree to ``path`` (an empty/new directory)."""
+    """Save a flax variables pytree to ``path`` (an empty/new directory).
+
+    Zero-size leaves are masked for orbax (see _mask_zero_size) and their
+    true shapes recorded in a sidecar JSON, so a template-free restore can
+    reconstruct them exactly (a serving process has no model code to build
+    a template from).
+    """
     path = os.path.abspath(path)
     with ocp.StandardCheckpointer() as ckptr:
         ckptr.save(path, _mask_zero_size(variables))
+    import json
+
+    flat, _ = jax.tree_util.tree_flatten_with_path(variables)
+    zero = [
+        {"path": _path_keys(p), "shape": list(x.shape), "dtype": str(x.dtype)}
+        for p, x in flat
+        if _is_zero_size(x)
+    ]
+    if zero:
+        with open(os.path.join(path, _ZERO_META), "w") as f:
+            json.dump(zero, f)
+
+
+def _unmask_from_sidecar(path: str, restored: Any) -> Any:
+    """Replace masked placeholders with their true zero-size arrays."""
+    import json
+
+    meta_path = os.path.join(path, _ZERO_META)
+    if not os.path.exists(meta_path):
+        return restored
+    with open(meta_path) as f:
+        entries = json.load(f)
+    for entry in entries:
+        node = restored
+        for k in entry["path"][:-1]:
+            node = node[k]
+        node[entry["path"][-1]] = jnp.zeros(
+            tuple(entry["shape"]), jnp.dtype(entry["dtype"])
+        )
+    return restored
 
 
 def restore_variables(path: str, template: Optional[Any] = None) -> Any:
     """Restore a variables pytree; ``template`` provides structure/shardings
-    and re-materialises any zero-size leaves masked at save time."""
+    and re-materialises any zero-size leaves masked at save time.  Without a
+    template, the orbax-native nested-dict layout is returned and zero-size
+    leaves are reconstructed from the save-time sidecar."""
     path = os.path.abspath(path)
     with ocp.StandardCheckpointer() as ckptr:
         if template is not None:
@@ -59,7 +112,7 @@ def restore_variables(path: str, template: Optional[Any] = None) -> Any:
                 template,
                 restored,
             )
-        return ckptr.restore(path)
+        return _unmask_from_sidecar(path, ckptr.restore(path))
 
 
 def save_train_state(path: str, state: TrainState) -> None:

@@ -55,3 +55,30 @@ def test_export_static_kwargs_are_baked():
     )
     np.testing.assert_allclose(np.asarray(serve(variables, img)),
                                np.asarray(want), rtol=1e-6, atol=1e-7)
+
+
+def test_template_free_restore_reconstructs_zero_size_leaves(tmp_path):
+    """A serving process restores weights WITHOUT model code (no template);
+    zero-size leaves (e.g. the [1, 0] decoder pad embedding) must come back
+    with their true shapes, not the orbax mask placeholder."""
+    import numpy as np
+
+    from perceiverio_pytorch_tpu.training.checkpoint import (
+        restore_variables,
+        save_variables,
+    )
+
+    variables = {
+        "params": {
+            "w": jnp.ones((3, 2), jnp.float32),
+            "pad": {"pos_embs": jnp.zeros((1, 0), jnp.bfloat16)},
+        }
+    }
+    path = str(tmp_path / "weights")
+    save_variables(path, variables)
+    restored = restore_variables(path)  # no template
+    assert restored["params"]["pad"]["pos_embs"].shape == (1, 0)
+    assert restored["params"]["pad"]["pos_embs"].dtype == jnp.bfloat16
+    np.testing.assert_array_equal(
+        np.asarray(restored["params"]["w"]), np.ones((3, 2))
+    )
