@@ -173,6 +173,158 @@ def bench_multimodal():
     )
 
 
+def _time_steps(step, state, batch, warmup=3, iters=15):
+    """ms/step for a donated train step (chained states pipeline; the loss
+    fetch at the end is the completion barrier)."""
+    state, loss = step(state, *batch)
+    float(loss)
+    for _ in range(warmup):
+        state, loss = step(state, *batch)
+    float(loss)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, loss = step(state, *batch)
+    float(loss)
+    return (time.perf_counter() - t0) / iters * 1e3
+
+
+def bench_training():
+    """Full-scale TRAINING step throughput, one chip, all four families.
+
+    The eager reference cannot represent the flow/multimodal steps on one
+    device at all (PERFORMANCE.md); vs_baseline is 1.0 like the other
+    secondary metrics.  Configs are the measured optima: MLM batch 16,
+    classification batch 8 + remat, flow batch 1 + remat, multimodal
+    batch 1 n_chunks 16 + dots_saveable selective remat.
+    """
+    import dataclasses
+
+    from perceiverio_pytorch_tpu import PERFORMANCE
+    from perceiverio_pytorch_tpu.models import (
+        ClassificationPerceiver,
+        FlowPerceiver,
+        LanguagePerceiver,
+        MultiModalPerceiver,
+        PrepType,
+    )
+    from perceiverio_pytorch_tpu.training import (
+        build_optimizer,
+        classification_cross_entropy,
+        flow_endpoint_error,
+        masked_token_cross_entropy,
+        multimodal_autoencode_loss,
+    )
+    from perceiverio_pytorch_tpu.training.trainer import (
+        create_train_state,
+        make_train_step,
+    )
+
+    rng = np.random.RandomState(0)
+    tx = build_optimizer(1e-4)
+
+    # --- MLM ---
+    B = 16
+    model = LanguagePerceiver(policy=PERFORMANCE)
+    tokens = jnp.asarray(rng.randint(6, 262, (B, 2048)), jnp.int32)
+    mask = jnp.ones((B, 2048), bool)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), tokens, mask)
+
+    def mlm_loss(params, tokens, mask):
+        return masked_token_cross_entropy(
+            model.apply(params, tokens, mask, deterministic=False), tokens, mask
+        )
+
+    ms = _time_steps(
+        make_train_step(mlm_loss, tx), create_train_state(params, tx),
+        (tokens, mask),
+    )
+    print(json.dumps({
+        "metric": "byte_mlm_train_seq_per_sec_per_chip",
+        "value": round(B / ms * 1e3, 1), "unit": "seq/sec", "vs_baseline": 1.0,
+    }))
+
+    # --- classification (BatchNorm state through the step) ---
+    B = 8
+    cls = ClassificationPerceiver(
+        prep_type=PrepType.FOURIER_POS_CONVNET, policy=PERFORMANCE, remat=True
+    )
+    img = jnp.asarray(rng.uniform(-1, 1, (B, 3, 224, 224)), jnp.float32)
+    labels = jnp.asarray(rng.randint(0, 1000, B), jnp.int32)
+    variables = jax.jit(cls.init)(jax.random.PRNGKey(0), img)
+    aux = {k: v for k, v in variables.items() if k != "params"}
+
+    def cls_loss(params, model_state, img, labels):
+        logits, mutated = cls.apply(
+            {"params": params, **model_state}, img,
+            deterministic=False, mutable=["batch_stats"],
+        )
+        return classification_cross_entropy(logits, labels), {
+            **model_state, **mutated,
+        }
+
+    ms = _time_steps(
+        make_train_step(cls_loss, tx, with_model_state=True),
+        create_train_state(variables["params"], tx, model_state=aux),
+        (img, labels),
+    )
+    print(json.dumps({
+        "metric": "imagenet_convprep_train_images_per_sec_per_chip",
+        "value": round(B / ms * 1e3, 1), "unit": "images/sec",
+        "vs_baseline": 1.0,
+    }))
+
+    # --- flow ---
+    flow_model = FlowPerceiver(policy=PERFORMANCE, remat=True)
+    i1 = jnp.asarray(rng.uniform(-1, 1, (1, 3, 368, 496)), jnp.float32)
+    i2 = jnp.asarray(rng.uniform(-1, 1, (1, 3, 368, 496)), jnp.float32)
+    gt = jnp.asarray(rng.uniform(-3, 3, (1, 2, 368, 496)), jnp.float32)
+    params = jax.jit(flow_model.init)(jax.random.PRNGKey(0), i1, i2)
+
+    def flow_loss(params, a, b, gt):
+        return flow_endpoint_error(flow_model.apply(params, a, b), gt)
+
+    ms = _time_steps(
+        make_train_step(flow_loss, tx), create_train_state(params, tx),
+        (i1, i2, gt), iters=10,
+    )
+    print(json.dumps({
+        "metric": "sintel_flow_train_ms_per_step_per_chip",
+        "value": round(ms, 1), "unit": "ms/step (368x496, batch 1)",
+        "vs_baseline": 1.0,
+    }))
+
+    # --- multimodal (selective remat) ---
+    n_chunks = 16
+    mm_policy = dataclasses.replace(PERFORMANCE, remat_policy="dots_saveable")
+    mm = MultiModalPerceiver(policy=mm_policy, remat=True)
+    video = jnp.asarray(rng.uniform(-1, 1, (1, 16, 3, 224, 224)), jnp.float32)
+    audio = jnp.asarray(rng.uniform(-1, 1, (1, 16 * 1920, 1)), jnp.float32)
+    mm_labels = jnp.zeros((1,), jnp.int32)
+    variables = jax.jit(lambda k, i, a: mm.init(k, i, a, n_chunks))(
+        jax.random.PRNGKey(0), video, audio
+    )
+    consts = {k: v for k, v in variables.items() if k != "params"}
+
+    def mm_loss(params, model_state, video, audio, labels):
+        out = mm.apply({"params": params, **model_state}, video, audio,
+                       n_chunks, deterministic=False)
+        return multimodal_autoencode_loss(
+            out, {"image": video, "audio": audio, "label": labels},
+            weights={"image": 1.0, "audio": 1.0, "label": 0.01},
+        ), model_state
+
+    ms = _time_steps(
+        make_train_step(mm_loss, tx, with_model_state=True),
+        create_train_state(variables["params"], tx, model_state=consts),
+        (video, audio, mm_labels), iters=8,
+    )
+    print(json.dumps({
+        "metric": "kinetics_train_ms_per_step_per_chip",
+        "value": round(ms, 1), "unit": "ms/step (batch 1, n_chunks 16)",
+        "vs_baseline": 1.0,
+    }))
+
+
 def main():
     from perceiverio_pytorch_tpu import PARITY, PERFORMANCE
     from perceiverio_pytorch_tpu.models import ClassificationPerceiver, PrepType
@@ -229,9 +381,10 @@ if __name__ == "__main__":
     parser = argparse.ArgumentParser()
     parser.add_argument(
         "--task", default="imagenet",
-        choices=["imagenet", "flow", "mlm", "multimodal", "all"],
-        help="headline metric (default), a secondary task metric, or "
-             "'all' to emit one JSON line per task",
+        choices=["imagenet", "flow", "mlm", "multimodal", "all", "training"],
+        help="headline metric (default), a secondary task metric, 'all' for "
+             "one JSON line per inference task, or 'training' for the four "
+             "full-scale training-step metrics",
     )
     task = parser.parse_args().task
     if task == "flow":
@@ -240,6 +393,8 @@ if __name__ == "__main__":
         bench_mlm()
     elif task == "multimodal":
         bench_multimodal()
+    elif task == "training":
+        bench_training()
     elif task == "all":
         main()
         bench_flow()
