@@ -94,6 +94,9 @@ class Trainer:
       ema_decay: maintain an exponential moving average of params in
         ``state.ema_params`` (evaluate/export with those for the usual
         late-training stability win).  Fused into the train step.
+      log_grad_norm: also log ``grad_norm`` and ``param_norm`` at each
+        logging point (computed inside the step from the gradients already
+        in flight -- no extra pass; incompatible with steps_per_call > 1).
       prefetch: keep this many batches device-put ahead of the step loop
         (training.data.prefetch_to_device) so the host input path and the
         transfer overlap device compute.  With a mesh, batches land
@@ -124,6 +127,7 @@ class Trainer:
         steps_per_call: int = 1,
         prefetch: int = 0,
         ema_decay: Optional[float] = None,
+        log_grad_norm: bool = False,
     ):
         self.loss_fn = loss_fn
         self.tx = tx
@@ -139,6 +143,12 @@ class Trainer:
         self.steps_per_call = max(int(steps_per_call), 1)
         self.prefetch = max(int(prefetch), 0)
         self.ema_decay = ema_decay
+        self.log_grad_norm = log_grad_norm
+        if log_grad_norm and self.steps_per_call > 1:
+            raise ValueError(
+                "log_grad_norm is not available with steps_per_call > 1"
+                " (the multi-step scan returns per-step losses only)"
+            )
         self._eval_jit = None
 
     def init_state(self, params, model_state=None) -> TrainState:
@@ -194,6 +204,7 @@ class Trainer:
                 num_batch_args=self.num_batch_args,
                 with_model_state=self.with_model_state,
                 ema_decay=self.ema_decay,
+                with_metrics=self.log_grad_norm,
             )
         elif self.steps_per_call > 1:
             group = self.steps_per_call
@@ -207,6 +218,7 @@ class Trainer:
                 self.loss_fn, self.tx,
                 with_model_state=self.with_model_state,
                 ema_decay=self.ema_decay,
+                with_metrics=self.log_grad_norm,
             )
 
         def _crossed(step_num, prev_step, every):
@@ -250,7 +262,15 @@ class Trainer:
                 # Index the per-step losses only when actually logging: an
                 # eager slice on the device array is an extra XLA dispatch
                 # per call on the remote transport.
-                if group > 1:
+                extra = {}
+                if isinstance(loss, dict):  # log_grad_norm metrics
+                    extra = {
+                        k: round(float(v), 6)
+                        for k, v in loss.items()
+                        if k != "loss"
+                    }
+                    loss = loss["loss"]
+                elif group > 1:
                     loss = loss[-1]
                 loss_val = float(loss)  # host fetch = completion barrier
                 now = time.perf_counter()
@@ -263,6 +283,7 @@ class Trainer:
                         3,
                     ),
                     elapsed_sec=round(now - t0, 3),
+                    **extra,
                 )
                 window_start = now
                 window_step = step_num

@@ -547,3 +547,29 @@ def test_trainer_ema_decay_threads_through():
     assert not np.allclose(
         np.asarray(state.ema_params["w"]), np.asarray(state.params["w"])
     )
+
+
+def test_trainer_log_grad_norm(tmp_path):
+    def loss_fn(params, x, y):
+        return jnp.mean((x @ params["w"] - y) ** 2)
+
+    rng = np.random.RandomState(4)
+    xs = rng.randn(16, 4).astype(np.float32)
+    ys = rng.randn(16, 2).astype(np.float32)
+    metrics_path = str(tmp_path / "m.jsonl")
+    trainer = Trainer(
+        loss_fn, optax.sgd(0.1), log_every=2, metrics_path=metrics_path,
+        log_grad_norm=True,
+    )
+    state = trainer.init_state({"w": jnp.zeros((4, 2))})
+    from perceiverio_pytorch_tpu.training import batch_iterator
+
+    trainer.fit(state, batch_iterator((xs, ys), 8, epochs=None), num_steps=4)
+    lines = [json.loads(l) for l in open(metrics_path)]
+    assert lines and all(
+        "grad_norm" in l and "param_norm" in l and l["grad_norm"] > 0
+        for l in lines
+    )
+
+    with pytest.raises(ValueError, match="steps_per_call"):
+        Trainer(loss_fn, optax.sgd(0.1), steps_per_call=4, log_grad_norm=True)
