@@ -49,7 +49,7 @@ def synthetic_quadrants(n: int, hw, num_classes: int, seed: int = 0):
 
 
 def main(steps=30, batch_size=8, full_scale=False, mesh_shape=None,
-         checkpoint_dir=None):
+         checkpoint_dir=None, resume=False):
     if full_scale:
         model = ClassificationPerceiver(policy=PERFORMANCE, remat=True)
         hw, num_classes = (224, 224), 1000
@@ -105,7 +105,7 @@ def main(steps=30, batch_size=8, full_scale=False, mesh_shape=None,
             yield from epoch_batches((img, labels), batch_size)
 
     state = trainer.fit(
-        state, prefetch_to_device(batches(), 2), num_steps=steps
+        state, prefetch_to_device(batches(), 2), num_steps=steps, resume=resume,
     )
     print(f"finished at step {int(state.step)}")
     return state
@@ -120,6 +120,8 @@ if __name__ == "__main__":
     parser.add_argument("--mesh", type=int, nargs=2, default=None,
                         help="(data, model) mesh shape")
     parser.add_argument("--checkpoint-dir", default=None)
+    parser.add_argument("--resume", action="store_true",
+                        help="continue from the newest checkpoint in --checkpoint-dir")
     args = parser.parse_args()
     main(args.steps, args.batch_size, full_scale=args.full_scale,
-         mesh_shape=args.mesh, checkpoint_dir=args.checkpoint_dir)
+         mesh_shape=args.mesh, checkpoint_dir=args.checkpoint_dir, resume=args.resume)

@@ -58,7 +58,7 @@ def synthetic_flow_pairs(n: int, hw, max_shift: int = 3, seed: int = 0):
 
 
 def main(steps=30, batch_size=None, full_scale=False, mesh_shape=None,
-         checkpoint_dir=None):
+         checkpoint_dir=None, resume=False):
     if full_scale:
         model = FlowPerceiver(policy=PERFORMANCE, remat=True)
         if batch_size not in (None, 1):
@@ -107,7 +107,7 @@ def main(steps=30, batch_size=None, full_scale=False, mesh_shape=None,
             yield from epoch_batches((img1, img2, flow), batch_size)
 
     state = trainer.fit(
-        state, prefetch_to_device(batches(), 2), num_steps=steps
+        state, prefetch_to_device(batches(), 2), num_steps=steps, resume=resume,
     )
     print(f"finished at step {int(state.step)}")
     return state
@@ -123,6 +123,8 @@ if __name__ == "__main__":
     parser.add_argument("--mesh", type=int, nargs=2, default=None,
                         help="(data, model) mesh shape")
     parser.add_argument("--checkpoint-dir", default=None)
+    parser.add_argument("--resume", action="store_true",
+                        help="continue from the newest checkpoint in --checkpoint-dir")
     args = parser.parse_args()
     main(args.steps, args.batch_size, full_scale=args.full_scale,
-         mesh_shape=args.mesh, checkpoint_dir=args.checkpoint_dir)
+         mesh_shape=args.mesh, checkpoint_dir=args.checkpoint_dir, resume=args.resume)

@@ -38,7 +38,7 @@ def synthetic_corpus(n: int, seq_len: int, vocab: int, seed: int = 0):
 
 def main(steps: int = 50, batch_size: int = 8, seq_len: int = None,
          mesh_shape=None, checkpoint_dir=None, steps_per_call: int = 1,
-         full_scale: bool = False):
+         full_scale: bool = False, resume=False):
     if full_scale:
         # Exact shipped config (language_perceiver.py: 2048 tokens, 26
         # layers, 256x1280 latents): 28.8 ms/step at batch 8 on one v5e
@@ -104,7 +104,7 @@ def main(steps: int = 50, batch_size: int = 8, seq_len: int = None,
 
     state = trainer.fit(
         state, prefetch_to_device(batches(), 2), num_steps=steps,
-        eval_batches=eval_batches,
+        eval_batches=eval_batches, resume=resume,
     )
     print(f"finished at step {int(state.step)}")
     return state
@@ -120,8 +120,10 @@ if __name__ == "__main__":
     parser.add_argument("--steps-per-call", type=int, default=1)
     parser.add_argument("--full-scale", action="store_true",
                         help="exact shipped 2048-token config, bf16")
+    parser.add_argument("--resume", action="store_true",
+                        help="continue from the newest checkpoint in --checkpoint-dir")
     args = parser.parse_args()
     main(args.steps, args.batch_size, mesh_shape=args.mesh,
          checkpoint_dir=args.checkpoint_dir,
          steps_per_call=args.steps_per_call,
-         full_scale=args.full_scale)
+         full_scale=args.full_scale, resume=args.resume)

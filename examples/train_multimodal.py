@@ -57,7 +57,7 @@ def synthetic_clips(n: int, num_frames, hw, n_audio, num_classes, seed=0):
 
 
 def main(steps=20, batch_size=1, n_chunks=None, full_scale=False,
-         checkpoint_dir=None):
+         checkpoint_dir=None, resume=False):
     if full_scale:
         # dots_saveable measured 214.3 vs 227.1 ms/step full-remat here
         # (PERFORMANCE.md item 12); the other model families keep full remat.
@@ -116,7 +116,7 @@ def main(steps=20, batch_size=1, n_chunks=None, full_scale=False,
             yield from epoch_batches((video, audio, labels), batch_size)
 
     state = trainer.fit(
-        state, prefetch_to_device(batches(), 2), num_steps=steps
+        state, prefetch_to_device(batches(), 2), num_steps=steps, resume=resume,
     )
     print(f"finished at step {int(state.step)}")
     return state
@@ -131,6 +131,8 @@ if __name__ == "__main__":
     parser.add_argument("--full-scale", action="store_true",
                         help="exact shipped Kinetics config, remat + bf16")
     parser.add_argument("--checkpoint-dir", default=None)
+    parser.add_argument("--resume", action="store_true",
+                        help="continue from the newest checkpoint in --checkpoint-dir")
     args = parser.parse_args()
     main(args.steps, args.batch_size, n_chunks=args.n_chunks,
-         full_scale=args.full_scale, checkpoint_dir=args.checkpoint_dir)
+         full_scale=args.full_scale, checkpoint_dir=args.checkpoint_dir, resume=args.resume)

@@ -115,6 +115,31 @@ def restore_variables(path: str, template: Optional[Any] = None) -> Any:
         return _unmask_from_sidecar(path, ckptr.restore(path))
 
 
+def latest_checkpoint(checkpoint_dir: str) -> Optional[str]:
+    """Path of the highest-step ``step_XXXXXXXX`` checkpoint, or None.
+
+    Matches the layout Trainer writes (one orbax directory per periodic
+    save); incomplete saves (no orbax metadata inside) are skipped so a
+    crash mid-save resumes from the previous good checkpoint.
+    """
+    if not os.path.isdir(checkpoint_dir):
+        return None
+    best, best_step = None, -1
+    for name in os.listdir(checkpoint_dir):
+        if not name.startswith("step_"):
+            continue
+        try:
+            step = int(name[len("step_"):])
+        except ValueError:
+            continue
+        full = os.path.join(checkpoint_dir, name)
+        if not os.path.isdir(full) or not os.listdir(full):
+            continue
+        if step > best_step:
+            best, best_step = full, step
+    return best
+
+
 def save_train_state(path: str, state: TrainState) -> None:
     tree = {
         "step": state.step,

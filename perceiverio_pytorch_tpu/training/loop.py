@@ -190,12 +190,36 @@ class Trainer:
         batches: Iterable,
         num_steps: Optional[int] = None,
         eval_batches=None,
+        resume: bool = False,
     ) -> TrainState:
+        """Run the training loop.
+
+        ``resume=True``: restore the latest ``step_XXXXXXXX`` checkpoint
+        under ``checkpoint_dir`` (if any) into ``state`` before training
+        and continue counting from its step — ``num_steps`` is the TOTAL
+        step budget, so a finished run restarts as a no-op.  The batch
+        iterator is consumed from its current position (use a stateless
+        shuffled stream, e.g. ``batch_iterator(..., epochs=None)``).
+        """
         # A plain generator would be exhausted by the first evaluation and
         # every later eval would silently report 0.0; materialise it once
         # (pass a callable to re-create batches lazily instead).
         if eval_batches is not None and not callable(eval_batches):
             eval_batches = list(eval_batches)
+
+        if resume and self.checkpoint_dir:
+            from perceiverio_pytorch_tpu.training.checkpoint import (
+                latest_checkpoint,
+                restore_train_state,
+            )
+
+            latest = latest_checkpoint(self.checkpoint_dir)
+            if latest is not None:
+                state = restore_train_state(latest, state)
+                self.logger.log(
+                    step=int(state.step),
+                    resumed_from=os.path.basename(latest),
+                )
 
         group = 1
         if self.mesh is not None:
@@ -243,8 +267,8 @@ class Trainer:
 
         t0 = time.perf_counter()
         window_start = t0
-        window_step = 0
-        step_num = 0
+        step_num = int(state.step)
+        window_step = step_num
         for batch in batches:
             if num_steps is not None and step_num >= num_steps:
                 break

@@ -573,3 +573,53 @@ def test_trainer_log_grad_norm(tmp_path):
 
     with pytest.raises(ValueError, match="steps_per_call"):
         Trainer(loss_fn, optax.sgd(0.1), steps_per_call=4, log_grad_norm=True)
+
+
+def test_trainer_resume_from_latest_checkpoint(tmp_path):
+    """fit(resume=True) restores the newest step_XXXXXXXX checkpoint,
+    continues counting from it (num_steps = total budget), and matches an
+    uninterrupted run on the same batch stream."""
+    from perceiverio_pytorch_tpu.training.checkpoint import latest_checkpoint
+
+    def loss_fn(params, x, y):
+        return jnp.mean((x @ params["w"] - y) ** 2)
+
+    rng = np.random.RandomState(5)
+    x = rng.randn(8, 4).astype(np.float32)
+    y = rng.randn(8, 2).astype(np.float32)
+    batch = (x, y)
+    ckpt_dir = str(tmp_path / "ckpts")
+
+    def make_trainer(metrics_path=None):
+        return Trainer(
+            loss_fn, optax.sgd(0.1), checkpoint_dir=ckpt_dir,
+            checkpoint_every=2, log_every=100, metrics_path=metrics_path,
+        )
+
+    # interrupted run: 4 steps, checkpoints at 2 and 4
+    t1 = make_trainer()
+    s1 = t1.init_state({"w": jnp.zeros((4, 2))})
+    s1 = t1.fit(s1, iter([batch] * 4), num_steps=4)
+    assert latest_checkpoint(ckpt_dir).endswith("step_00000004")
+
+    # resumed run: fresh template state, total budget 6 -> runs 2 more steps
+    metrics_path = str(tmp_path / "resume.jsonl")
+    t2 = make_trainer(metrics_path)
+    s2 = t2.init_state({"w": jnp.zeros((4, 2))})
+    s2 = t2.fit(s2, iter([batch] * 10), num_steps=6, resume=True)
+    assert int(s2.step) == 6
+    lines = [json.loads(l) for l in open(metrics_path)]
+    assert lines[0]["resumed_from"] == "step_00000004"
+
+    # uninterrupted control
+    t3 = Trainer(loss_fn, optax.sgd(0.1), log_every=100)
+    s3 = t3.init_state({"w": jnp.zeros((4, 2))})
+    s3 = t3.fit(s3, iter([batch] * 6), num_steps=6)
+    np.testing.assert_allclose(
+        np.asarray(s2.params["w"]), np.asarray(s3.params["w"]), rtol=1e-6
+    )
+
+    # finished run restarts as a no-op
+    s4 = make_trainer().init_state({"w": jnp.zeros((4, 2))})
+    s4 = make_trainer().fit(s4, iter([batch] * 10), num_steps=6, resume=True)
+    assert int(s4.step) == 6
