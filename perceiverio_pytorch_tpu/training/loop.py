@@ -161,10 +161,25 @@ class Trainer:
             params, self.tx, model_state=model_state, ema_decay=self.ema_decay
         )
 
-    def evaluate(self, state: TrainState, eval_batches) -> float:
-        """Mean eval_fn value over the eval batches (params frozen)."""
+    def evaluate(
+        self, state: TrainState, eval_batches, use_ema: Optional[bool] = None
+    ) -> float:
+        """Mean eval_fn value over the eval batches (params frozen).
+
+        ``use_ema``: evaluate with ``state.ema_params`` instead of the live
+        params.  Default (None) uses EMA whenever the state carries it --
+        the averaged weights are what EMA training evaluates and exports.
+        """
         import jax
 
+        if use_ema is None:
+            use_ema = state.ema_params is not None
+        if use_ema and state.ema_params is None:
+            raise ValueError(
+                "evaluate(use_ema=True) needs state.ema_params; build the"
+                " state with ema_decay"
+            )
+        params = state.ema_params if use_ema else state.params
         if self._eval_jit is None:
             if self.with_model_state:
                 self._eval_jit = jax.jit(
@@ -177,9 +192,9 @@ class Trainer:
             if not isinstance(batch, (tuple, list)):
                 batch = (batch,)
             if self.with_model_state:
-                val = self._eval_jit(state.params, state.model_state, *batch)
+                val = self._eval_jit(params, state.model_state, *batch)
             else:
-                val = self._eval_jit(state.params, *batch)
+                val = self._eval_jit(params, *batch)
             total += float(val)
             n += 1
         return total / max(n, 1)

@@ -623,3 +623,33 @@ def test_trainer_resume_from_latest_checkpoint(tmp_path):
     s4 = make_trainer().init_state({"w": jnp.zeros((4, 2))})
     s4 = make_trainer().fit(s4, iter([batch] * 10), num_steps=6, resume=True)
     assert int(s4.step) == 6
+
+
+def test_evaluate_uses_ema_params_when_present():
+    """With ema_decay, the periodic eval runs on the averaged weights; an
+    eval_fn that depends on params distinguishes the two."""
+
+    def loss_fn(params, x, y):
+        return jnp.mean((x @ params["w"] - y) ** 2)
+
+    rng = np.random.RandomState(6)
+    x = rng.randn(8, 4).astype(np.float32)
+    y = rng.randn(8, 2).astype(np.float32)
+    trainer = Trainer(
+        loss_fn, optax.sgd(0.1), log_every=100, ema_decay=0.5,
+        eval_fn=loss_fn,
+    )
+    state = trainer.init_state({"w": jnp.zeros((4, 2))})
+    state = trainer.fit(state, iter([(x, y)] * 5), num_steps=5)
+
+    ev_default = trainer.evaluate(state, [(x, y)])
+    ev_ema = trainer.evaluate(state, [(x, y)], use_ema=True)
+    ev_live = trainer.evaluate(state, [(x, y)], use_ema=False)
+    assert ev_default == ev_ema  # EMA is the default when present
+    assert ev_ema != ev_live  # averaged weights lag the live ones
+
+    # without EMA, asking for it is an error
+    t2 = Trainer(loss_fn, optax.sgd(0.1), eval_fn=loss_fn)
+    s2 = t2.init_state({"w": jnp.zeros((4, 2))})
+    with pytest.raises(ValueError, match="ema_params"):
+        t2.evaluate(s2, [(x, y)], use_ema=True)
