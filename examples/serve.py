@@ -90,7 +90,10 @@ def serve_demo(out_dir: str, hw: int, batch_sizes=(1, 4, 16), requests: int = 20
         for _ in range(requests):
             t0 = time.perf_counter()
             out = call(variables, img)
-            float(out[0, 0])  # host fetch = completion barrier
+            # fetch the (small) logits wholesale: an eager slice would
+            # dispatch an extra XLA computation per request on the remote
+            # transport (CLAUDE.md) and inflate the measured latency
+            np.asarray(out)
             times.append(time.perf_counter() - t0)
         times.sort()
         p50 = times[len(times) // 2] * 1e3

@@ -83,11 +83,26 @@ def _unmask_from_sidecar(path: str, restored: Any) -> Any:
         return restored
     with open(meta_path) as f:
         entries = json.load(f)
+
+    def _child(node, k):
+        # Sequence positions (e.g. optax tuple state) are ints in the
+        # sidecar but string keys in orbax's template-free dict layout.
+        if isinstance(node, (list, tuple)):
+            return node[int(k)]
+        if isinstance(k, int) and k not in node:
+            return node[str(k)]
+        return node[k]
+
     for entry in entries:
         node = restored
         for k in entry["path"][:-1]:
-            node = node[k]
-        node[entry["path"][-1]] = jnp.zeros(
+            node = _child(node, k)
+        last = entry["path"][-1]
+        if isinstance(node, list):
+            last = int(last)
+        elif isinstance(last, int) and last not in node:
+            last = str(last)
+        node[last] = jnp.zeros(
             tuple(entry["shape"]), jnp.dtype(entry["dtype"])
         )
     return restored
@@ -119,8 +134,8 @@ def latest_checkpoint(checkpoint_dir: str) -> Optional[str]:
     """Path of the highest-step ``step_XXXXXXXX`` checkpoint, or None.
 
     Matches the layout Trainer writes (one orbax directory per periodic
-    save); incomplete saves (no orbax metadata inside) are skipped so a
-    crash mid-save resumes from the previous good checkpoint.
+    save); incomplete saves (no finalized orbax metadata inside) are
+    skipped so a crash mid-save resumes from the previous good checkpoint.
     """
     if not os.path.isdir(checkpoint_dir):
         return None
@@ -133,11 +148,33 @@ def latest_checkpoint(checkpoint_dir: str) -> Optional[str]:
         except ValueError:
             continue
         full = os.path.join(checkpoint_dir, name)
-        if not os.path.isdir(full) or not os.listdir(full):
+        # _CHECKPOINT_METADATA is written at orbax finalization; its absence
+        # means the save never completed.
+        if not os.path.isdir(full) or not os.path.exists(
+            os.path.join(full, "_CHECKPOINT_METADATA")
+        ):
             continue
         if step > best_step:
             best, best_step = full, step
     return best
+
+
+def _checkpoint_top_keys(path: str) -> Optional[set]:
+    """Top-level tree keys recorded in the checkpoint's orbax metadata, or
+    None when the metadata layout is unknown (legacy behaviour: no check)."""
+    try:
+        import json
+
+        with open(os.path.join(os.path.abspath(path), "_METADATA")) as f:
+            tree_meta = json.load(f).get("tree_metadata", {})
+        keys = set()
+        for entry in tree_meta.values():
+            km = entry.get("key_metadata")
+            if km:
+                keys.add(km[0].get("key"))
+        return keys or None
+    except Exception:
+        return None
 
 
 def save_train_state(path: str, state: TrainState) -> None:
@@ -163,31 +200,35 @@ def restore_train_state(path: str, template: TrainState) -> TrainState:
         tree["model_state"] = template.model_state
     if template.ema_params is not None:
         tree["ema_params"] = template.ema_params
-    if template.model_state is None:
-        # The restore is template-driven, so a checkpoint that carries
-        # model_state (e.g. BatchNorm batch_stats) would be silently
-        # dropped -- resuming with freshly-initialised statistics.  Detect
-        # from the checkpoint's tree metadata and refuse instead.
-        has_model_state = False
-        try:
-            import json
 
-            meta_path = os.path.join(os.path.abspath(path), "_METADATA")
-            with open(meta_path) as f:
-                tree_meta = json.load(f).get("tree_metadata", {})
-            has_model_state = any(
-                entry.get("key_metadata")
-                and entry["key_metadata"][0].get("key") == "model_state"
-                for entry in tree_meta.values()
-            )
-        except Exception:
-            pass  # metadata layout unknown -> keep the legacy behaviour
-        if has_model_state:
+    # The restore is template-driven, so optional parts present in the
+    # checkpoint but absent from the template (model_state, ema_params)
+    # would be silently dropped -- resuming with fresh BatchNorm statistics
+    # or irrecoverably losing the averaged weights at the next periodic
+    # save.  Detect the mismatch from the checkpoint's tree metadata and
+    # refuse instead (both directions).
+    ckpt_keys = _checkpoint_top_keys(path)
+    if ckpt_keys is not None:
+        if template.model_state is None and "model_state" in ckpt_keys:
             raise ValueError(
                 f"checkpoint at {path} contains 'model_state' (e.g. BatchNorm"
                 " batch_stats) but the restore template has model_state=None;"
                 " build the template with create_train_state(...,"
                 " model_state=aux) so it is restored rather than dropped."
+            )
+        if template.ema_params is None and "ema_params" in ckpt_keys:
+            raise ValueError(
+                f"checkpoint at {path} contains 'ema_params' but the restore"
+                " template has ema_params=None; build the template with"
+                " create_train_state(..., ema_decay=...) so the averaged"
+                " weights are restored rather than dropped."
+            )
+        if template.ema_params is not None and "ema_params" not in ckpt_keys:
+            raise ValueError(
+                f"the restore template expects 'ema_params' but the checkpoint"
+                f" at {path} has none (it was saved without ema_decay);"
+                " restore with an EMA-free template and re-seed the EMA from"
+                " the restored params if you want to enable it mid-run."
             )
     restored = restore_variables(path, tree)
     return TrainState(

@@ -49,6 +49,7 @@ def batch_iterator(
         False only for host-side consumers (eval loops that tolerate a
         recompile).
     """
+    arrays = tuple(np.asarray(a) for a in arrays)
     n = len(arrays[0])
     for a in arrays[1:]:
         if len(a) != n:
@@ -114,21 +115,25 @@ def prefetch_to_device(
     q: "queue.Queue" = queue.Queue(maxsize=size)
     done = threading.Event()
 
+    def _put_until_done(item) -> bool:
+        """Timed put that gives up once the consumer is gone (the queue may
+        be full forever after the generator is dropped)."""
+        while not done.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
+
     def _worker():
         try:
             for batch in batches:
-                out = _put(batch)
-                while not done.is_set():
-                    try:
-                        q.put(out, timeout=0.1)
-                        break
-                    except queue.Full:
-                        continue
-                if done.is_set():
+                if not _put_until_done(_put(batch)):
                     return
-            q.put(_Stop())
+            _put_until_done(_Stop())
         except BaseException as e:  # re-raised on the consumer thread
-            q.put(_Raised(e))
+            _put_until_done(_Raised(e))
 
     thread = threading.Thread(target=_worker, daemon=True, name="prefetch_to_device")
     thread.start()

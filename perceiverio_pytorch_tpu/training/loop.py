@@ -222,6 +222,12 @@ class Trainer:
         if eval_batches is not None and not callable(eval_batches):
             eval_batches = list(eval_batches)
 
+        if resume and not self.checkpoint_dir:
+            raise ValueError(
+                "fit(resume=True) needs Trainer(checkpoint_dir=...) --"
+                " without it there is nothing to resume from and training"
+                " would silently restart at step 0"
+            )
         if resume and self.checkpoint_dir:
             from perceiverio_pytorch_tpu.training.checkpoint import (
                 latest_checkpoint,

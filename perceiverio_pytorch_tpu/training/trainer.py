@@ -96,6 +96,12 @@ def _step_body(
     params = optax.apply_updates(state.params, updates)
     ema_params = state.ema_params
     if ema_decay is not None:
+        if state.ema_params is None:
+            raise ValueError(
+                "the step was built with ema_decay but the state carries no"
+                " ema_params; build it with create_train_state(...,"
+                " ema_decay=...)"
+            )
         ema_params = _ema_update(state.ema_params, params, ema_decay)
     new_state = TrainState(
         step=state.step + 1,

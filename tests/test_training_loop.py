@@ -653,3 +653,112 @@ def test_evaluate_uses_ema_params_when_present():
     s2 = t2.init_state({"w": jnp.zeros((4, 2))})
     with pytest.raises(ValueError, match="ema_params"):
         t2.evaluate(s2, [(x, y)], use_ema=True)
+
+
+def test_restore_refuses_ema_template_mismatch(tmp_path):
+    """Both directions of the EMA template/checkpoint mismatch fail loudly
+    instead of silently dropping (or obscurely missing) the averaged
+    weights."""
+    def loss_fn(params, x, y):
+        return jnp.mean((x @ params["w"] - y) ** 2)
+
+    params = {"w": jnp.zeros((4, 2))}
+    tx = optax.sgd(0.1)
+    with_ema = create_train_state(params, tx, ema_decay=0.9)
+    without_ema = create_train_state(params, tx)
+
+    p1 = str(tmp_path / "with_ema")
+    save_train_state(p1, with_ema)
+    with pytest.raises(ValueError, match="contains 'ema_params'"):
+        restore_train_state(p1, without_ema)
+
+    p2 = str(tmp_path / "without_ema")
+    save_train_state(p2, without_ema)
+    with pytest.raises(ValueError, match="expects 'ema_params'"):
+        restore_train_state(p2, with_ema)
+
+
+def test_latest_checkpoint_skips_unfinalized(tmp_path):
+    from perceiverio_pytorch_tpu.training.checkpoint import latest_checkpoint
+
+    params = {"w": jnp.zeros((2,))}
+    state = create_train_state(params, optax.sgd(0.1))
+    good = str(tmp_path / "step_00000002")
+    save_train_state(good, state)
+    # newer but unfinalized (non-empty, no orbax finalization marker)
+    broken = tmp_path / "step_00000004"
+    broken.mkdir()
+    (broken / "d").mkdir()
+    assert latest_checkpoint(str(tmp_path)) == good
+
+
+def test_template_free_restore_zero_size_in_sequence(tmp_path):
+    """Zero-size leaves inside tuple state (sequence path keys) survive a
+    template-free restore -- orbax's dict layout uses string keys there."""
+    from perceiverio_pytorch_tpu.training.checkpoint import (
+        restore_variables,
+        save_variables,
+    )
+
+    tree = {"opt": ({"mu": jnp.zeros((1, 0), jnp.float32)},
+                    {"nu": jnp.ones((2,), jnp.float32)})}
+    path = str(tmp_path / "seq")
+    save_variables(path, tree)
+    restored = restore_variables(path)  # no template
+    leaves = jax.tree_util.tree_leaves(restored)
+    shapes = sorted(tuple(l.shape) for l in leaves)
+    assert (1, 0) in shapes
+
+
+def test_prefetch_consumer_drop_stops_worker():
+    import threading
+    import time as _time
+
+    from perceiverio_pytorch_tpu.training import prefetch_to_device
+
+    before = {t.name for t in threading.enumerate()}
+    it = prefetch_to_device(iter([(np.zeros(2),)] * 10), size=2)
+    next(it)
+    it.close()  # consumer walks away mid-stream
+    deadline = _time.time() + 5.0
+    while _time.time() < deadline:
+        alive = [
+            t for t in threading.enumerate()
+            if t.name == "prefetch_to_device" and t.name not in before
+        ]
+        if not alive:
+            break
+        _time.sleep(0.05)
+    assert not alive, "prefetch worker thread leaked after consumer drop"
+
+
+def test_batch_iterator_accepts_python_lists():
+    from perceiverio_pytorch_tpu.utils.data import epoch_batches
+
+    batches = list(epoch_batches(([1.0, 2.0, 3.0, 4.0], [0, 1, 0, 1]), 2,
+                                 shuffle=False))
+    assert len(batches) == 2
+    np.testing.assert_array_equal(batches[0][0], [1.0, 2.0])
+
+
+def test_ema_step_with_ema_free_state_raises():
+    from perceiverio_pytorch_tpu.training import make_train_step
+
+    def loss_fn(params, x):
+        return jnp.sum(params["w"] * x)
+
+    tx = optax.sgd(0.1)
+    state = create_train_state({"w": jnp.ones((2,))}, tx)  # no ema
+    step = make_train_step(loss_fn, tx, ema_decay=0.9)
+    with pytest.raises(ValueError, match="ema_decay"):
+        step(state, jnp.ones((2,)))
+
+
+def test_fit_resume_without_checkpoint_dir_raises():
+    def loss_fn(params, x):
+        return jnp.sum(params["w"] * x)
+
+    trainer = Trainer(loss_fn, optax.sgd(0.1))
+    state = trainer.init_state({"w": jnp.ones((2,))})
+    with pytest.raises(ValueError, match="checkpoint_dir"):
+        trainer.fit(state, iter([(jnp.ones((2,)),)]), num_steps=1, resume=True)
