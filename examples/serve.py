@@ -104,12 +104,63 @@ def serve_demo(out_dir: str, hw: int, batch_sizes=(1, 4, 16), requests: int = 20
         )
 
 
+def server_demo(out_dir: str, hw: int, clients: int = 24, max_batch: int = 8):
+    """Concurrent clients against the micro-batching server: requests
+    coalesce into bucketed device batches transparently."""
+    import threading
+
+    from perceiverio_pytorch_tpu import BatchingServer
+
+    with open(os.path.join(out_dir, "model.stablehlo"), "rb") as f:
+        fn = load_exported(f.read())
+    variables = restore_variables(os.path.join(out_dir, "weights"))
+    call = jax.jit(lambda x: fn(variables, x))
+    # warm the buckets so client latency is steady-state
+    for b in (1, 2, 4, 8):
+        if b <= max_batch:
+            np.asarray(call(jnp.zeros((b, 3, hw, hw), jnp.float32)))
+
+    server = BatchingServer(
+        lambda x: np.asarray(call(x)), max_batch=max_batch, max_wait_ms=3.0
+    )
+    rng = np.random.RandomState(0)
+    lat = []
+    lock = threading.Lock()
+
+    def client(i):
+        img = rng.uniform(-1, 1, (3, hw, hw)).astype(np.float32)
+        t0 = time.perf_counter()
+        out = server(img)
+        with lock:
+            lat.append(time.perf_counter() - t0)
+        assert out.shape[-1] >= 10
+
+    try:
+        threads = [threading.Thread(target=client, args=(i,)) for i in range(clients)]
+        t0 = time.perf_counter()
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        wall = time.perf_counter() - t0
+    finally:
+        server.stop()
+    lat.sort()
+    print(
+        f"server: {clients} concurrent clients, max_batch {max_batch}: "
+        f"p50 {lat[len(lat)//2]*1e3:.1f} ms  "
+        f"p99 {lat[-1]*1e3:.1f} ms  {clients/wall:.1f} req/s"
+    )
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="/tmp/perceiver_serve")
     ap.add_argument("--full-scale", action="store_true",
                     help="shipped ImageNet conv-prep config")
     ap.add_argument("--requests", type=int, default=20)
+    ap.add_argument("--server", action="store_true",
+                    help="also demo the micro-batching BatchingServer")
     args = ap.parse_args()
 
     build(args.out, args.full_scale)
@@ -119,6 +170,8 @@ def main():
         batch_sizes=(1, 4, 16) if args.full_scale else (1, 4),
         requests=args.requests,
     )
+    if args.server:
+        server_demo(args.out, hw=224 if args.full_scale else 32)
 
 
 if __name__ == "__main__":

@@ -49,3 +49,6 @@ from perceiverio_pytorch_tpu.serving import (  # noqa: F401
     export_apply,
     load_exported,
 )
+from perceiverio_pytorch_tpu.serving_server import (  # noqa: F401
+    BatchingServer,
+)

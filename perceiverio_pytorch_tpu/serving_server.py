@@ -1,0 +1,187 @@
+"""Micro-batching server: coalesce concurrent requests into device batches.
+
+The reference serves by calling the eager model per request; on TPU the
+economics are different — the MXU wants batches, XLA wants static shapes,
+and every dispatch pays fixed launch latency.  ``BatchingServer`` is the
+standard production answer: requests enqueue one example each; a single
+device worker drains the queue, pads the group to the next bucket size
+(static shapes → one compile per bucket, ever), runs the jitted function
+once, and resolves each request's future with its row.
+
+Works with any callable taking/returning pytrees whose array leaves have a
+leading batch axis — e.g. a closed-over ``model.apply`` or a
+``serving.load_exported`` artifact (``functools.partial(fn, variables)``).
+
+    server = BatchingServer(lambda x: serve_fn(variables, x),
+                            max_batch=16, max_wait_ms=2.0)
+    fut = server.submit(example)        # one example, NO batch dim
+    logits = fut.result()               # that example's output row
+    server.stop()
+
+Batching is transparent: outputs are identical to calling the function on
+a batch of one (tested), only latency/throughput change.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from typing import Any, Callable, Optional, Sequence
+
+import jax
+import numpy as np
+
+__all__ = ["BatchingServer"]
+
+
+def _default_buckets(max_batch: int) -> Sequence[int]:
+    out, b = [], 1
+    while b < max_batch:
+        out.append(b)
+        b *= 2
+    out.append(max_batch)
+    return out
+
+
+class BatchingServer:
+    """Coalesces ``submit`` calls into bucketed batches for a jitted fn.
+
+    Args:
+      fn: ``fn(batch_pytree) -> batch_pytree`` with aligned leading batch
+        axes (already closed over weights).  Called only from the worker
+        thread.
+      max_batch: largest batch per device call (also the largest bucket).
+      max_wait_ms: after the first request of a group arrives, wait at most
+        this long for more before dispatching.  0 dispatches immediately
+        (batches still form under sustained load via queue backlog).
+      batch_sizes: bucket sizes to pad to (sorted); defaults to powers of
+        two up to ``max_batch``.  Every padded shape is compiled once.
+    """
+
+    def __init__(
+        self,
+        fn: Callable[..., Any],
+        max_batch: int = 16,
+        max_wait_ms: float = 2.0,
+        batch_sizes: Optional[Sequence[int]] = None,
+    ):
+        if max_batch < 1:
+            raise ValueError(f"max_batch must be >= 1; got {max_batch}")
+        self._fn = fn
+        self._max_batch = max_batch
+        self._max_wait = max_wait_ms / 1e3
+        self._buckets = sorted(batch_sizes or _default_buckets(max_batch))
+        if self._buckets[-1] < max_batch:
+            raise ValueError(
+                f"largest bucket {self._buckets[-1]} < max_batch {max_batch}"
+            )
+        self._queue: "queue.Queue" = queue.Queue()
+        self._stopped = threading.Event()
+        self._worker = threading.Thread(
+            target=self._run, daemon=True, name="batching_server"
+        )
+        self._worker.start()
+
+    # -- client side -------------------------------------------------------
+
+    def submit(self, example: Any) -> Future:
+        """Enqueue one example (a pytree WITHOUT batch dim); returns a
+        Future resolving to that example's output row (batch dim removed)."""
+        if self._stopped.is_set():
+            raise RuntimeError("BatchingServer is stopped")
+        fut: Future = Future()
+        self._queue.put((example, fut))
+        return fut
+
+    def __call__(self, example: Any) -> Any:
+        """Blocking convenience wrapper around submit()."""
+        return self.submit(example).result()
+
+    def stop(self, drain: bool = True) -> None:
+        """Stop the worker.  ``drain=True`` serves queued requests first;
+        otherwise they fail with RuntimeError."""
+        self._stopped.set()
+        self._queue.put(None)  # wake the worker
+        self._worker.join()
+        # anything still queued after the worker exits
+        while True:
+            try:
+                item = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            if item is None:
+                continue
+            example, fut = item
+            if drain:
+                try:
+                    fut.set_result(self._call_batch([example])[0])
+                except BaseException as e:
+                    fut.set_exception(e)
+            else:
+                fut.set_exception(RuntimeError("BatchingServer stopped"))
+
+    # -- worker side -------------------------------------------------------
+
+    def _bucket(self, n: int) -> int:
+        for b in self._buckets:
+            if b >= n:
+                return b
+        return self._buckets[-1]
+
+    def _call_batch(self, examples) -> list:
+        n = len(examples)
+        pad_to = self._bucket(n)
+        stacked = jax.tree_util.tree_map(
+            lambda *leaves: np.stack(
+                list(leaves) + [leaves[-1]] * (pad_to - n)
+            ),
+            *examples,
+        )
+        out = self._fn(stacked)
+        rows = [
+            jax.tree_util.tree_map(lambda leaf: leaf[i], out)
+            for i in range(n)
+        ]
+        return rows
+
+    def _run(self) -> None:
+        while True:
+            item = self._queue.get()
+            if item is None:
+                if self._stopped.is_set():
+                    return
+                continue
+            group = [item]
+            t_end = time.perf_counter() + max(self._max_wait, 0.0)
+            while len(group) < self._max_batch:
+                remaining = t_end - time.perf_counter()
+                try:
+                    nxt = (
+                        self._queue.get_nowait()
+                        if remaining <= 0
+                        else self._queue.get(timeout=remaining)
+                    )
+                except queue.Empty:
+                    break
+                if nxt is None:
+                    if self._stopped.is_set():
+                        self._serve_group(group)
+                        return
+                    continue
+                group.append(nxt)
+            self._serve_group(group)
+            if self._stopped.is_set() and self._queue.empty():
+                return
+
+    def _serve_group(self, group) -> None:
+        examples = [ex for ex, _ in group]
+        try:
+            rows = self._call_batch(examples)
+        except BaseException as e:
+            for _, fut in group:
+                fut.set_exception(e)
+            return
+        for (_, fut), row in zip(group, rows):
+            fut.set_result(row)
