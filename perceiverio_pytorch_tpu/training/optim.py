@@ -57,6 +57,7 @@ def build_schedule(
 def build_optimizer(
     peak_lr: float,
     *,
+    optimizer: str = "adamw",
     schedule: str = "constant",
     total_steps: Optional[int] = None,
     warmup_steps: int = 0,
@@ -64,13 +65,22 @@ def build_optimizer(
     weight_decay: float = 0.0,
     b1: float = 0.9,
     b2: float = 0.999,
+    momentum: float = 0.9,
     clip_norm: Optional[float] = None,
     accum_steps: int = 1,
 ) -> optax.GradientTransformation:
-    """AdamW with optional schedule, global-norm clipping, and gradient
-    accumulation (``accum_steps`` micro-batches per optimizer update via
-    optax.MultiSteps -- the returned transformation still consumes one
-    micro-batch gradient per ``update`` call)."""
+    """A production optimizer chain with schedule, clipping, accumulation.
+
+    Args:
+      optimizer: "adamw" (default) | "adafactor" (factored second moments
+        -- roughly 1x-params optimizer HBM instead of adamw's 2x, the
+        standard choice for very large models on TPU) | "lion" (sign
+        momentum, 1x params) | "sgd" (momentum ``momentum``).  ``b1``/``b2``
+        apply to adamw and lion; ``weight_decay`` to all but sgd.
+      accum_steps: micro-batches per optimizer update via optax.MultiSteps
+        -- the returned transformation still consumes one micro-batch
+        gradient per ``update`` call.
+    """
     lr = build_schedule(
         peak_lr,
         schedule=schedule,
@@ -78,10 +88,25 @@ def build_optimizer(
         warmup_steps=warmup_steps,
         end_lr_ratio=end_lr_ratio,
     )
+    if optimizer == "adamw":
+        core = optax.adamw(lr, b1=b1, b2=b2, weight_decay=weight_decay)
+    elif optimizer == "adafactor":
+        core = optax.adafactor(
+            lr, weight_decay_rate=weight_decay or None
+        )
+    elif optimizer == "lion":
+        core = optax.lion(lr, b1=b1, b2=b2, weight_decay=weight_decay)
+    elif optimizer == "sgd":
+        core = optax.sgd(lr, momentum=momentum)
+    else:
+        raise ValueError(
+            "optimizer must be 'adamw', 'adafactor', 'lion' or 'sgd';"
+            f" got {optimizer!r}"
+        )
     parts = []
     if clip_norm is not None:
         parts.append(optax.clip_by_global_norm(clip_norm))
-    parts.append(optax.adamw(lr, b1=b1, b2=b2, weight_decay=weight_decay))
+    parts.append(core)
     tx = optax.chain(*parts)
     if accum_steps > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=accum_steps).gradient_transformation()

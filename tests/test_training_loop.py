@@ -762,3 +762,30 @@ def test_fit_resume_without_checkpoint_dir_raises():
     state = trainer.init_state({"w": jnp.ones((2,))})
     with pytest.raises(ValueError, match="checkpoint_dir"):
         trainer.fit(state, iter([(jnp.ones((2,)),)]), num_steps=1, resume=True)
+
+
+def test_build_optimizer_variants_step_and_reduce_loss():
+    """Each optimizer family drives the toy loss down and carries a state
+    shape the sharded builders can init (plain GradientTransformation)."""
+    from perceiverio_pytorch_tpu.training import build_optimizer, make_train_step
+
+    def loss_fn(params, x, y):
+        return jnp.mean((x @ params["w"] - y) ** 2)
+
+    rng = np.random.RandomState(7)
+    x = jnp.asarray(rng.randn(16, 4), jnp.float32)
+    w_true = rng.randn(4, 2).astype(np.float32)
+    y = jnp.asarray(x @ w_true, jnp.float32)
+
+    for name in ("adamw", "adafactor", "lion", "sgd"):
+        tx = build_optimizer(1e-2, optimizer=name, clip_norm=1.0)
+        state = create_train_state({"w": jnp.zeros((4, 2))}, tx)
+        step = make_train_step(loss_fn, tx, donate=False)
+        first = None
+        for _ in range(20):
+            state, loss = step(state, x, y)
+            first = float(loss) if first is None else first
+        assert float(loss) < first, f"{name} did not reduce the loss"
+
+    with pytest.raises(ValueError, match="optimizer must be"):
+        build_optimizer(1e-2, optimizer="adan")
