@@ -747,3 +747,31 @@ def test_sequence_parallel_auto_respects_backend_override(monkeypatch):
         sequence_parallel_attention(
             q, k, v, mesh, flash_min_shard=8, backend="tpu"
         )
+
+
+def test_sharded_train_step_with_adafactor():
+    """Adafactor's factored state (row/col vectors, scalars) must flow
+    through create_sharded_train_state's GSPMD init and the sharded step."""
+    from perceiverio_pytorch_tpu.training import (
+        build_optimizer,
+        create_sharded_train_state,
+        make_sharded_train_step,
+    )
+
+    def loss_fn(params, x, y):
+        return jnp.mean((x @ params["dense"]["kernel"] - y) ** 2)
+
+    mesh = make_mesh((4, 2))
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(8, 16), jnp.float32)
+    y = jnp.asarray(rng.randn(8, 4), jnp.float32)
+    params = {"dense": {"kernel": rng.randn(16, 4).astype(np.float32)}}
+    tx = build_optimizer(1e-2, optimizer="adafactor", clip_norm=1.0)
+
+    state = create_sharded_train_state(params, tx, mesh)
+    step = make_sharded_train_step(loss_fn, tx, mesh, state, num_batch_args=2)
+    first = None
+    for _ in range(5):
+        state, loss = step(state, x, y)
+        first = float(loss) if first is None else first
+    assert float(loss) < first
