@@ -64,12 +64,7 @@ def build(out_dir: str, full_scale: bool) -> None:
     artifact = os.path.join(out_dir, "model.stablehlo")
     with open(artifact, "wb") as f:
         f.write(blob)
-    weights_dir = os.path.join(out_dir, "weights")
-    if os.path.exists(weights_dir):  # orbax refuses to overwrite
-        import shutil
-
-        shutil.rmtree(weights_dir)
-    save_variables(weights_dir, variables)
+    save_variables(os.path.join(out_dir, "weights"), variables, overwrite=True)
     print(f"exported {len(blob)/1e6:.1f} MB artifact + weights to {out_dir}")
 
 

@@ -50,15 +50,23 @@ def _path_keys(path) -> list:
     return keys
 
 
-def save_variables(path: str, variables: Any) -> None:
+def save_variables(path: str, variables: Any, overwrite: bool = False) -> None:
     """Save a flax variables pytree to ``path`` (an empty/new directory).
 
     Zero-size leaves are masked for orbax (see _mask_zero_size) and their
     true shapes recorded in a sidecar JSON, so a template-free restore can
     reconstruct them exactly (a serving process has no model code to build
     a template from).
+
+    ``overwrite``: replace an existing checkpoint at ``path`` (orbax
+    refuses by default) -- used by the Trainer's periodic saves so a
+    resumed run can re-save a step it reaches again.
     """
     path = os.path.abspath(path)
+    if overwrite and os.path.isdir(path):
+        import shutil
+
+        shutil.rmtree(path)
     with ocp.StandardCheckpointer() as ckptr:
         ckptr.save(path, _mask_zero_size(variables))
     import json
@@ -177,7 +185,7 @@ def _checkpoint_top_keys(path: str) -> Optional[set]:
         return None
 
 
-def save_train_state(path: str, state: TrainState) -> None:
+def save_train_state(path: str, state: TrainState, overwrite: bool = False) -> None:
     tree = {
         "step": state.step,
         "params": state.params,
@@ -187,7 +195,7 @@ def save_train_state(path: str, state: TrainState) -> None:
         tree["model_state"] = state.model_state
     if state.ema_params is not None:
         tree["ema_params"] = state.ema_params
-    save_variables(path, tree)
+    save_variables(path, tree, overwrite=overwrite)
 
 
 def restore_train_state(path: str, template: TrainState) -> TrainState:

@@ -352,5 +352,6 @@ class Trainer:
                 save_train_state(
                     os.path.join(self.checkpoint_dir, f"step_{step_num:08d}"),
                     state,
+                    overwrite=True,  # a resumed run may reach this step again
                 )
         return state

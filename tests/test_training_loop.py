@@ -789,3 +789,37 @@ def test_build_optimizer_variants_step_and_reduce_loss():
 
     with pytest.raises(ValueError, match="optimizer must be"):
         build_optimizer(1e-2, optimizer="adan")
+
+
+def test_resume_overwrites_unfinalized_checkpoint(tmp_path):
+    """Crash-mid-save scenario: the newest step dir exists but was never
+    finalized; resume picks the previous good one, and re-reaching the
+    crashed step re-saves over the leftover directory."""
+    from perceiverio_pytorch_tpu.training.checkpoint import latest_checkpoint
+
+    def loss_fn(params, x, y):
+        return jnp.mean((x @ params["w"] - y) ** 2)
+
+    rng = np.random.RandomState(8)
+    batch = (rng.randn(8, 4).astype(np.float32),
+             rng.randn(8, 2).astype(np.float32))
+    ckpt_dir = str(tmp_path / "ckpts")
+
+    def make_trainer():
+        return Trainer(loss_fn, optax.sgd(0.1), checkpoint_dir=ckpt_dir,
+                       checkpoint_every=2, log_every=100)
+
+    t1 = make_trainer()
+    s1 = t1.init_state({"w": jnp.zeros((4, 2))})
+    t1.fit(s1, iter([batch] * 6), num_steps=6)  # ckpts at 2, 4, 6
+
+    # simulate the crash: step_00000006 exists but never finalized
+    os.remove(os.path.join(ckpt_dir, "step_00000006", "_CHECKPOINT_METADATA"))
+    assert latest_checkpoint(ckpt_dir).endswith("step_00000004")
+
+    t2 = make_trainer()
+    s2 = t2.init_state({"w": jnp.zeros((4, 2))})
+    s2 = t2.fit(s2, iter([batch] * 10), num_steps=6, resume=True)
+    assert int(s2.step) == 6
+    # the re-save finalized the once-broken checkpoint
+    assert latest_checkpoint(ckpt_dir).endswith("step_00000006")
