@@ -20,6 +20,7 @@ from perceiverio_pytorch_tpu.training.loop import (  # noqa: F401
 from perceiverio_pytorch_tpu.training.optim import (  # noqa: F401
     build_optimizer,
     build_schedule,
+    non_1d_weight_decay_mask,
 )
 from perceiverio_pytorch_tpu.training.data import (  # noqa: F401
     batch_iterator,

@@ -10,9 +10,21 @@ accumulator/moment tensors.
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Any, Callable, Optional, Union
 
+import jax
 import optax
+
+
+def non_1d_weight_decay_mask(params) -> Any:
+    """Decay-mask pytree: True only for leaves with ndim >= 2.
+
+    The standard production masking rule: weight matrices and conv kernels
+    are decayed; biases, LayerNorm scales/offsets, and other vector/scalar
+    leaves are not (they carry no capacity, and decaying them measurably
+    hurts).  Pass as ``build_optimizer(weight_decay_mask="non_1d")``.
+    """
+    return jax.tree_util.tree_map(lambda p: getattr(p, "ndim", 0) >= 2, params)
 
 
 def build_schedule(
@@ -63,6 +75,7 @@ def build_optimizer(
     warmup_steps: int = 0,
     end_lr_ratio: float = 0.0,
     weight_decay: float = 0.0,
+    weight_decay_mask: Union[str, Callable, Any, None] = None,
     b1: float = 0.9,
     b2: float = 0.999,
     momentum: float = 0.9,
@@ -80,6 +93,12 @@ def build_optimizer(
       accum_steps: micro-batches per optimizer update via optax.MultiSteps
         -- the returned transformation still consumes one micro-batch
         gradient per ``update`` call.
+      weight_decay_mask: which leaves ``weight_decay`` applies to.  None
+        (default) decays everything; ``"non_1d"`` decays only ndim>=2
+        leaves (kernels/conv filters -- skips biases and LayerNorm
+        scales/offsets, the standard production rule); or any optax mask
+        (a params->bool-pytree callable, or a bool pytree).  Ignored by
+        ``"sgd"``.
     """
     lr = build_schedule(
         peak_lr,
@@ -88,14 +107,27 @@ def build_optimizer(
         warmup_steps=warmup_steps,
         end_lr_ratio=end_lr_ratio,
     )
+    if weight_decay_mask == "non_1d":
+        mask = non_1d_weight_decay_mask
+    elif isinstance(weight_decay_mask, str):
+        raise ValueError(
+            "weight_decay_mask must be None, 'non_1d', a callable or a"
+            f" bool pytree; got {weight_decay_mask!r}"
+        )
+    else:
+        mask = weight_decay_mask
     if optimizer == "adamw":
-        core = optax.adamw(lr, b1=b1, b2=b2, weight_decay=weight_decay)
+        core = optax.adamw(
+            lr, b1=b1, b2=b2, weight_decay=weight_decay, mask=mask
+        )
     elif optimizer == "adafactor":
         core = optax.adafactor(
-            lr, weight_decay_rate=weight_decay or None
+            lr, weight_decay_rate=weight_decay or None, weight_decay_mask=mask
         )
     elif optimizer == "lion":
-        core = optax.lion(lr, b1=b1, b2=b2, weight_decay=weight_decay)
+        core = optax.lion(
+            lr, b1=b1, b2=b2, weight_decay=weight_decay, mask=mask
+        )
     elif optimizer == "sgd":
         core = optax.sgd(lr, momentum=momentum)
     else:
