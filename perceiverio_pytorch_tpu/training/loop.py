@@ -9,6 +9,8 @@ from __future__ import annotations
 
 import json
 import os
+import signal
+import threading
 import time
 from typing import Callable, Iterable, Optional
 
@@ -74,6 +76,36 @@ def _stack_groups(batches, group: int):
             buf = []
     if buf:
         yield tuple(_stack(parts) for parts in zip(*buf))
+
+
+class _PreemptionGuard:
+    """Turns SIGTERM (and optionally SIGINT) into a graceful-stop flag.
+
+    Preemptible/spot TPU VMs get SIGTERM with a grace window before the
+    machine disappears; the right response is to finish the in-flight step,
+    write a checkpoint, and exit cleanly so ``fit(resume=True)`` continues
+    from it.  Signal handlers can only be installed from the main thread --
+    elsewhere the guard degrades to a permanent no (no signal capture).
+    """
+
+    def __init__(self, signals=(signal.SIGTERM,)):
+        self._signals = signals
+        self._prev = {}
+        self.requested = False
+
+    def _handler(self, signum, frame):
+        self.requested = True
+
+    def __enter__(self):
+        if threading.current_thread() is threading.main_thread():
+            for s in self._signals:
+                self._prev[s] = signal.signal(s, self._handler)
+        return self
+
+    def __exit__(self, *exc):
+        for s, prev in self._prev.items():
+            signal.signal(s, prev)
+        return False
 
 
 class Trainer:
@@ -215,6 +247,12 @@ class Trainer:
         step budget, so a finished run restarts as a no-op.  The batch
         iterator is consumed from its current position (use a stateless
         shuffled stream, e.g. ``batch_iterator(..., epochs=None)``).
+
+        Preemption: while the loop runs, SIGTERM (what spot/preemptible TPU
+        VMs receive before eviction) requests a graceful stop -- the
+        in-flight step completes, a checkpoint is written (when
+        ``checkpoint_dir`` is set), ``preempted=True`` is logged, and
+        ``fit`` returns; rerun with ``resume=True`` to continue.
         """
         # A plain generator would be exhausted by the first evaluation and
         # every later eval would silently report 0.0; materialise it once
@@ -266,9 +304,6 @@ class Trainer:
                 with_metrics=self.log_grad_norm,
             )
 
-        def _crossed(step_num, prev_step, every):
-            return bool(every) and (step_num // every > prev_step // every)
-
         if group > 1:
             # num_steps that is not a multiple of the group overruns by at
             # most group-1 updates (inherent to multi-step dispatch).
@@ -290,6 +325,20 @@ class Trainer:
         window_start = t0
         step_num = int(state.step)
         window_step = step_num
+        with _PreemptionGuard() as guard:
+            state = self._fit_loop(
+                state, batches, num_steps, eval_batches, step_fn, group,
+                guard, step_num, t0, window_start, window_step,
+            )
+        return state
+
+    def _fit_loop(
+        self, state, batches, num_steps, eval_batches, step_fn, group,
+        guard, step_num, t0, window_start, window_step,
+    ):
+        def _crossed(step_num, prev_step, every):
+            return bool(every) and (step_num // every > prev_step // every)
+
         for batch in batches:
             if num_steps is not None and step_num >= num_steps:
                 break
@@ -354,4 +403,22 @@ class Trainer:
                     state,
                     overwrite=True,  # a resumed run may reach this step again
                 )
+            if guard.requested:
+                # SIGTERM landed (spot/preemptible eviction): the step that
+                # was in flight has completed, so checkpoint it and stop --
+                # fit(resume=True) picks up from exactly here.
+                if self.checkpoint_dir:
+                    from perceiverio_pytorch_tpu.training.checkpoint import (
+                        save_train_state,
+                    )
+
+                    save_train_state(
+                        os.path.join(
+                            self.checkpoint_dir, f"step_{step_num:08d}"
+                        ),
+                        state,
+                        overwrite=True,
+                    )
+                self.logger.log(step=int(step_num), preempted=True)
+                break
         return state
