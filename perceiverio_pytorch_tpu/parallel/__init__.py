@@ -18,3 +18,10 @@ from perceiverio_pytorch_tpu.parallel.api import (  # noqa: F401
 from perceiverio_pytorch_tpu.parallel.sequence_parallel import (  # noqa: F401
     sequence_parallel_attention,
 )
+from perceiverio_pytorch_tpu.parallel.multihost import (  # noqa: F401
+    initialize_distributed,
+    is_multihost,
+    local_batch_size,
+    shard_host_batch,
+    sync_hosts,
+)

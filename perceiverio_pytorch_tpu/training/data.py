@@ -108,6 +108,25 @@ def prefetch_to_device(
 
     if sharding is None:
         _put = jax.device_put
+    elif jax.process_count() > 1:
+        # Multi-host: each process holds only its local examples; assemble
+        # them into global arrays instead of device_put (which would demand
+        # globally-addressable data).
+        from jax.sharding import Sharding
+
+        def _put(batch):
+            if isinstance(sharding, Sharding):
+                return jax.tree_util.tree_map(
+                    lambda leaf: jax.make_array_from_process_local_data(
+                        sharding, leaf
+                    ),
+                    batch,
+                )
+            return jax.tree_util.tree_map(
+                lambda leaf, s: jax.make_array_from_process_local_data(s, leaf),
+                batch,
+                sharding,
+            )
     else:
         def _put(batch):
             return jax.device_put(batch, sharding)

@@ -185,6 +185,37 @@ def test_build_optimizer_schedule_clip_accum():
     )
 
 
+def test_weight_decay_mask_skips_1d_leaves():
+    """weight_decay_mask='non_1d' decays kernels but leaves biases/LN
+    scales untouched; adamw and lion honour it; bad strings are rejected."""
+    from perceiverio_pytorch_tpu.training import (
+        build_optimizer,
+        non_1d_weight_decay_mask,
+    )
+
+    params = {"w": jnp.ones((2, 2)), "b": jnp.ones((3,))}
+    mask = non_1d_weight_decay_mask(params)
+    assert mask == {"w": True, "b": False}
+
+    zero_g = {"w": jnp.zeros((2, 2)), "b": jnp.zeros((3,))}
+    for name in ("adamw", "lion", "adafactor"):
+        tx = build_optimizer(
+            0.1, optimizer=name, weight_decay=0.5, weight_decay_mask="non_1d"
+        )
+        # zero gradients isolate the decay term: masked leaves must not move
+        u, _ = tx.update(zero_g, tx.init(params), params)
+        assert float(jnp.abs(u["b"]).max()) == 0.0, name
+        assert float(jnp.abs(u["w"]).max()) > 0.0, name
+
+    # unmasked control: the bias decays too
+    tx_all = build_optimizer(0.1, weight_decay=0.5)
+    u_all, _ = tx_all.update(zero_g, tx_all.init(params), params)
+    assert float(jnp.abs(u_all["b"]).max()) > 0.0
+
+    with pytest.raises(ValueError, match="weight_decay_mask"):
+        build_optimizer(0.1, weight_decay=0.5, weight_decay_mask="non1d")
+
+
 def test_trainer_eval_hook(tmp_path):
     """eval_fn runs every eval_every steps over the eval batches and lands
     in the JSONL metrics."""
@@ -623,6 +654,60 @@ def test_trainer_resume_from_latest_checkpoint(tmp_path):
     s4 = make_trainer().init_state({"w": jnp.zeros((4, 2))})
     s4 = make_trainer().fit(s4, iter([batch] * 10), num_steps=6, resume=True)
     assert int(s4.step) == 6
+
+
+def test_trainer_preemption_checkpoints_and_resumes(tmp_path):
+    """SIGTERM mid-run (spot-VM eviction) completes the in-flight step,
+    writes a checkpoint, logs preempted=True, returns early; resume then
+    matches an uninterrupted run.  The handler is restored after fit."""
+    import os
+    import signal
+
+    from perceiverio_pytorch_tpu.training.checkpoint import latest_checkpoint
+
+    def loss_fn(params, x, y):
+        return jnp.mean((x @ params["w"] - y) ** 2)
+
+    rng = np.random.RandomState(7)
+    x = rng.randn(8, 4).astype(np.float32)
+    y = rng.randn(8, 2).astype(np.float32)
+
+    def batches():
+        for i in range(10):
+            if i == 3:  # delivered while the loop is mid-stream
+                os.kill(os.getpid(), signal.SIGTERM)
+            yield (x, y)
+
+    ckpt_dir = str(tmp_path / "ckpts")
+    metrics_path = str(tmp_path / "preempt.jsonl")
+    prev_handler = signal.getsignal(signal.SIGTERM)
+    t1 = Trainer(
+        loss_fn, optax.sgd(0.1), checkpoint_dir=ckpt_dir, log_every=100,
+        metrics_path=metrics_path,
+    )
+    s1 = t1.init_state({"w": jnp.zeros((4, 2))})
+    s1 = t1.fit(s1, batches(), num_steps=10)
+    assert signal.getsignal(signal.SIGTERM) is prev_handler
+    # the signal fired while batch 3 (0-based) was being fetched; that step
+    # still ran, then the loop stopped: 4 of the 10 budgeted steps.
+    assert int(s1.step) == 4
+    assert latest_checkpoint(ckpt_dir).endswith("step_00000004")
+    lines = [json.loads(l) for l in open(metrics_path)]
+    assert lines[-1] == {"step": 4, "preempted": True}
+
+    # resume to the full budget and match an uninterrupted control run
+    t2 = Trainer(
+        loss_fn, optax.sgd(0.1), checkpoint_dir=ckpt_dir, log_every=100
+    )
+    s2 = t2.init_state({"w": jnp.zeros((4, 2))})
+    s2 = t2.fit(s2, iter([(x, y)] * 10), num_steps=6, resume=True)
+    assert int(s2.step) == 6
+    t3 = Trainer(loss_fn, optax.sgd(0.1), log_every=100)
+    s3 = t3.init_state({"w": jnp.zeros((4, 2))})
+    s3 = t3.fit(s3, iter([(x, y)] * 6), num_steps=6)
+    np.testing.assert_allclose(
+        np.asarray(s2.params["w"]), np.asarray(s3.params["w"]), rtol=1e-6
+    )
 
 
 def test_evaluate_uses_ema_params_when_present():
