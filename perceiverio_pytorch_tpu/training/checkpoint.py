@@ -167,6 +167,46 @@ def latest_checkpoint(checkpoint_dir: str) -> Optional[str]:
     return best
 
 
+def prune_checkpoints(checkpoint_dir: str, keep: int) -> list:
+    """Delete all but the newest ``keep`` finalized step checkpoints.
+
+    Long runs otherwise accumulate a full TrainState (params + optimizer
+    moments + EMA) every ``checkpoint_every`` steps.  Unfinalized leftovers
+    (crash mid-save) OLDER than the newest finalized checkpoint are also
+    removed -- they can never be resumed from and will never be reached and
+    overwritten again.  Returns the removed paths.
+    """
+    if keep <= 0:
+        raise ValueError(f"keep must be positive; got {keep}")
+    if not os.path.isdir(checkpoint_dir):
+        return []
+    finalized, unfinalized = [], []
+    for name in os.listdir(checkpoint_dir):
+        if not name.startswith("step_"):
+            continue
+        try:
+            step = int(name[len("step_"):])
+        except ValueError:
+            continue
+        full = os.path.join(checkpoint_dir, name)
+        if not os.path.isdir(full):
+            continue
+        if os.path.exists(os.path.join(full, "_CHECKPOINT_METADATA")):
+            finalized.append((step, full))
+        else:
+            unfinalized.append((step, full))
+    finalized.sort()
+    doomed = [p for _, p in finalized[:-keep]] if len(finalized) > keep else []
+    if finalized:
+        newest = finalized[-1][0]
+        doomed += [p for s, p in unfinalized if s < newest]
+    import shutil
+
+    for path in doomed:
+        shutil.rmtree(path)
+    return doomed
+
+
 def _checkpoint_top_keys(path: str) -> Optional[set]:
     """Top-level tree keys recorded in the checkpoint's orbax metadata, or
     None when the metadata layout is unknown (legacy behaviour: no check)."""

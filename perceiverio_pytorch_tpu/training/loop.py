@@ -123,6 +123,13 @@ class Trainer:
         model_state, mirroring loss_fn's signature minus the aux return);
         run over ``eval_batches`` every ``eval_every`` steps and logged as
         ``eval_loss``.
+      checkpoint_keep: retain only the newest N periodic checkpoints
+        (pruned after each save; crashed partial saves older than the
+        newest good one are swept too).  0 (default) keeps everything.
+      checkpoint_final: also checkpoint the returned state when ``fit``
+        ends for any reason other than an exactly-at-a-save-point stop
+        (budget reached, stream exhausted) so the end of the run is never
+        lost to the ``checkpoint_every`` grid.
       ema_decay: maintain an exponential moving average of params in
         ``state.ema_params`` (evaluate/export with those for the usual
         late-training stability win).  Fused into the train step.
@@ -153,6 +160,8 @@ class Trainer:
         log_every: int = 10,
         checkpoint_dir: Optional[str] = None,
         checkpoint_every: int = 0,
+        checkpoint_keep: int = 0,
+        checkpoint_final: bool = False,
         with_model_state: bool = False,
         eval_fn: Optional[Callable] = None,
         eval_every: int = 0,
@@ -170,6 +179,8 @@ class Trainer:
         self.log_every = log_every
         self.checkpoint_dir = checkpoint_dir
         self.checkpoint_every = checkpoint_every
+        self.checkpoint_keep = int(checkpoint_keep)
+        self.checkpoint_final = checkpoint_final
         self.eval_fn = eval_fn
         self.eval_every = eval_every
         self.steps_per_call = max(int(steps_per_call), 1)
@@ -339,6 +350,8 @@ class Trainer:
         def _crossed(step_num, prev_step, every):
             return bool(every) and (step_num // every > prev_step // every)
 
+        start_step = step_num
+        last_saved = -1
         for batch in batches:
             if num_steps is not None and step_num >= num_steps:
                 break
@@ -394,31 +407,36 @@ class Trainer:
             if self.checkpoint_dir and _crossed(
                 step_num, prev_step, self.checkpoint_every
             ):
-                from perceiverio_pytorch_tpu.training.checkpoint import (
-                    save_train_state,
-                )
-
-                save_train_state(
-                    os.path.join(self.checkpoint_dir, f"step_{step_num:08d}"),
-                    state,
-                    overwrite=True,  # a resumed run may reach this step again
-                )
+                self._save_checkpoint(state, step_num)
+                last_saved = step_num
             if guard.requested:
                 # SIGTERM landed (spot/preemptible eviction): the step that
                 # was in flight has completed, so checkpoint it and stop --
                 # fit(resume=True) picks up from exactly here.
-                if self.checkpoint_dir:
-                    from perceiverio_pytorch_tpu.training.checkpoint import (
-                        save_train_state,
-                    )
-
-                    save_train_state(
-                        os.path.join(
-                            self.checkpoint_dir, f"step_{step_num:08d}"
-                        ),
-                        state,
-                        overwrite=True,
-                    )
+                if self.checkpoint_dir and last_saved != step_num:
+                    self._save_checkpoint(state, step_num)
+                    last_saved = step_num
                 self.logger.log(step=int(step_num), preempted=True)
                 break
+        if (
+            self.checkpoint_final
+            and self.checkpoint_dir
+            and last_saved != step_num
+            and step_num > start_step
+        ):
+            self._save_checkpoint(state, step_num)
         return state
+
+    def _save_checkpoint(self, state, step_num: int) -> None:
+        from perceiverio_pytorch_tpu.training.checkpoint import (
+            prune_checkpoints,
+            save_train_state,
+        )
+
+        save_train_state(
+            os.path.join(self.checkpoint_dir, f"step_{step_num:08d}"),
+            state,
+            overwrite=True,  # a resumed run may reach this step again
+        )
+        if self.checkpoint_keep > 0:
+            prune_checkpoints(self.checkpoint_dir, self.checkpoint_keep)

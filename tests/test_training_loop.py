@@ -710,6 +710,61 @@ def test_trainer_preemption_checkpoints_and_resumes(tmp_path):
     )
 
 
+def test_checkpoint_retention_and_final_save(tmp_path):
+    """checkpoint_keep prunes to the newest N (sweeping stale partial
+    saves); checkpoint_final checkpoints off-grid ends; resume still works
+    from the pruned directory."""
+    import os
+
+    from perceiverio_pytorch_tpu.training.checkpoint import (
+        latest_checkpoint,
+        prune_checkpoints,
+    )
+
+    def loss_fn(params, x, y):
+        return jnp.mean((x @ params["w"] - y) ** 2)
+
+    rng = np.random.RandomState(8)
+    x = rng.randn(8, 4).astype(np.float32)
+    y = rng.randn(8, 2).astype(np.float32)
+    ckpt_dir = str(tmp_path / "ckpts")
+
+    # a stale unfinalized leftover (crash mid-save at step 2)
+    os.makedirs(os.path.join(ckpt_dir, "step_00000002"))
+
+    t = Trainer(
+        loss_fn, optax.sgd(0.1), checkpoint_dir=ckpt_dir, log_every=100,
+        checkpoint_every=4, checkpoint_keep=2, checkpoint_final=True,
+    )
+    s = t.init_state({"w": jnp.zeros((4, 2))})
+    s = t.fit(s, iter([(x, y)] * 14), num_steps=14)
+    # periodic saves at 4, 8, 12 + final save at 14, pruned to the newest
+    # two throughout; the stale step_2 partial is swept
+    names = sorted(n for n in os.listdir(ckpt_dir) if n.startswith("step_"))
+    assert names == ["step_00000012", "step_00000014"]
+    assert latest_checkpoint(ckpt_dir).endswith("step_00000014")
+
+    # resume from the pruned dir continues to a larger budget
+    t2 = Trainer(
+        loss_fn, optax.sgd(0.1), checkpoint_dir=ckpt_dir, log_every=100,
+        checkpoint_final=True,
+    )
+    s2 = t2.init_state({"w": jnp.zeros((4, 2))})
+    s2 = t2.fit(s2, iter([(x, y)] * 10), num_steps=16, resume=True)
+    assert int(s2.step) == 16
+    assert latest_checkpoint(ckpt_dir).endswith("step_00000016")
+
+    # a finished run restarted with checkpoint_final does NOT re-save
+    # (zero steps ran): the newest checkpoint is untouched
+    before = os.path.getmtime(latest_checkpoint(ckpt_dir))
+    s3 = t2.init_state({"w": jnp.zeros((4, 2))})
+    t2.fit(s3, iter([(x, y)] * 4), num_steps=16, resume=True)
+    assert os.path.getmtime(latest_checkpoint(ckpt_dir)) == before
+
+    with pytest.raises(ValueError, match="keep must be positive"):
+        prune_checkpoints(ckpt_dir, 0)
+
+
 def test_evaluate_uses_ema_params_when_present():
     """With ema_decay, the periodic eval runs on the averaged weights; an
     eval_fn that depends on params distinguishes the two."""
