@@ -148,6 +148,53 @@ def server_demo(out_dir: str, hw: int, clients: int = 24, max_batch: int = 8):
     )
 
 
+def http_demo(out_dir: str, hw: int, clients: int = 12, max_batch: int = 8):
+    """The same coalescing over a real network protocol: concurrent HTTP
+    clients against HttpFrontend + BatchingServer."""
+    import json
+    import threading
+    import urllib.request
+
+    from perceiverio_pytorch_tpu import BatchingServer, HttpFrontend
+
+    with open(os.path.join(out_dir, "model.stablehlo"), "rb") as f:
+        fn = load_exported(f.read())
+    variables = restore_variables(os.path.join(out_dir, "weights"))
+    call = jax.jit(lambda x: fn(variables, x))
+    server = BatchingServer(
+        lambda x: np.asarray(call(x["image"])),
+        max_batch=max_batch, max_wait_ms=3.0,
+    )
+    front = HttpFrontend(server, port=0).start()
+    rng = np.random.RandomState(0)
+    ok = []
+
+    def client(i):
+        img = rng.uniform(-1, 1, (3, hw, hw)).astype(np.float32)
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{front.port}/v1/infer",
+            data=json.dumps({"inputs": {"image": img.tolist()}}).encode(),
+            method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=120) as resp:
+            body = json.loads(resp.read())
+        ok.append(len(body["outputs"]) >= 10)
+
+    try:
+        t0 = time.perf_counter()
+        threads = [threading.Thread(target=client, args=(i,)) for i in range(clients)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        wall = time.perf_counter() - t0
+    finally:
+        front.stop()
+        server.stop()
+    assert all(ok) and len(ok) == clients
+    print(f"http: {clients} concurrent clients over HTTP: {clients/wall:.1f} req/s")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="/tmp/perceiver_serve")
@@ -156,6 +203,8 @@ def main():
     ap.add_argument("--requests", type=int, default=20)
     ap.add_argument("--server", action="store_true",
                     help="also demo the micro-batching BatchingServer")
+    ap.add_argument("--http", action="store_true",
+                    help="also demo the HTTP front-end (JSON protocol)")
     args = ap.parse_args()
 
     build(args.out, args.full_scale)
@@ -167,6 +216,8 @@ def main():
     )
     if args.server:
         server_demo(args.out, hw=224 if args.full_scale else 32)
+    if args.http:
+        http_demo(args.out, hw=224 if args.full_scale else 32)
 
 
 if __name__ == "__main__":

@@ -52,3 +52,6 @@ from perceiverio_pytorch_tpu.serving import (  # noqa: F401
 from perceiverio_pytorch_tpu.serving_server import (  # noqa: F401
     BatchingServer,
 )
+from perceiverio_pytorch_tpu.serving_http import (  # noqa: F401
+    HttpFrontend,
+)

@@ -1,0 +1,155 @@
+"""HTTP front-end for the micro-batching server (stdlib only).
+
+The reference has no serving story at all; serving_server.BatchingServer
+provides the device-side economics (bucketed static-shape batches), and
+this module puts a network protocol in front of it so non-Python clients
+can use a served model.  Threaded stdlib ``http.server`` is deliberate:
+each request blocks its own handler thread on the BatchingServer future,
+so CONCURRENT requests are exactly what coalesces into one device batch —
+the server's throughput win appears under real network load (tested).
+
+Protocol (JSON):
+
+    POST /v1/infer   {"inputs": <pytree>}   ->  {"outputs": <pytree>}
+    GET  /healthz                           ->  {"status": "ok"}
+
+Pytree convention: JSON objects are structure, JSON arrays are array
+leaves (one example, NO batch dim; the server adds and strips it).
+Numeric leaves land as float32/int32/bool — the TPU-native dtypes.
+
+    server = BatchingServer(lambda x: jitted(variables, x), max_batch=16)
+    front = HttpFrontend(server, port=8000)
+    front.start()           # serves until stop()
+    ...
+    front.stop()
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any, Callable, Optional
+
+import jax
+import numpy as np
+
+from perceiverio_pytorch_tpu.serving_server import BatchingServer
+
+__all__ = ["HttpFrontend", "decode_inputs", "encode_outputs"]
+
+
+def _to_array(leaf) -> np.ndarray:
+    a = np.asarray(leaf)
+    if a.dtype.kind == "f":
+        return a.astype(np.float32)
+    if a.dtype.kind in "iu":
+        return a.astype(np.int32)
+    if a.dtype.kind == "b":
+        return a
+    raise ValueError(f"unsupported input dtype {a.dtype} (leaf {leaf!r:.80})")
+
+
+def decode_inputs(obj: Any) -> Any:
+    """JSON value -> pytree: objects are structure, arrays/scalars are
+    numpy leaves (float32 / int32 / bool)."""
+    if isinstance(obj, dict):
+        return {k: decode_inputs(v) for k, v in obj.items()}
+    return _to_array(obj)
+
+
+def encode_outputs(tree: Any) -> Any:
+    """Pytree of arrays -> JSON-serialisable nested lists."""
+    return jax.tree_util.tree_map(lambda leaf: np.asarray(leaf).tolist(), tree)
+
+
+class HttpFrontend:
+    """Serve a BatchingServer over HTTP (stdlib ThreadingHTTPServer).
+
+    Args:
+      server: the BatchingServer (or any object with ``submit(example) ->
+        Future``) handling the device side.
+      host/port: bind address; ``port=0`` picks a free port (read it back
+        from ``.port`` — the pattern tests use).
+      decode/encode: override the JSON<->pytree codecs (e.g. to accept a
+        base64 tensor format); signatures match ``decode_inputs`` /
+        ``encode_outputs``.
+    """
+
+    def __init__(
+        self,
+        server: BatchingServer,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        decode: Optional[Callable[[Any], Any]] = None,
+        encode: Optional[Callable[[Any], Any]] = None,
+    ):
+        self._server = server
+        self._decode = decode or decode_inputs
+        self._encode = encode or encode_outputs
+        frontend = self
+
+        class _Handler(BaseHTTPRequestHandler):
+            # quiet by default; errors still reach the client as JSON
+            def log_message(self, fmt, *args):  # noqa: D401
+                pass
+
+            def _reply(self, code: int, payload: dict) -> None:
+                body = json.dumps(payload).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                if self.path == "/healthz":
+                    self._reply(200, {"status": "ok"})
+                else:
+                    self._reply(404, {"error": f"no route {self.path}"})
+
+            def do_POST(self):
+                if self.path != "/v1/infer":
+                    self._reply(404, {"error": f"no route {self.path}"})
+                    return
+                try:
+                    length = int(self.headers.get("Content-Length", 0))
+                    payload = json.loads(self.rfile.read(length))
+                    example = frontend._decode(payload["inputs"])
+                except (KeyError, ValueError, json.JSONDecodeError) as e:
+                    self._reply(400, {"error": f"bad request: {e}"})
+                    return
+                try:
+                    # blocks THIS handler thread; concurrent requests pile
+                    # into the BatchingServer queue and share a device batch
+                    row = frontend._server.submit(example).result()
+                    self._reply(200, {"outputs": frontend._encode(row)})
+                except Exception as e:  # model/shape errors -> 500
+                    self._reply(500, {"error": str(e)})
+
+        self._httpd = ThreadingHTTPServer((host, port), _Handler)
+        self._thread: Optional[threading.Thread] = None
+
+    @property
+    def port(self) -> int:
+        return self._httpd.server_address[1]
+
+    def start(self) -> "HttpFrontend":
+        """Serve on a daemon thread; returns self (so
+        ``HttpFrontend(...).start()`` chains)."""
+        if self._thread is not None:
+            raise RuntimeError("HttpFrontend already started")
+        self._thread = threading.Thread(
+            target=self._httpd.serve_forever, daemon=True, name="http_frontend"
+        )
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        """Stop accepting connections (the BatchingServer is left running —
+        stop it separately; it may be shared)."""
+        self._httpd.shutdown()
+        self._httpd.server_close()
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None

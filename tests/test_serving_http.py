@@ -1,0 +1,129 @@
+"""HTTP front-end over the micro-batching server (serving_http.py)."""
+
+import json
+import threading
+import urllib.error
+import urllib.request
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from perceiverio_pytorch_tpu.serving_http import (
+    HttpFrontend,
+    decode_inputs,
+    encode_outputs,
+)
+from perceiverio_pytorch_tpu.serving_server import BatchingServer
+
+
+def _post(port, payload, path="/v1/infer"):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}{path}",
+        data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"},
+        method="POST",
+    )
+    with urllib.request.urlopen(req, timeout=30) as resp:
+        return resp.status, json.loads(resp.read())
+
+
+def test_decode_encode_roundtrip_dtypes():
+    tree = decode_inputs({"x": [[1.5, 2.0]], "y": [1, 2], "m": [True]})
+    assert tree["x"].dtype == np.float32
+    assert tree["y"].dtype == np.int32
+    assert tree["m"].dtype == np.bool_
+    out = encode_outputs({"z": jnp.asarray([[1.0, 2.0]])})
+    assert out == {"z": [[1.0, 2.0]]}
+    with pytest.raises(ValueError, match="unsupported input dtype"):
+        decode_inputs({"s": ["a", "b"]})
+
+
+def test_http_frontend_serves_and_batches():
+    """Concurrent HTTP requests return per-example results identical to the
+    direct computation, and coalesce into shared device batches."""
+    w = np.arange(6, dtype=np.float32).reshape(3, 2)
+    batch_sizes = []
+
+    @jax.jit
+    def _matmul(batch):
+        return {"y": batch["x"] @ w}
+
+    def fn(batch):
+        batch_sizes.append(batch["x"].shape[0])
+        return _matmul(batch)
+
+    server = BatchingServer(fn, max_batch=8, max_wait_ms=150.0)
+    front = HttpFrontend(server, port=0).start()
+    try:
+        port = front.port
+
+        # health + routing
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/healthz", timeout=10
+        ) as resp:
+            assert json.loads(resp.read()) == {"status": "ok"}
+
+        rng = np.random.RandomState(0)
+        examples = [rng.randn(4, 3).astype(np.float32) for _ in range(6)]
+        results = [None] * len(examples)
+
+        def call(i):
+            status, body = _post(port, {"inputs": {"x": examples[i].tolist()}})
+            assert status == 200
+            results[i] = np.asarray(body["outputs"]["y"], np.float32)
+
+        threads = [
+            threading.Thread(target=call, args=(i,))
+            for i in range(len(examples))
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        for ex, got in zip(examples, results):
+            np.testing.assert_allclose(got, ex @ w, rtol=1e-6)
+        # the 150 ms collection window coalesced the burst
+        assert max(batch_sizes) > 1
+    finally:
+        front.stop()
+        server.stop()
+
+
+def test_http_frontend_error_codes():
+    server = BatchingServer(
+        lambda b: {"y": b["x"] @ np.eye(3, dtype=np.float32)},
+        max_batch=4,
+        max_wait_ms=0.0,
+    )
+    front = HttpFrontend(server, port=0).start()
+    try:
+        port = front.port
+        # 404
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(port, {"inputs": {"x": [[1.0]]}}, path="/v1/nope")
+        assert e.value.code == 404
+        # 400: missing "inputs"
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(port, {"not_inputs": 1})
+        assert e.value.code == 400
+        assert "bad request" in json.loads(e.value.read())["error"]
+        # 500: model-side shape error propagates as JSON
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(port, {"inputs": {"x": [[1.0, 2.0]]}})  # wants width 3
+        assert e.value.code == 500
+    finally:
+        front.stop()
+        server.stop()
+
+
+def test_http_frontend_double_start_rejected():
+    server = BatchingServer(lambda b: b, max_batch=2, max_wait_ms=0.0)
+    front = HttpFrontend(server, port=0).start()
+    try:
+        with pytest.raises(RuntimeError, match="already started"):
+            front.start()
+    finally:
+        front.stop()
+        server.stop()
