@@ -81,6 +81,7 @@ def build_optimizer(
     momentum: float = 0.9,
     clip_norm: Optional[float] = None,
     accum_steps: int = 1,
+    skip_nonfinite_updates: int = 0,
 ) -> optax.GradientTransformation:
     """A production optimizer chain with schedule, clipping, accumulation.
 
@@ -93,6 +94,11 @@ def build_optimizer(
       accum_steps: micro-batches per optimizer update via optax.MultiSteps
         -- the returned transformation still consumes one micro-batch
         gradient per ``update`` call.
+      skip_nonfinite_updates: > 0 guards against NaN/Inf gradients (bf16
+        training spikes, bad batches): a non-finite update is dropped —
+        params, moments, and schedule step untouched — unless that many
+        arrive consecutively, after which the update is accepted as a real
+        divergence to surface rather than mask (optax.apply_if_finite).
       weight_decay_mask: which leaves ``weight_decay`` applies to.  None
         (default) decays everything; ``"non_1d"`` decays only ndim>=2
         leaves (kernels/conv filters -- skips biases and LayerNorm
@@ -140,6 +146,10 @@ def build_optimizer(
         parts.append(optax.clip_by_global_norm(clip_norm))
     parts.append(core)
     tx = optax.chain(*parts)
+    if skip_nonfinite_updates > 0:
+        # wraps the WHOLE chain: a NaN gradient must not advance the
+        # schedule or pollute the clip statistics either
+        tx = optax.apply_if_finite(tx, skip_nonfinite_updates)
     if accum_steps > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=accum_steps).gradient_transformation()
     return tx

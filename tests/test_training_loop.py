@@ -216,6 +216,30 @@ def test_weight_decay_mask_skips_1d_leaves():
         build_optimizer(0.1, weight_decay=0.5, weight_decay_mask="non1d")
 
 
+def test_skip_nonfinite_updates_drops_bad_gradients():
+    """A NaN gradient leaves params and moments untouched; finite ones
+    still apply; persistent non-finites get accepted after the limit."""
+    from perceiverio_pytorch_tpu.training import build_optimizer
+
+    tx = build_optimizer(0.1, skip_nonfinite_updates=2)
+    params = {"w": jnp.ones((3,))}
+    st = tx.init(params)
+    good = {"w": jnp.full((3,), 1.0)}
+    bad = {"w": jnp.array([1.0, jnp.nan, 1.0])}
+
+    u, st = tx.update(bad, st, params)
+    assert float(jnp.abs(u["w"]).max()) == 0.0  # dropped
+    u, st = tx.update(good, st, params)
+    assert float(jnp.abs(u["w"]).max()) > 0.0  # finite applies
+    # two consecutive bad ones exhaust the limit; the third is accepted
+    u, st = tx.update(bad, st, params)
+    assert float(jnp.abs(u["w"]).max()) == 0.0
+    u, st = tx.update(bad, st, params)
+    assert float(jnp.abs(u["w"]).max()) == 0.0
+    u, st = tx.update(bad, st, params)
+    assert not bool(jnp.isfinite(u["w"]).all())  # surfaced, not masked
+
+
 def test_trainer_eval_hook(tmp_path):
     """eval_fn runs every eval_every steps over the eval batches and lands
     in the JSONL metrics."""
