@@ -70,6 +70,81 @@ def test_language_parity():
 
 
 @requires_reference
+def test_language_gradient_parity():
+    """TRAINING numerics oracle: dL/dparam matches torch autograd.
+
+    The forward parity tests certify inference; this certifies the
+    backward graph (tied-embedding double accumulation, post-matmul
+    scaling, mask fill) by comparing every parameter gradient.  Torch
+    grads are pushed through the SAME checkpoint adapter as the weights —
+    the layout transposes (Linear w.T etc., utils/utils.py:143-180) are
+    linear, so they map gradients exactly as they map parameters.
+    """
+    import torch
+    from perceiver_io.language_perceiver import LanguagePerceiver as TorchLanguage
+
+    from perceiverio_pytorch_tpu.models import LanguagePerceiver
+
+    kwargs = dict(
+        vocab_size=262,
+        max_seq_len=32,
+        embed_dim=16,
+        num_self_attends_per_block=2,
+        num_blocks=1,
+        num_latents=8,
+        num_latent_channels=64,
+    )
+    torch_model = TorchLanguage(**kwargs).train()
+    sd = randomize_state_dict(torch_model, seed=3)
+
+    rng = np.random.RandomState(3)
+    tokens = rng.randint(0, 262, (2, 32)).astype(np.int64)
+    mask = np.ones((2, 32), bool)
+    mask[:, 24:] = False
+    target = rng.randn(2, 32, 262).astype(np.float32)
+
+    out = torch_model(torch.from_numpy(tokens), torch.from_numpy(mask))
+    loss = ((out - torch.from_numpy(target)) ** 2).mean()
+    loss.backward()
+    grad_sd = {
+        k: v.grad.clone()
+        for k, v in torch_model.state_dict(keep_vars=True).items()
+        if v.grad is not None
+    }
+
+    model = LanguagePerceiver(**kwargs)
+    template = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.asarray(tokens), jnp.asarray(mask)
+    )
+    variables, _ = convert_state_dict(sd, template, LANGUAGE_OVERRIDES)
+
+    def loss_fn(params):
+        logits = model.apply(
+            {**variables, "params": params},
+            jnp.asarray(tokens),
+            jnp.asarray(mask),
+        )
+        return jnp.mean((logits - jnp.asarray(target)) ** 2)
+
+    l_jax, grads = jax.jit(jax.value_and_grad(loss_fn))(variables["params"])
+    np.testing.assert_allclose(float(l_jax), float(loss.detach()), rtol=1e-5)
+
+    # map the torch grads into our tree with the weight adapter
+    grad_vars, _ = convert_state_dict(grad_sd, template, LANGUAGE_OVERRIDES)
+    flat_ours = jax.tree_util.tree_flatten_with_path(grads)[0]
+    flat_ref = dict(jax.tree_util.tree_flatten_with_path(grad_vars["params"])[0])
+    checked = 0
+    for path, g in flat_ours:
+        ref = flat_ref[path]
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(ref), rtol=2e-4, atol=1e-6,
+            err_msg=jax.tree_util.keystr(path),
+        )
+        checked += 1
+    assert checked == len(flat_ref) and checked > 20
+
+
+@requires_reference
 @pytest.mark.parametrize("prep", ["FOURIER_POS_CONVNET", "LEARNED_POS_1X1CONV", "FOURIER_POS_PIXEL"])
 def test_classification_parity(prep):
     import torch
@@ -107,6 +182,71 @@ def test_classification_parity(prep):
     out = np.asarray(jax.jit(model.apply)(variables, jnp.asarray(img)))
     assert out.shape == torch_out.shape
     np.testing.assert_allclose(out, torch_out, **TOL)
+
+
+@requires_reference
+def test_classification_gradient_parity_convnet():
+    """Gradient oracle through the conv pathway: conv kernels, BatchNorm
+    affine (eval mode -- EMA-stat normalization on both sides), maxpool
+    routing, and the classification head all backpropagate identically."""
+    import torch
+    from perceiver_io.classification_perceiver import (
+        ClassificationPerceiver as TorchClassification,
+        PrepType as TorchPrepType,
+    )
+
+    from perceiverio_pytorch_tpu.models import ClassificationPerceiver, PrepType
+
+    kwargs = dict(
+        num_classes=7,
+        img_size=(32, 32),
+        num_self_attends_per_block=2,
+        num_blocks=1,
+        num_latents=8,
+        num_latent_channels=32,
+    )
+    torch_model = TorchClassification(
+        prep_type=TorchPrepType.FOURIER_POS_CONVNET, **kwargs
+    ).eval()
+    sd = randomize_state_dict(torch_model, seed=4)
+
+    rng = np.random.RandomState(4)
+    img = rng.randn(2, 3, 32, 32).astype(np.float32)
+    target = rng.randn(2, 7).astype(np.float32)
+
+    out = torch_model(torch.from_numpy(img))
+    ((out - torch.from_numpy(target)) ** 2).mean().backward()
+    grad_sd = {
+        # BN running stats are buffers without grads; zero-fill so the
+        # adapter's template walk (which expects every leaf) stays happy
+        k: (v.grad.clone() if getattr(v, "grad", None) is not None
+            else torch.zeros_like(v))
+        for k, v in torch_model.state_dict(keep_vars=True).items()
+    }
+
+    model = ClassificationPerceiver(
+        prep_type=PrepType.FOURIER_POS_CONVNET, **kwargs
+    )
+    template = jax.jit(model.init)(jax.random.PRNGKey(0), jnp.asarray(img))
+    variables, _ = convert_state_dict(sd, template)
+
+    def loss_fn(params):
+        logits = model.apply({**variables, "params": params}, jnp.asarray(img))
+        return jnp.mean((logits - jnp.asarray(target)) ** 2)
+
+    grads = jax.jit(jax.grad(loss_fn))(variables["params"])
+    grad_vars, _ = convert_state_dict(grad_sd, template)
+    flat_ref = dict(
+        jax.tree_util.tree_flatten_with_path(grad_vars["params"])[0]
+    )
+    checked = 0
+    for path, g in jax.tree_util.tree_flatten_with_path(grads)[0]:
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(flat_ref[path]), rtol=2e-4, atol=1e-6,
+            err_msg=jax.tree_util.keystr(path),
+        )
+        checked += 1
+    assert checked == len(flat_ref) and checked > 20
 
 
 @requires_reference
