@@ -205,17 +205,14 @@ def main():
                     help="also demo the micro-batching BatchingServer")
     ap.add_argument("--http", action="store_true",
                     help="also demo the HTTP front-end (JSON protocol)")
-    ap.add_argument("--cache-dir", default=None,
-                    help="persistent XLA compilation cache: the second cold "
-                         "start of the same model skips its compiles")
+    from perceiverio_pytorch_tpu.utils.compilation_cache import (
+        add_cache_arg,
+        enable_cache_if_requested,
+    )
+
+    add_cache_arg(ap)
     args = ap.parse_args()
-
-    if args.cache_dir:
-        from perceiverio_pytorch_tpu.utils.compilation_cache import (
-            enable_compilation_cache,
-        )
-
-        enable_compilation_cache(args.cache_dir)
+    enable_cache_if_requested(args)
 
     build(args.out, args.full_scale)
     serve_demo(

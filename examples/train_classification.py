@@ -122,15 +122,13 @@ if __name__ == "__main__":
     parser.add_argument("--checkpoint-dir", default=None)
     parser.add_argument("--resume", action="store_true",
                         help="continue from the newest checkpoint in --checkpoint-dir")
-    parser.add_argument("--cache-dir", default=None,
-                        help="persistent XLA compilation cache (fast "
-                             "restart after preemption/resume)")
-    args = parser.parse_args()
-    if args.cache_dir:
-        from perceiverio_pytorch_tpu.utils.compilation_cache import (
-            enable_compilation_cache,
-        )
+    from perceiverio_pytorch_tpu.utils.compilation_cache import (
+        add_cache_arg,
+        enable_cache_if_requested,
+    )
 
-        enable_compilation_cache(args.cache_dir)
+    add_cache_arg(parser)
+    args = parser.parse_args()
+    enable_cache_if_requested(args)
     main(args.steps, args.batch_size, full_scale=args.full_scale,
          mesh_shape=args.mesh, checkpoint_dir=args.checkpoint_dir, resume=args.resume)

@@ -116,7 +116,8 @@ class HttpFrontend:
                     length = int(self.headers.get("Content-Length", 0))
                     payload = json.loads(self.rfile.read(length))
                     example = frontend._decode(payload["inputs"])
-                except (KeyError, ValueError, json.JSONDecodeError) as e:
+                except (KeyError, TypeError, ValueError, json.JSONDecodeError) as e:
+                    # TypeError: valid JSON that isn't an object, e.g. [1,2]
                     self._reply(400, {"error": f"bad request: {e}"})
                     return
                 try:

@@ -64,9 +64,16 @@ def save_variables(path: str, variables: Any, overwrite: bool = False) -> None:
     """
     path = os.path.abspath(path)
     if overwrite and os.path.isdir(path):
-        import shutil
+        # one process clears the shared directory; the rest wait for it
+        # (N concurrent rmtrees of the same tree race to FileNotFoundError)
+        if jax.process_index() == 0:
+            import shutil
 
-        shutil.rmtree(path)
+            shutil.rmtree(path)
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices(f"ckpt_overwrite:{path}")
     with ocp.StandardCheckpointer() as ckptr:
         ckptr.save(path, _mask_zero_size(variables))
     import json

@@ -332,24 +332,22 @@ class Trainer:
                 batches, self.prefetch, sharding=sharding
             )
 
-        t0 = time.perf_counter()
-        window_start = t0
-        step_num = int(state.step)
-        window_step = step_num
         with _PreemptionGuard() as guard:
             state = self._fit_loop(
-                state, batches, num_steps, eval_batches, step_fn, group,
-                guard, step_num, t0, window_start, window_step,
+                state, batches, num_steps, eval_batches, step_fn, group, guard
             )
         return state
 
     def _fit_loop(
-        self, state, batches, num_steps, eval_batches, step_fn, group,
-        guard, step_num, t0, window_start, window_step,
+        self, state, batches, num_steps, eval_batches, step_fn, group, guard
     ):
         def _crossed(step_num, prev_step, every):
             return bool(every) and (step_num // every > prev_step // every)
 
+        t0 = time.perf_counter()
+        window_start = t0
+        step_num = int(state.step)
+        window_step = step_num
         start_step = step_num
         last_saved = -1
         for batch in batches:
@@ -409,7 +407,7 @@ class Trainer:
             ):
                 self._save_checkpoint(state, step_num)
                 last_saved = step_num
-            if guard.requested:
+            if self._stop_requested(guard):
                 # SIGTERM landed (spot/preemptible eviction): the step that
                 # was in flight has completed, so checkpoint it and stop --
                 # fit(resume=True) picks up from exactly here.
@@ -427,7 +425,31 @@ class Trainer:
             self._save_checkpoint(state, step_num)
         return state
 
+    def _stop_requested(self, guard) -> bool:
+        """Has ANY process been told to stop?
+
+        Per-process SIGTERM delivery is skewed on a pod; a process that
+        broke out alone would leave the others blocked in the next step's
+        collectives.  Agree on the flag with a tiny all-gather each step
+        (scalar over ICI — noise next to a train step) so every process
+        breaks at the same step boundary and the collective checkpoint
+        save lines up.  Single-process: just the local flag.
+        """
+        import jax
+
+        if jax.process_count() == 1:
+            return guard.requested
+        from jax.experimental import multihost_utils
+        import numpy as np
+
+        flags = multihost_utils.process_allgather(
+            np.asarray([guard.requested])
+        )
+        return bool(np.asarray(flags).any())
+
     def _save_checkpoint(self, state, step_num: int) -> None:
+        import jax
+
         from perceiverio_pytorch_tpu.training.checkpoint import (
             prune_checkpoints,
             save_train_state,
@@ -438,5 +460,7 @@ class Trainer:
             state,
             overwrite=True,  # a resumed run may reach this step again
         )
-        if self.checkpoint_keep > 0:
+        # the save itself is collective (orbax, all processes); pruning is
+        # host filesystem work -- one process only, or N racing rmtrees
+        if self.checkpoint_keep > 0 and jax.process_index() == 0:
             prune_checkpoints(self.checkpoint_dir, self.checkpoint_keep)

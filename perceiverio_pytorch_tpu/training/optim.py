@@ -146,10 +146,12 @@ def build_optimizer(
         parts.append(optax.clip_by_global_norm(clip_norm))
     parts.append(core)
     tx = optax.chain(*parts)
-    if skip_nonfinite_updates > 0:
-        # wraps the WHOLE chain: a NaN gradient must not advance the
-        # schedule or pollute the clip statistics either
-        tx = optax.apply_if_finite(tx, skip_nonfinite_updates)
     if accum_steps > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=accum_steps).gradient_transformation()
+    if skip_nonfinite_updates > 0:
+        # OUTERMOST -- outside MultiSteps too: a NaN micro-batch must be
+        # dropped before it poisons the accumulator (and before it could
+        # advance the schedule or pollute the clip statistics); the window
+        # simply accumulates one more good micro-batch instead.
+        tx = optax.apply_if_finite(tx, skip_nonfinite_updates)
     return tx

@@ -22,7 +22,11 @@ from __future__ import annotations
 import os
 from typing import Optional
 
-__all__ = ["enable_compilation_cache"]
+__all__ = [
+    "add_cache_arg",
+    "enable_cache_if_requested",
+    "enable_compilation_cache",
+]
 
 
 def enable_compilation_cache(
@@ -54,3 +58,22 @@ def enable_compilation_cache(
     if min_compile_time_secs <= 0.0:
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     return path
+
+
+def add_cache_arg(parser) -> None:
+    """Add the shared ``--cache-dir`` flag to an argparse parser (the
+    demos/serve scripts all expose the cache the same way)."""
+    parser.add_argument(
+        "--cache-dir",
+        default=None,
+        help="persistent XLA compilation cache (fast restart after"
+        " preemption/resume; full-scale MLM measured 39 s -> 7.1 s)",
+    )
+
+
+def enable_cache_if_requested(args) -> Optional[str]:
+    """Enable the cache when ``args.cache_dir`` is set; returns the dir."""
+    cache_dir = getattr(args, "cache_dir", None)
+    if cache_dir:
+        return enable_compilation_cache(cache_dir)
+    return None

@@ -108,6 +108,10 @@ def test_http_frontend_error_codes():
         with pytest.raises(urllib.error.HTTPError) as e:
             _post(port, {"not_inputs": 1})
         assert e.value.code == 400
+        # 400: valid JSON that is not an object
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(port, [1, 2, 3])
+        assert e.value.code == 400
         assert "bad request" in json.loads(e.value.read())["error"]
         # 500: model-side shape error propagates as JSON
         with pytest.raises(urllib.error.HTTPError) as e:

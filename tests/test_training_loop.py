@@ -240,6 +240,33 @@ def test_skip_nonfinite_updates_drops_bad_gradients():
     assert not bool(jnp.isfinite(u["w"]).all())  # surfaced, not masked
 
 
+def test_skip_nonfinite_composes_with_accumulation():
+    """A NaN micro-batch is dropped BEFORE the MultiSteps accumulator: the
+    window still emits the update of its good micro-batches only."""
+    from perceiverio_pytorch_tpu.training import build_optimizer
+
+    params = {"w": jnp.ones((3,))}
+    good1 = {"w": jnp.full((3,), 2.0)}
+    good2 = {"w": jnp.full((3,), 4.0)}
+    bad = {"w": jnp.array([1.0, jnp.nan, 1.0])}
+
+    tx = build_optimizer(1e-1, accum_steps=2, skip_nonfinite_updates=5)
+    st = tx.init(params)
+    u, st = tx.update(bad, st, params)  # dropped, accumulator untouched
+    assert float(jnp.abs(u["w"]).max()) == 0.0
+    u, st = tx.update(good1, st, params)  # mid-accumulation no-op
+    assert float(jnp.abs(u["w"]).max()) == 0.0
+    u, st = tx.update(good2, st, params)  # window closes: real update
+
+    tx_ref = build_optimizer(1e-1, accum_steps=2)
+    st_ref = tx_ref.init(params)
+    _, st_ref = tx_ref.update(good1, st_ref, params)
+    u_ref, _ = tx_ref.update(good2, st_ref, params)
+    np.testing.assert_allclose(
+        np.asarray(u["w"]), np.asarray(u_ref["w"]), rtol=1e-6
+    )
+
+
 def test_trainer_eval_hook(tmp_path):
     """eval_fn runs every eval_every steps over the eval batches and lands
     in the JSONL metrics."""
