@@ -35,6 +35,7 @@ def batch_iterator(
     seed: int = 0,
     epochs: Optional[int] = 1,
     drop_remainder: bool = True,
+    shard_by_process: bool = False,
 ) -> Iterator[tuple]:
     """Yield tuples of aligned ``batch_size`` slices from host arrays.
 
@@ -48,7 +49,19 @@ def batch_iterator(
         shape — one XLA compilation instead of one per tail size.  Set
         False only for host-side consumers (eval loops that tolerate a
         recompile).
+      shard_by_process: multi-host pods.  ``batch_size`` is the GLOBAL
+        batch; each process yields its own contiguous
+        ``batch_size // process_count`` slice of every global batch —
+        disjoint across processes because the epoch permutation is
+        deterministic in ``seed`` (all hosts must hold the same ``arrays``
+        and pass the same ``seed``; datasets too large for that should
+        feed per-host files instead).  Feed the slices through
+        ``parallel.shard_host_batch`` / ``Trainer(prefetch=...)`` to
+        assemble global arrays.  Contiguous-slice order matches the
+        default mesh construction over ``jax.devices()`` (process-major).
     """
+    import jax
+
     arrays = tuple(np.asarray(a) for a in arrays)
     n = len(arrays[0])
     for a in arrays[1:]:
@@ -58,13 +71,29 @@ def batch_iterator(
             )
     if batch_size <= 0:
         raise ValueError(f"batch_size must be positive; got {batch_size}")
+    lo, hi = 0, batch_size
+    if shard_by_process:
+        if not drop_remainder:
+            raise ValueError(
+                "shard_by_process requires drop_remainder=True: a ragged"
+                " tail batch cannot be split evenly across processes"
+            )
+        n_proc = jax.process_count()
+        if batch_size % n_proc != 0:
+            raise ValueError(
+                f"global batch {batch_size} is not divisible by the process"
+                f" count {n_proc}"
+            )
+        local = batch_size // n_proc
+        lo = jax.process_index() * local
+        hi = lo + local
     rng = np.random.default_rng(seed)
     epoch = 0
     while epochs is None or epoch < epochs:
         idx = rng.permutation(n) if shuffle else np.arange(n)
         stop = n - (n % batch_size) if drop_remainder else n
         for start in range(0, stop, batch_size):
-            take = idx[start : start + batch_size]
+            take = idx[start + lo : min(start + hi, stop)]
             yield tuple(a[take] for a in arrays)
         epoch += 1
 

@@ -80,6 +80,46 @@ def test_shard_host_batch_matches_device_put_on_mesh():
     assert rep.sharding.spec == PartitionSpec()
 
 
+def test_batch_iterator_shards_by_process(monkeypatch):
+    """Two simulated processes with the same seed yield disjoint contiguous
+    halves of every global batch; concatenated they equal the unsharded
+    stream.  Ragged tails and non-divisible batches are rejected."""
+    from perceiverio_pytorch_tpu.training.data import batch_iterator
+
+    x = np.arange(48, dtype=np.float32).reshape(24, 2)
+    y = np.arange(24)
+    global_batches = list(
+        batch_iterator((x, y), 8, shuffle=True, seed=7, epochs=2)
+    )
+
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    shards = []
+    for pid in (0, 1):
+        monkeypatch.setattr(jax, "process_index", lambda pid=pid: pid)
+        shards.append(
+            list(
+                batch_iterator(
+                    (x, y), 8, shuffle=True, seed=7, epochs=2,
+                    shard_by_process=True,
+                )
+            )
+        )
+    assert len(shards[0]) == len(global_batches)
+    for (gx, gy), (ax, ay), (bx, by) in zip(global_batches, *shards):
+        assert ax.shape == (4, 2) and bx.shape == (4, 2)
+        np.testing.assert_array_equal(np.concatenate([ax, bx]), gx)
+        np.testing.assert_array_equal(np.concatenate([ay, by]), gy)
+
+    with pytest.raises(ValueError, match="not divisible"):
+        next(batch_iterator((x,), 9, shard_by_process=True))
+    with pytest.raises(ValueError, match="drop_remainder"):
+        next(
+            batch_iterator(
+                (x,), 8, shard_by_process=True, drop_remainder=False
+            )
+        )
+
+
 def test_prefetch_assembles_global_arrays_multiprocess(monkeypatch):
     """With process_count > 1, prefetch_to_device routes leaves through
     make_array_from_process_local_data instead of device_put."""
