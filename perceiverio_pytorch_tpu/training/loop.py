@@ -230,7 +230,7 @@ class Trainer:
                 )
             else:
                 self._eval_jit = jax.jit(lambda p, *b: self.eval_fn(p, *b))
-        total, n = 0.0, 0
+        totals, n = {}, 0
         for batch in eval_batches:
             if not isinstance(batch, (tuple, list)):
                 batch = (batch,)
@@ -238,9 +238,15 @@ class Trainer:
                 val = self._eval_jit(params, state.model_state, *batch)
             else:
                 val = self._eval_jit(params, *batch)
-            total += float(val)
+            # eval_fn may return a scalar or a {name: scalar} metrics dict
+            vals = val if isinstance(val, dict) else {"eval_loss": val}
+            for k, v in vals.items():
+                totals[k] = totals.get(k, 0.0) + float(v)
             n += 1
-        return total / max(n, 1)
+        means = {k: v / max(n, 1) for k, v in totals.items()}
+        if set(means) == {"eval_loss"}:
+            return means["eval_loss"]
+        return means
 
     def fit(
         self,
@@ -401,7 +407,12 @@ class Trainer:
                     state,
                     eval_batches() if callable(eval_batches) else eval_batches,
                 )
-                self.logger.log(step=int(step_num), eval_loss=round(ev, 6))
+                if not isinstance(ev, dict):
+                    ev = {"eval_loss": ev}
+                self.logger.log(
+                    step=int(step_num),
+                    **{k: round(v, 6) for k, v in ev.items()},
+                )
             if self.checkpoint_dir and _crossed(
                 step_num, prev_step, self.checkpoint_every
             ):

@@ -761,6 +761,41 @@ def test_trainer_preemption_checkpoints_and_resumes(tmp_path):
     )
 
 
+def test_eval_fn_metric_dicts(tmp_path):
+    """eval_fn may return {name: scalar}: means are logged per key; the
+    scalar form keeps its eval_loss name and float return."""
+    import json
+
+    def loss_fn(params, x, y):
+        return jnp.mean((x @ params["w"] - y) ** 2)
+
+    def eval_fn(params, x, y):
+        err = x @ params["w"] - y
+        return {"eval_mse": jnp.mean(err**2), "eval_mae": jnp.mean(jnp.abs(err))}
+
+    rng = np.random.RandomState(9)
+    x = rng.randn(8, 4).astype(np.float32)
+    y = rng.randn(8, 2).astype(np.float32)
+    metrics_path = str(tmp_path / "m.jsonl")
+    t = Trainer(
+        loss_fn, optax.sgd(0.1), log_every=100, metrics_path=metrics_path,
+        eval_fn=eval_fn, eval_every=2,
+    )
+    s = t.init_state({"w": jnp.zeros((4, 2))})
+    s = t.fit(s, iter([(x, y)] * 4), num_steps=4, eval_batches=[(x, y)])
+
+    ev = t.evaluate(s, [(x, y)])
+    assert set(ev) == {"eval_mse", "eval_mae"}
+    lines = [json.loads(l) for l in open(metrics_path)]
+    dict_lines = [l for l in lines if "eval_mse" in l]
+    assert len(dict_lines) == 2 and all("eval_mae" in l for l in dict_lines)
+
+    # scalar eval_fn keeps the old contract
+    t2 = Trainer(loss_fn, optax.sgd(0.1), eval_fn=loss_fn)
+    s2 = t2.init_state({"w": jnp.zeros((4, 2))})
+    assert isinstance(t2.evaluate(s2, [(x, y)]), float)
+
+
 def test_checkpoint_retention_and_final_save(tmp_path):
     """checkpoint_keep prunes to the newest N (sweeping stale partial
     saves); checkpoint_final checkpoints off-grid ends; resume still works
