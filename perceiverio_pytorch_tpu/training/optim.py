@@ -82,6 +82,7 @@ def build_optimizer(
     clip_norm: Optional[float] = None,
     accum_steps: int = 1,
     skip_nonfinite_updates: int = 0,
+    trainable_mask: Union[Callable, Any, None] = None,
 ) -> optax.GradientTransformation:
     """A production optimizer chain with schedule, clipping, accumulation.
 
@@ -99,6 +100,11 @@ def build_optimizer(
         params, moments, and schedule step untouched — unless that many
         arrive consecutively, after which the update is accepted as a real
         divergence to surface rather than mask (optax.apply_if_finite).
+      trainable_mask: fine-tuning freeze filter — a bool pytree matching
+        the params (or a ``params -> bool pytree`` callable); False leaves
+        receive zero updates and allocate no optimizer state (e.g. load a
+        converted checkpoint and train only the classification head).
+        Frozen leaves also stay out of the clip-norm statistic.
       weight_decay_mask: which leaves ``weight_decay`` applies to.  None
         (default) decays everything; ``"non_1d"`` decays only ndim>=2
         leaves (kernels/conv filters -- skips biases and LayerNorm
@@ -146,6 +152,20 @@ def build_optimizer(
         parts.append(optax.clip_by_global_norm(clip_norm))
     parts.append(core)
     tx = optax.chain(*parts)
+    if trainable_mask is not None:
+        def _labels(params):
+            mask = (
+                trainable_mask(params)
+                if callable(trainable_mask)
+                else trainable_mask
+            )
+            return jax.tree_util.tree_map(
+                lambda t: "train" if t else "freeze", mask
+            )
+
+        tx = optax.multi_transform(
+            {"train": tx, "freeze": optax.set_to_zero()}, _labels
+        )
     if accum_steps > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=accum_steps).gradient_transformation()
     if skip_nonfinite_updates > 0:

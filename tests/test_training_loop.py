@@ -761,6 +761,52 @@ def test_trainer_preemption_checkpoints_and_resumes(tmp_path):
     )
 
 
+def test_trainable_mask_freezes_parameters():
+    """trainable_mask=False leaves get zero updates and no moment state;
+    composes with clipping and a Trainer end to end."""
+    from perceiverio_pytorch_tpu.training import build_optimizer
+
+    params = {"head": jnp.ones((2, 2)), "body": jnp.ones((3,))}
+    grads = {"head": jnp.full((2, 2), 0.5), "body": jnp.full((3,), 0.5)}
+    tx = build_optimizer(
+        0.1, clip_norm=1.0, trainable_mask={"head": True, "body": False}
+    )
+    st = tx.init(params)
+    u, st = tx.update(grads, st, params)
+    assert float(jnp.abs(u["head"]).max()) > 0.0
+    assert float(jnp.abs(u["body"]).max()) == 0.0
+    # no adam moments allocated for the frozen leaf
+    leaves = jax.tree_util.tree_leaves(st)
+    assert not any(
+        getattr(l, "shape", None) == (3,) for l in leaves
+    ), "frozen leaf has optimizer state"
+
+    # callable mask + Trainer: the frozen subtree is bit-identical after fit
+    def loss_fn(p, x, y):
+        return jnp.mean((x @ p["w"] @ p["head"] - y) ** 2)
+
+    rng = np.random.RandomState(10)
+    x = rng.randn(8, 4).astype(np.float32)
+    y = rng.randn(8, 2).astype(np.float32)
+    p0 = {
+        "w": jnp.asarray(rng.randn(4, 3), jnp.float32),
+        "head": jnp.asarray(rng.randn(3, 2), jnp.float32),
+    }
+    tx2 = build_optimizer(
+        0.05,
+        trainable_mask=lambda p: jax.tree_util.tree_map_with_path(
+            lambda path, _: "head" in jax.tree_util.keystr(path), p
+        ),
+    )
+    w0 = np.asarray(p0["w"]).copy()  # donated by the first step otherwise
+    head0 = np.asarray(p0["head"]).copy()
+    t = Trainer(loss_fn, tx2, log_every=100)
+    s = t.init_state(p0)
+    s = t.fit(s, iter([(x, y)] * 5), num_steps=5)
+    np.testing.assert_array_equal(np.asarray(s.params["w"]), w0)
+    assert float(np.abs(np.asarray(s.params["head"]) - head0).max()) > 0.0
+
+
 def test_eval_fn_metric_dicts(tmp_path):
     """eval_fn may return {name: scalar}: means are logged per key; the
     scalar form keeps its eval_loss name and float return."""
