@@ -170,3 +170,61 @@ def test_chunked_backward_fallback_matches_pallas():
         np.testing.assert_allclose(
             np.asarray(gp), np.asarray(gc), rtol=1e-5, atol=1e-5
         )
+
+
+def test_flash_randomized_property_sweep():
+    """Seeded random configs (shapes, block sizes, masks) — forward AND
+    gradients vs XLA.  Catches block-edge/padding bugs the fixed shapes
+    miss: every config has at least one axis that is not a multiple of its
+    block, plus random ragged mask lengths."""
+    rng = np.random.RandomState(1234)
+    for trial in range(8):
+        b = int(rng.randint(1, 3))
+        h = int(rng.choice([1, 2, 3]))
+        tq = int(rng.randint(2, 300))
+        tk = int(rng.randint(2, 600))
+        dqk = int(rng.choice([8, 17, 64, 130]))
+        dv = int(rng.choice([8, 33, 64]))
+        block_q = int(rng.choice([16, 64, 128]))
+        block_k = int(rng.choice([32, 128, 256]))
+        q = jnp.asarray(rng.randn(b, tq, h, dqk), jnp.float32)
+        k = jnp.asarray(rng.randn(b, tk, h, dqk), jnp.float32)
+        v = jnp.asarray(rng.randn(b, tk, h, dv), jnp.float32)
+        # ragged kv-validity mask (always >= 1 valid key per row)
+        kv_len = rng.randint(1, tk + 1, size=(b,))
+        kv_mask = jnp.asarray(
+            np.arange(tk)[None, :] < kv_len[:, None]
+        )
+
+        def xla_loss(q, k, v):
+            out = attend_xla(
+                q, k, v,
+                attention_mask=make_cross_attention_mask(
+                    jnp.ones((b, tq), bool), kv_mask
+                ),
+            )
+            return jnp.sum(out * jnp.cos(out)), out
+
+        def flash_loss(q, k, v):
+            out = flash_attention(
+                q, k, v, kv_mask=kv_mask,
+                block_q=block_q, block_k=block_k, interpret=True,
+            )
+            return jnp.sum(out * jnp.cos(out)), out
+
+        tag = f"trial {trial}: b{b} h{h} tq{tq} tk{tk} d{dqk}/{dv} blk{block_q}/{block_k}"
+        (l_ref, out_ref), g_ref = jax.jit(
+            jax.value_and_grad(xla_loss, argnums=(0, 1, 2), has_aux=True)
+        )(q, k, v)
+        (l_got, out_got), g_got = jax.jit(
+            jax.value_and_grad(flash_loss, argnums=(0, 1, 2), has_aux=True)
+        )(q, k, v)
+        np.testing.assert_allclose(
+            np.asarray(out_got), np.asarray(out_ref), rtol=3e-5, atol=3e-5,
+            err_msg=tag,
+        )
+        for name, a, e in zip("qkv", g_got, g_ref):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(e), rtol=3e-4, atol=3e-5,
+                err_msg=f"{tag} d{name}",
+            )
