@@ -161,6 +161,12 @@ def http_demo(out_dir: str, hw: int, clients: int = 12, max_batch: int = 8):
         fn = load_exported(f.read())
     variables = restore_variables(os.path.join(out_dir, "weights"))
     call = jax.jit(lambda x: fn(variables, x))
+    # warm the buckets (each padded shape is one compile -- expensive
+    # through the remote compile service) so the clients measure serving,
+    # not compilation
+    for b in (1, 2, 4, 8):
+        if b <= max_batch:
+            np.asarray(call(jnp.zeros((b, 3, hw, hw), jnp.float32)))
     server = BatchingServer(
         lambda x: np.asarray(call(x["image"])),
         max_batch=max_batch, max_wait_ms=3.0,
