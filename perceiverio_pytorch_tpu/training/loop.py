@@ -136,6 +136,9 @@ class Trainer:
       log_grad_norm: also log ``grad_norm`` and ``param_norm`` at each
         logging point (computed inside the step from the gradients already
         in flight -- no extra pass; incompatible with steps_per_call > 1).
+      lr_schedule: pass the ``build_schedule`` result here as well to log
+        the learning rate of each logged step as ``lr`` (host-side lookup,
+        free).
       prefetch: keep this many batches device-put ahead of the step loop
         (training.data.prefetch_to_device) so the host input path and the
         transfer overlap device compute.  With a mesh, batches land
@@ -169,6 +172,7 @@ class Trainer:
         prefetch: int = 0,
         ema_decay: Optional[float] = None,
         log_grad_norm: bool = False,
+        lr_schedule: Optional[Callable] = None,
     ):
         self.loss_fn = loss_fn
         self.tx = tx
@@ -187,6 +191,7 @@ class Trainer:
         self.prefetch = max(int(prefetch), 0)
         self.ema_decay = ema_decay
         self.log_grad_norm = log_grad_norm
+        self.lr_schedule = lr_schedule
         if log_grad_norm and self.steps_per_call > 1:
             raise ValueError(
                 "log_grad_norm is not available with steps_per_call > 1"
@@ -384,6 +389,11 @@ class Trainer:
                 elif group > 1:
                     loss = loss[-1]
                 loss_val = float(loss)  # host fetch = completion barrier
+                if self.lr_schedule is not None:
+                    # step-1: the logged update was taken AT that count
+                    extra["lr"] = round(
+                        float(self.lr_schedule(step_num - 1)), 8
+                    )
                 now = time.perf_counter()
                 self.logger.log(
                     step=int(step_num),

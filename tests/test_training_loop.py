@@ -761,6 +761,35 @@ def test_trainer_preemption_checkpoints_and_resumes(tmp_path):
     )
 
 
+def test_lr_schedule_logging(tmp_path):
+    """Trainer(lr_schedule=) logs the per-step learning rate."""
+    import json
+
+    from perceiverio_pytorch_tpu.training import build_optimizer, build_schedule
+
+    def loss_fn(params, x, y):
+        return jnp.mean((x @ params["w"] - y) ** 2)
+
+    rng = np.random.RandomState(11)
+    x = rng.randn(8, 4).astype(np.float32)
+    y = rng.randn(8, 2).astype(np.float32)
+    sched = build_schedule(1.0, schedule="linear", total_steps=4)
+    metrics_path = str(tmp_path / "m.jsonl")
+    t = Trainer(
+        loss_fn,
+        build_optimizer(1.0, schedule="linear", total_steps=4),
+        log_every=1, metrics_path=metrics_path, lr_schedule=sched,
+    )
+    s = t.init_state({"w": jnp.zeros((4, 2))})
+    t.fit(s, iter([(x, y)] * 4), num_steps=4)
+    lines = [json.loads(l) for l in open(metrics_path)]
+    lrs = [l["lr"] for l in lines if "lr" in l]
+    assert len(lrs) == 4
+    np.testing.assert_allclose(
+        lrs, [float(sched(i)) for i in range(4)], rtol=1e-6
+    )
+
+
 def test_trainable_mask_freezes_parameters():
     """trainable_mask=False leaves get zero updates and no moment state;
     composes with clipping and a Trainer end to end."""
