@@ -110,10 +110,12 @@ def server_demo(out_dir: str, hw: int, clients: int = 24, max_batch: int = 8):
         fn = load_exported(f.read())
     variables = restore_variables(os.path.join(out_dir, "weights"))
     call = jax.jit(lambda x: fn(variables, x))
-    # warm the buckets so client latency is steady-state
-    for b in (1, 2, 4, 8):
-        if b <= max_batch:
-            np.asarray(call(jnp.zeros((b, 3, hw, hw), jnp.float32)))
+    # warm every bucket the server will pad to, so client latency is
+    # steady-state (each padded shape is one compile)
+    from perceiverio_pytorch_tpu.serving_server import _default_buckets
+
+    for b in _default_buckets(max_batch):
+        np.asarray(call(jnp.zeros((b, 3, hw, hw), jnp.float32)))
 
     server = BatchingServer(
         lambda x: np.asarray(call(x)), max_batch=max_batch, max_wait_ms=3.0
@@ -161,12 +163,13 @@ def http_demo(out_dir: str, hw: int, clients: int = 12, max_batch: int = 8):
         fn = load_exported(f.read())
     variables = restore_variables(os.path.join(out_dir, "weights"))
     call = jax.jit(lambda x: fn(variables, x))
-    # warm the buckets (each padded shape is one compile -- expensive
+    # warm every bucket (each padded shape is one compile -- expensive
     # through the remote compile service) so the clients measure serving,
     # not compilation
-    for b in (1, 2, 4, 8):
-        if b <= max_batch:
-            np.asarray(call(jnp.zeros((b, 3, hw, hw), jnp.float32)))
+    from perceiverio_pytorch_tpu.serving_server import _default_buckets
+
+    for b in _default_buckets(max_batch):
+        np.asarray(call(jnp.zeros((b, 3, hw, hw), jnp.float32)))
     server = BatchingServer(
         lambda x: np.asarray(call(x["image"])),
         max_batch=max_batch, max_wait_ms=3.0,

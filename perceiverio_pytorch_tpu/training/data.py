@@ -60,8 +60,6 @@ def batch_iterator(
         assemble global arrays.  Contiguous-slice order matches the
         default mesh construction over ``jax.devices()`` (process-major).
     """
-    import jax
-
     arrays = tuple(np.asarray(a) for a in arrays)
     n = len(arrays[0])
     for a in arrays[1:]:

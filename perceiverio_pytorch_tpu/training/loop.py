@@ -137,8 +137,12 @@ class Trainer:
         logging point (computed inside the step from the gradients already
         in flight -- no extra pass; incompatible with steps_per_call > 1).
       lr_schedule: pass the ``build_schedule`` result here as well to log
-        the learning rate of each logged step as ``lr`` (host-side lookup,
-        free).
+        the learning rate of each logged step as ``lr``.  The lookup is
+        evaluated as ``schedule(step - 1)`` OUTSIDE the throughput timing
+        window (it is a device dispatch on this transport).  With
+        ``accum_steps=k`` the optimizer advances its internal schedule
+        once per k micro-steps — pass ``lambda s: sched(s // k)`` to log
+        the applied value.
       prefetch: keep this many batches device-put ahead of the step loop
         (training.data.prefetch_to_device) so the host input path and the
         transfer overlap device compute.  With a mesh, batches land
@@ -192,6 +196,7 @@ class Trainer:
         self.ema_decay = ema_decay
         self.log_grad_norm = log_grad_norm
         self.lr_schedule = lr_schedule
+        self._lr_jit = None
         if log_grad_norm and self.steps_per_call > 1:
             raise ValueError(
                 "log_grad_norm is not available with steps_per_call > 1"
@@ -243,12 +248,16 @@ class Trainer:
                 val = self._eval_jit(params, state.model_state, *batch)
             else:
                 val = self._eval_jit(params, *batch)
-            # eval_fn may return a scalar or a {name: scalar} metrics dict
+            # eval_fn may return a scalar or a {name: scalar} metrics dict;
+            # device_get fetches all metrics in ONE round trip (a float()
+            # per key would pay the transport RTT per metric per batch)
             vals = val if isinstance(val, dict) else {"eval_loss": val}
-            for k, v in vals.items():
+            for k, v in jax.device_get(vals).items():
                 totals[k] = totals.get(k, 0.0) + float(v)
             n += 1
-        means = {k: v / max(n, 1) for k, v in totals.items()}
+        if not totals:
+            return 0.0  # no eval batches: keep the scalar contract
+        means = {k: v / n for k, v in totals.items()}
         if set(means) == {"eval_loss"}:
             return means["eval_loss"]
         return means
@@ -389,12 +398,18 @@ class Trainer:
                 elif group > 1:
                     loss = loss[-1]
                 loss_val = float(loss)  # host fetch = completion barrier
-                if self.lr_schedule is not None:
-                    # step-1: the logged update was taken AT that count
-                    extra["lr"] = round(
-                        float(self.lr_schedule(step_num - 1)), 8
-                    )
                 now = time.perf_counter()
+                if self.lr_schedule is not None:
+                    # AFTER the timing capture: optax schedules are jnp
+                    # computations, so this is a device dispatch + sync
+                    # fetch (~30 ms on the remote transport) that must not
+                    # land inside the steps_per_sec window.
+                    if self._lr_jit is None:
+                        import jax as _jax
+
+                        self._lr_jit = _jax.jit(self.lr_schedule)
+                    # step-1: the logged update was taken AT that count
+                    extra["lr"] = round(float(self._lr_jit(step_num - 1)), 8)
                 self.logger.log(
                     step=int(step_num),
                     loss=loss_val,

@@ -102,9 +102,11 @@ def build_optimizer(
         divergence to surface rather than mask (optax.apply_if_finite).
       trainable_mask: fine-tuning freeze filter — a bool pytree matching
         the params (or a ``params -> bool pytree`` callable); False leaves
-        receive zero updates and allocate no optimizer state (e.g. load a
+        receive zero updates and allocate no moment state (e.g. load a
         converted checkpoint and train only the classification head).
-        Frozen leaves also stay out of the clip-norm statistic.
+        Frozen leaves also stay out of the clip-norm statistic.  Exception:
+        ``accum_steps > 1`` wraps everything in MultiSteps, whose gradient
+        accumulator spans ALL params including frozen ones (1x-params HBM).
       weight_decay_mask: which leaves ``weight_decay`` applies to.  None
         (default) decays everything; ``"non_1d"`` decays only ndim>=2
         leaves (kernels/conv filters -- skips biases and LayerNorm
