@@ -325,6 +325,78 @@ def bench_training():
     }))
 
 
+def bench_serving():
+    """Online-serving metric: single-example requests/sec through the
+    micro-batching server on the FULL shipped classification config.
+
+    32 concurrent clients each send sequential single-image requests; the
+    BatchingServer coalesces them into bucketed device batches.  The req/s
+    ceiling is the batched img/s headline; the gap is batching + dispatch
+    overhead.  Buckets are restricted to (4, 16) to bound the number of
+    full-model compiles through the remote compile service.
+    """
+    import threading
+
+    from perceiverio_pytorch_tpu import PERFORMANCE, BatchingServer
+    from perceiverio_pytorch_tpu.models import ClassificationPerceiver, PrepType
+    from perceiverio_pytorch_tpu.utils.params import cast_variables_for_inference
+
+    model = ClassificationPerceiver(
+        prep_type=PrepType.FOURIER_POS_CONVNET, policy=PERFORMANCE
+    )
+    example = jnp.zeros((16, 3, 224, 224), jnp.float32)
+    params = cast_variables_for_inference(
+        jax.jit(model.init)(jax.random.PRNGKey(0), example)
+    )
+    call = jax.jit(model.apply)
+    for b in (4, 16):  # warm every bucket: compiles must not be timed
+        np.asarray(call(params, jnp.zeros((b, 3, 224, 224), jnp.float32)))
+
+    server = BatchingServer(
+        lambda x: np.asarray(call(params, x)),
+        max_batch=16, max_wait_ms=3.0, batch_sizes=(4, 16),
+    )
+    rng = np.random.RandomState(0)
+    imgs = [
+        rng.uniform(-1, 1, (3, 224, 224)).astype(np.float32) for _ in range(8)
+    ]
+    clients, per_client = 32, 12
+
+    def client(i):
+        for r in range(per_client):
+            out = server(imgs[(i + r) % len(imgs)])
+            assert out.shape[-1] == 1000
+
+    try:
+        # a short untimed burst settles the queue/thread steady state
+        threads = [threading.Thread(target=client, args=(i,)) for i in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        threads = [
+            threading.Thread(target=client, args=(i,)) for i in range(clients)
+        ]
+        t0 = time.perf_counter()
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        wall = time.perf_counter() - t0
+    finally:
+        server.stop()
+    print(
+        json.dumps(
+            {
+                "metric": "serving_requests_per_sec_per_chip",
+                "value": round(clients * per_client / wall, 2),
+                "unit": "req/sec",
+                "vs_baseline": 1.0,
+            }
+        )
+    )
+
+
 def main():
     from perceiverio_pytorch_tpu import PARITY, PERFORMANCE
     from perceiverio_pytorch_tpu.models import ClassificationPerceiver, PrepType
@@ -381,10 +453,12 @@ if __name__ == "__main__":
     parser = argparse.ArgumentParser()
     parser.add_argument(
         "--task", default="imagenet",
-        choices=["imagenet", "flow", "mlm", "multimodal", "all", "training"],
+        choices=["imagenet", "flow", "mlm", "multimodal", "all", "training",
+                 "serving"],
         help="headline metric (default), a secondary task metric, 'all' for "
-             "one JSON line per inference task, or 'training' for the four "
-             "full-scale training-step metrics",
+             "one JSON line per inference task, 'training' for the four "
+             "full-scale training-step metrics, or 'serving' for the "
+             "micro-batching request throughput",
     )
     task = parser.parse_args().task
     if task == "flow":
@@ -395,6 +469,8 @@ if __name__ == "__main__":
         bench_multimodal()
     elif task == "training":
         bench_training()
+    elif task == "serving":
+        bench_serving()
     elif task == "all":
         main()
         bench_flow()
