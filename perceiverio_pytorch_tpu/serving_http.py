@@ -8,14 +8,22 @@ each request blocks its own handler thread on the BatchingServer future,
 so CONCURRENT requests are exactly what coalesces into one device batch —
 the server's throughput win appears under real network load (tested).
 
-Protocol (JSON):
+Protocol:
 
     POST /v1/infer   {"inputs": <pytree>}   ->  {"outputs": <pytree>}
     GET  /healthz                           ->  {"status": "ok"}
 
-Pytree convention: JSON objects are structure, JSON arrays are array
-leaves (one example, NO batch dim; the server adds and strips it).
-Numeric leaves land as float32/int32/bool — the TPU-native dtypes.
+Pytree convention (JSON): objects are structure, arrays are array leaves
+(one example, NO batch dim; the server adds and strips it).  Numeric
+leaves land as float32/int32/bool — the TPU-native dtypes.
+
+Binary alternative: POST the same route with
+``Content-Type: application/octet-stream`` and an ``.npz`` body
+(``np.savez(buf, **inputs)``); the response mirrors the request format
+(an ``.npz`` of the outputs).  A JSON-encoded 224x224 image is ~1.5 MB
+of text; the same tensor as npz is its raw 600 KB (150 KB as uint8 —
+dtypes pass through exactly, so ship uint8 pixels and normalise on
+device).  Keys with ``/`` nest into sub-dicts (np.savez flattens).
 
     server = BatchingServer(lambda x: jitted(variables, x), max_batch=16)
     front = HttpFrontend(server, port=8000)
@@ -36,7 +44,13 @@ import numpy as np
 
 from perceiverio_pytorch_tpu.serving_server import BatchingServer
 
-__all__ = ["HttpFrontend", "decode_inputs", "encode_outputs"]
+__all__ = [
+    "HttpFrontend",
+    "decode_inputs",
+    "decode_npz",
+    "encode_npz",
+    "encode_outputs",
+]
 
 
 def _to_array(leaf) -> np.ndarray:
@@ -61,6 +75,49 @@ def decode_inputs(obj: Any) -> Any:
 def encode_outputs(tree: Any) -> Any:
     """Pytree of arrays -> JSON-serialisable nested lists."""
     return jax.tree_util.tree_map(lambda leaf: np.asarray(leaf).tolist(), tree)
+
+
+def decode_npz(body: bytes) -> Any:
+    """``.npz`` request body -> pytree of numpy leaves.
+
+    np.savez stores a flat mapping; ``/`` in a key nests it back into
+    sub-dicts so arbitrary pytree structure round-trips.  A body saved
+    from a single unnamed array (``np.save``-style ``arr_0``) decodes to
+    that bare leaf.
+    """
+    import io
+
+    with np.load(io.BytesIO(body), allow_pickle=False) as z:
+        items = {k: z[k] for k in z.files}
+    if list(items) == ["arr_0"]:
+        return items["arr_0"]
+    tree: dict = {}
+    for key, leaf in items.items():
+        node = tree
+        parts = key.split("/")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = leaf
+    return tree
+
+
+def encode_npz(tree: Any) -> bytes:
+    """Pytree of arrays -> ``.npz`` bytes (inverse of decode_npz)."""
+    import io
+
+    flat = {}
+
+    def _walk(node, prefix):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                _walk(v, f"{prefix}/{k}" if prefix else str(k))
+        else:
+            flat[prefix or "arr_0"] = np.asarray(node)
+
+    _walk(tree, "")
+    buf = io.BytesIO()
+    np.savez(buf, **flat)
+    return buf.getvalue()
 
 
 class HttpFrontend:
@@ -95,9 +152,13 @@ class HttpFrontend:
                 pass
 
             def _reply(self, code: int, payload: dict) -> None:
-                body = json.dumps(payload).encode()
+                self._reply_raw(
+                    code, json.dumps(payload).encode(), "application/json"
+                )
+
+            def _reply_raw(self, code: int, body: bytes, ctype: str) -> None:
                 self.send_response(code)
-                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Type", ctype)
                 self.send_header("Content-Length", str(len(body)))
                 self.end_headers()
                 self.wfile.write(body)
@@ -112,19 +173,29 @@ class HttpFrontend:
                 if self.path != "/v1/infer":
                     self._reply(404, {"error": f"no route {self.path}"})
                     return
+                ctype = self.headers.get("Content-Type", "")
+                binary = ctype.startswith("application/octet-stream")
                 try:
                     length = int(self.headers.get("Content-Length", 0))
-                    payload = json.loads(self.rfile.read(length))
-                    example = frontend._decode(payload["inputs"])
-                except (KeyError, TypeError, ValueError, json.JSONDecodeError) as e:
-                    # TypeError: valid JSON that isn't an object, e.g. [1,2]
+                    body = self.rfile.read(length)
+                    if binary:
+                        example = decode_npz(body)
+                    else:
+                        example = frontend._decode(json.loads(body)["inputs"])
+                except Exception as e:
+                    # malformed JSON/npz, non-object JSON, bad dtypes
                     self._reply(400, {"error": f"bad request: {e}"})
                     return
                 try:
                     # blocks THIS handler thread; concurrent requests pile
                     # into the BatchingServer queue and share a device batch
                     row = frontend._server.submit(example).result()
-                    self._reply(200, {"outputs": frontend._encode(row)})
+                    if binary:
+                        self._reply_raw(
+                            200, encode_npz(row), "application/octet-stream"
+                        )
+                    else:
+                        self._reply(200, {"outputs": frontend._encode(row)})
                 except Exception as e:  # model/shape errors -> 500
                     self._reply(500, {"error": str(e)})
 

@@ -122,6 +122,65 @@ def test_http_frontend_error_codes():
         server.stop()
 
 
+def test_npz_codec_roundtrip():
+    from perceiverio_pytorch_tpu.serving_http import decode_npz, encode_npz
+
+    tree = {
+        "image": np.arange(6, dtype=np.uint8).reshape(2, 3),
+        "meta": {"scale": np.float32(2.0)},
+    }
+    back = decode_npz(encode_npz(tree))
+    np.testing.assert_array_equal(back["image"], tree["image"])
+    assert back["image"].dtype == np.uint8  # dtypes pass through exactly
+    np.testing.assert_allclose(back["meta"]["scale"], 2.0)
+
+    # bare-array form
+    arr = np.random.RandomState(0).randn(4).astype(np.float32)
+    np.testing.assert_array_equal(decode_npz(encode_npz(arr)), arr)
+
+
+def test_http_frontend_npz_binary_protocol():
+    """octet-stream requests carry npz pytrees both ways; uint8 dtypes
+    survive (the transport-efficient production path); garbage is 400."""
+    import io
+    import urllib.error
+
+    w = np.arange(6, dtype=np.float32).reshape(3, 2)
+    server = BatchingServer(
+        lambda b: {"y": b["x"].astype(np.float32) @ w},
+        max_batch=4,
+        max_wait_ms=0.0,
+    )
+    front = HttpFrontend(server, port=0).start()
+    try:
+        from perceiverio_pytorch_tpu.serving_http import decode_npz, encode_npz
+
+        x = np.arange(12, dtype=np.uint8).reshape(4, 3)
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{front.port}/v1/infer",
+            data=encode_npz({"x": x}),
+            headers={"Content-Type": "application/octet-stream"},
+            method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=30) as resp:
+            assert resp.headers["Content-Type"] == "application/octet-stream"
+            out = decode_npz(resp.read())
+        np.testing.assert_allclose(out["y"], x.astype(np.float32) @ w)
+
+        bad = urllib.request.Request(
+            f"http://127.0.0.1:{front.port}/v1/infer",
+            data=b"not an npz",
+            headers={"Content-Type": "application/octet-stream"},
+            method="POST",
+        )
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(bad, timeout=30)
+        assert e.value.code == 400
+    finally:
+        front.stop()
+        server.stop()
+
+
 def test_http_frontend_double_start_rejected():
     server = BatchingServer(lambda b: b, max_batch=2, max_wait_ms=0.0)
     front = HttpFrontend(server, port=0).start()
