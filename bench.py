@@ -360,8 +360,9 @@ def bench_serving():
         np.asarray(call(params, jnp.zeros((b, 3, 224, 224), jnp.uint8)))
 
     server = BatchingServer(
-        lambda x: np.asarray(call(params, x)),
+        lambda x: call(params, x),  # async-friendly: server fetches
         max_batch=16, max_wait_ms=3.0, batch_sizes=(4, 16),
+        pipeline=True,  # overlap batch i+1's transfer with batch i's compute
     )
     rng = np.random.RandomState(0)
     imgs = [

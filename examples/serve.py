@@ -118,7 +118,8 @@ def server_demo(out_dir: str, hw: int, clients: int = 24, max_batch: int = 8):
         np.asarray(call(jnp.zeros((b, 3, hw, hw), jnp.float32)))
 
     server = BatchingServer(
-        lambda x: np.asarray(call(x)), max_batch=max_batch, max_wait_ms=3.0
+        call, max_batch=max_batch, max_wait_ms=3.0,
+        pipeline=True,  # overlap next batch's transfer with current compute
     )
     rng = np.random.RandomState(0)
     lat = []
@@ -171,8 +172,8 @@ def http_demo(out_dir: str, hw: int, clients: int = 12, max_batch: int = 8):
     for b in _default_buckets(max_batch):
         np.asarray(call(jnp.zeros((b, 3, hw, hw), jnp.float32)))
     server = BatchingServer(
-        lambda x: np.asarray(call(x["image"])),
-        max_batch=max_batch, max_wait_ms=3.0,
+        lambda x: call(x["image"]), max_batch=max_batch, max_wait_ms=3.0,
+        pipeline=True,
     )
     front = HttpFrontend(server, port=0).start()
     rng = np.random.RandomState(0)

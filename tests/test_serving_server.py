@@ -122,3 +122,50 @@ def test_pytree_examples():
         np.testing.assert_allclose(np.asarray(out["sum"]), [4.0, 4.0])
     finally:
         server.stop()
+
+
+def test_pipeline_mode_matches_direct_calls():
+    """pipeline=True (one batch in flight, fetch deferred) returns the
+    same per-example outputs; the last batch is settled even when no
+    further request ever arrives (no starved futures)."""
+    w = np.arange(12, dtype=np.float32).reshape(3, 4)
+
+    @jax.jit
+    def fn(batch):
+        return {"y": batch["x"] @ w}
+
+    server = BatchingServer(fn, max_batch=4, max_wait_ms=5.0, pipeline=True)
+    rng = np.random.RandomState(0)
+    examples = [{"x": rng.randn(3).astype(np.float32)} for _ in range(11)]
+    try:
+        futs = [server.submit(ex) for ex in examples]
+        # the tail group resolves without any subsequent submission
+        for ex, fut in zip(examples, futs):
+            got = fut.result(timeout=30)
+            np.testing.assert_allclose(got["y"], ex["x"] @ w, rtol=1e-6)
+            assert isinstance(got["y"], np.ndarray)  # fetched by the server
+    finally:
+        server.stop()
+
+
+def test_pipeline_mode_error_propagation_and_stop_drain():
+    calls = []
+
+    def fn(batch):
+        calls.append(batch["x"].shape)
+        if batch["x"].shape[-1] != 3:
+            raise ValueError("bad width")
+        return {"y": batch["x"] * 2.0}
+
+    server = BatchingServer(fn, max_batch=2, max_wait_ms=0.0, pipeline=True)
+    try:
+        ok = server.submit({"x": np.ones(3, np.float32)})
+        np.testing.assert_allclose(ok.result(timeout=30)["y"], 2.0)
+        bad = server.submit({"x": np.ones(5, np.float32)})
+        with pytest.raises(ValueError, match="bad width"):
+            bad.result(timeout=30)
+        # the server recovers: a good request after the failure still works
+        ok2 = server.submit({"x": np.full(3, 2.0, np.float32)})
+        np.testing.assert_allclose(ok2.result(timeout=30)["y"], 4.0)
+    finally:
+        server.stop()
