@@ -179,16 +179,28 @@ def http_demo(out_dir: str, hw: int, clients: int = 12, max_batch: int = 8):
     rng = np.random.RandomState(0)
     ok = []
 
+    from perceiverio_pytorch_tpu.serving_http import decode_npz, encode_npz
+
     def client(i):
         img = rng.uniform(-1, 1, (3, hw, hw)).astype(np.float32)
-        req = urllib.request.Request(
-            f"http://127.0.0.1:{front.port}/v1/infer",
-            data=json.dumps({"inputs": {"image": img.tolist()}}).encode(),
-            method="POST",
-        )
-        with urllib.request.urlopen(req, timeout=120) as resp:
-            body = json.loads(resp.read())
-        ok.append(len(body["outputs"]) >= 10)
+        if i % 2:  # half the clients use the binary npz protocol
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{front.port}/v1/infer",
+                data=encode_npz({"image": img}),
+                headers={"Content-Type": "application/octet-stream"},
+                method="POST",
+            )
+            with urllib.request.urlopen(req, timeout=120) as resp:
+                out = decode_npz(resp.read())
+        else:  # and half plain JSON
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{front.port}/v1/infer",
+                data=json.dumps({"inputs": {"image": img.tolist()}}).encode(),
+                method="POST",
+            )
+            with urllib.request.urlopen(req, timeout=120) as resp:
+                out = np.asarray(json.loads(resp.read())["outputs"])
+        ok.append(out.shape[-1] >= 10)
 
     try:
         t0 = time.perf_counter()
