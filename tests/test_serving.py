@@ -82,3 +82,56 @@ def test_template_free_restore_reconstructs_zero_size_leaves(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(restored["params"]["w"]), np.ones((3, 2))
     )
+
+
+def test_full_serving_stack_end_to_end():
+    """The whole production path in one test: AOT export -> reload from
+    bytes -> pipelined BatchingServer -> HttpFrontend with binary npz
+    requests from concurrent clients -> per-example outputs equal direct
+    apply."""
+    import threading
+    import urllib.request
+
+    from perceiverio_pytorch_tpu.serving_http import (
+        HttpFrontend,
+        decode_npz,
+        encode_npz,
+    )
+    from perceiverio_pytorch_tpu.serving_server import BatchingServer
+
+    model, variables, img = _tiny_model_and_inputs()
+    blob = export_apply(model.apply, variables, img, batch_polymorphic=True)
+    serve = load_exported(blob)
+    call = jax.jit(lambda x: serve(variables, x))
+
+    server = BatchingServer(call, max_batch=4, max_wait_ms=50.0, pipeline=True)
+    front = HttpFrontend(server, port=0).start()
+    try:
+        rng = np.random.RandomState(7)
+        examples = [rng.randn(3, 32, 32).astype(np.float32) for _ in range(6)]
+        want = np.asarray(jax.jit(model.apply)(variables, jnp.stack(examples)))
+        got = [None] * len(examples)
+
+        def client(i):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{front.port}/v1/infer",
+                data=encode_npz(examples[i]),
+                headers={"Content-Type": "application/octet-stream"},
+                method="POST",
+            )
+            with urllib.request.urlopen(req, timeout=60) as resp:
+                got[i] = decode_npz(resp.read())
+
+        threads = [
+            threading.Thread(target=client, args=(i,))
+            for i in range(len(examples))
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        for i in range(len(examples)):
+            np.testing.assert_allclose(got[i], want[i], rtol=1e-5, atol=1e-6)
+    finally:
+        front.stop()
+        server.stop()
