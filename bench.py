@@ -405,7 +405,9 @@ def bench_serving():
     )
 
 
-def main():
+def main(quant: bool = False):
+    import dataclasses
+
     from perceiverio_pytorch_tpu import PARITY, PERFORMANCE
     from perceiverio_pytorch_tpu.models import ClassificationPerceiver, PrepType
     from perceiverio_pytorch_tpu.utils.params import cast_variables_for_inference
@@ -415,8 +417,13 @@ def main():
         np.random.RandomState(0).randn(batch, 3, 224, 224), jnp.float32
     )
 
+    policy = (
+        dataclasses.replace(PERFORMANCE, quant="int8_dynamic")
+        if quant
+        else PERFORMANCE
+    )
     perf_model = ClassificationPerceiver(
-        prep_type=PrepType.FOURIER_POS_CONVNET, policy=PERFORMANCE
+        prep_type=PrepType.FOURIER_POS_CONVNET, policy=policy
     )
     params = jax.jit(perf_model.init)(jax.random.PRNGKey(0), img)
     params_bf16 = cast_variables_for_inference(params)
@@ -448,7 +455,8 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "imagenet_convprep_images_per_sec_per_chip",
+                "metric": "imagenet_convprep_images_per_sec_per_chip"
+                + ("_int8" if quant else ""),
                 "value": round(perf_ips, 2),
                 "unit": "images/sec",
                 "vs_baseline": round(perf_ips / base_ips, 3),
@@ -468,7 +476,13 @@ if __name__ == "__main__":
              "full-scale training-step metrics, or 'serving' for the "
              "micro-batching request throughput",
     )
-    task = parser.parse_args().task
+    parser.add_argument(
+        "--quant", action="store_true",
+        help="imagenet task only: dynamic int8 projections"
+             " (Policy.quant='int8_dynamic'; approximate inference)",
+    )
+    args = parser.parse_args()
+    task = args.task
     if task == "flow":
         bench_flow()
     elif task == "mlm":
@@ -485,4 +499,4 @@ if __name__ == "__main__":
         bench_mlm()
         bench_multimodal()
     else:
-        main()
+        main(quant=args.quant)

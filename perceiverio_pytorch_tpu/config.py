@@ -132,7 +132,25 @@ class Policy:
     # but still recomputes batched attention logits/softmax -- it skips the
     # forward-GEMM recompute at the cost of O(saved dots) HBM.
     remat_policy: Optional[str] = None
+    # INFERENCE-only dynamic int8 quantization of the dense projections
+    # (q/k/v/out and the MLP): "int8_dynamic" routes those GEMMs through
+    # the int8 MXU with per-token activation scales and per-channel weight
+    # scales (ops/quant.py; ~1% relative error per GEMM, int8 measures
+    # +16-44% over bf16 at the classification shapes on the Jan-2026
+    # libtpu).  Never use for training: jnp.round has zero gradient.
+    quant: Optional[str] = None
     interpret: bool = False
+
+
+def quant_enabled(policy: "Policy") -> bool:
+    """Validate Policy.quant and return whether int8 projections are on."""
+    if policy.quant is None:
+        return False
+    if policy.quant == "int8_dynamic":
+        return True
+    raise ValueError(
+        f"Policy.quant must be None or 'int8_dynamic'; got {policy.quant!r}"
+    )
 
 
 def resolve_remat_policy(policy: "Policy"):

@@ -31,7 +31,7 @@ import jax.numpy as jnp
 
 from flax.linen.dtypes import promote_dtype
 
-from perceiverio_pytorch_tpu.config import DEFAULT, Policy
+from perceiverio_pytorch_tpu.config import DEFAULT, Policy, quant_enabled
 from perceiverio_pytorch_tpu.ops.attention import (
     attention_path,
     multihead_attention,
@@ -125,6 +125,10 @@ class _FoldPadDense(nn.Module):
     bias_init: Any = nn.initializers.zeros
     dtype: Optional[Any] = None
     param_dtype: Any = jnp.float32
+    # Inference-only dynamic int8 GEMM (Policy.quant == "int8_dynamic"):
+    # quantizes from the fp32 params (not the bf16-promoted copy) so the
+    # weight rounding error is the int8 grid's, not compounded with bf16's.
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x, head_pad: int = 0):
@@ -159,6 +163,15 @@ class _FoldPadDense(nn.Module):
                     kernel.reshape(h, d, self.features),
                     ((0, 0), (0, head_pad), (0, 0)),
                 ).reshape(h * (d + head_pad), self.features)
+        if self.quant:
+            from perceiverio_pytorch_tpu.ops.quant import int8_dynamic_matmul
+
+            out_dtype = self.dtype or x.dtype
+            y = int8_dynamic_matmul(x, kernel, out_dtype=out_dtype)
+            if bias is not None:
+                bias = bias.astype(out_dtype)
+                y = y + jnp.reshape(bias, (1,) * (y.ndim - 1) + (-1,))
+            return y
         x, kernel, bias = promote_dtype(x, kernel, bias, dtype=self.dtype)
         y = jax.lax.dot_general(
             x, kernel, (((x.ndim - 1,), (0,)), ((), ()))
@@ -207,6 +220,7 @@ class Attention(nn.Module):
             dtype=self.policy.compute_dtype,
             param_dtype=self.policy.param_dtype,
             bias_init=nn.initializers.zeros,
+            quant=quant_enabled(self.policy),
         )
         self.proj_q = _FoldPadDense(
             qk_out, kernel_init=variance_scaling(self.init_scale), **dense_kwargs
@@ -426,17 +440,23 @@ class MLP(nn.Module):
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
         out_channels = self.out_channels or self.in_channels
+        # _FoldPadDense with num_heads=1 is an nn.Dense twin (same param
+        # names/shapes/init) that additionally understands Policy.quant.
         dense_kwargs = dict(
+            num_heads=1,
             dtype=self.policy.compute_dtype,
             param_dtype=self.policy.param_dtype,
             kernel_init=variance_scaling(self.init_scale),
             bias_init=nn.initializers.zeros,
+            quant=quant_enabled(self.policy),
         )
-        x = nn.Dense(self.widening_factor * self.in_channels, name="fc1", **dense_kwargs)(x)
+        x = _FoldPadDense(
+            self.widening_factor * self.in_channels, name="fc1", **dense_kwargs
+        )(x)
         # torch F.gelu defaults to the exact erf-based form; the performance
         # policy swaps in the tanh approximation (see config.Policy).
         x = jax.nn.gelu(x, approximate=self.policy.gelu_approximate)
-        x = nn.Dense(out_channels, name="fc2", **dense_kwargs)(x)
+        x = _FoldPadDense(out_channels, name="fc2", **dense_kwargs)(x)
         if self.dropout_prob > 0.0 and not deterministic:
             x = nn.Dropout(rate=self.dropout_prob, deterministic=False)(x)
         return x
