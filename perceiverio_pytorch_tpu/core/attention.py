@@ -125,9 +125,11 @@ class _FoldPadDense(nn.Module):
     bias_init: Any = nn.initializers.zeros
     dtype: Optional[Any] = None
     param_dtype: Any = jnp.float32
-    # Inference-only dynamic int8 GEMM (Policy.quant == "int8_dynamic"):
-    # quantizes from the fp32 params (not the bf16-promoted copy) so the
-    # weight rounding error is the int8 grid's, not compounded with bf16's.
+    # Dynamic int8 GEMM (Policy.quant == "int8_dynamic"): quantizes from
+    # the STORED param dtype, skipping the compute-dtype promotion -- fp32
+    # params see only the int8 grid error; params already cast to bf16
+    # (utils.params.cast_variables_for_inference, the bench path) compound
+    # the two roundings.  Backward is a straight-through estimator.
     quant: bool = False
 
     @nn.compact

@@ -22,8 +22,9 @@ Binary alternative: POST the same route with
 (``np.savez(buf, **inputs)``); the response mirrors the request format
 (an ``.npz`` of the outputs).  A JSON-encoded 224x224 image is ~1.5 MB
 of text; the same tensor as npz is its raw 600 KB (150 KB as uint8 —
-dtypes pass through exactly, so ship uint8 pixels and normalise on
-device).  Keys with ``/`` nest into sub-dicts (np.savez flattens).
+native numpy dtypes pass through exactly, so ship uint8 pixels and
+normalise on device; bfloat16 outputs are cast to float32 so clients can
+read them).  Keys with ``/`` nest into sub-dicts.
 
     server = BatchingServer(lambda x: jitted(variables, x), max_batch=16)
     front = HttpFrontend(server, port=8000)
@@ -77,20 +78,24 @@ def encode_outputs(tree: Any) -> Any:
     return jax.tree_util.tree_map(lambda leaf: np.asarray(leaf).tolist(), tree)
 
 
+_BARE = "__bare__"  # reserved key marking a tree that is one bare leaf
+
+
 def decode_npz(body: bytes) -> Any:
     """``.npz`` request body -> pytree of numpy leaves.
 
-    np.savez stores a flat mapping; ``/`` in a key nests it back into
-    sub-dicts so arbitrary pytree structure round-trips.  A body saved
-    from a single unnamed array (``np.save``-style ``arr_0``) decodes to
-    that bare leaf.
+    The archive stores a flat mapping; ``/`` in a key nests it back into
+    sub-dicts so arbitrary pytree structure round-trips.  A body encoded
+    from a single bare array (no dict) uses the reserved ``__bare__`` key
+    and decodes back to the bare leaf — real dict keys, including
+    ``arr_0`` or ``file``, pass through untouched.
     """
     import io
 
     with np.load(io.BytesIO(body), allow_pickle=False) as z:
         items = {k: z[k] for k in z.files}
-    if list(items) == ["arr_0"]:
-        return items["arr_0"]
+    if list(items) == [_BARE]:
+        return items[_BARE]
     tree: dict = {}
     for key, leaf in items.items():
         node = tree
@@ -102,8 +107,15 @@ def decode_npz(body: bytes) -> Any:
 
 
 def encode_npz(tree: Any) -> bytes:
-    """Pytree of arrays -> ``.npz`` bytes (inverse of decode_npz)."""
+    """Pytree of arrays -> ``.npz`` bytes (inverse of decode_npz).
+
+    Written via zipfile directly (``np.savez(**flat)`` would collide with
+    its own ``file``/``allow_pickle`` argument names for those dict keys).
+    Non-native dtypes numpy can't describe portably (bfloat16 and friends
+    register as void kinds) are cast to float32 so clients can read them.
+    """
     import io
+    import zipfile
 
     flat = {}
 
@@ -112,11 +124,17 @@ def encode_npz(tree: Any) -> bytes:
             for k, v in node.items():
                 _walk(v, f"{prefix}/{k}" if prefix else str(k))
         else:
-            flat[prefix or "arr_0"] = np.asarray(node)
+            arr = np.asarray(node)
+            if arr.dtype.kind not in "biufc":
+                arr = arr.astype(np.float32)
+            flat[prefix or _BARE] = arr
 
     _walk(tree, "")
     buf = io.BytesIO()
-    np.savez(buf, **flat)
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_STORED) as z:
+        for key, arr in flat.items():
+            with z.open(key + ".npy", "w") as f:
+                np.lib.format.write_array(f, arr, allow_pickle=False)
     return buf.getvalue()
 
 
@@ -175,6 +193,8 @@ class HttpFrontend:
                     return
                 ctype = self.headers.get("Content-Type", "")
                 binary = ctype.startswith("application/octet-stream")
+                import zipfile
+
                 try:
                     length = int(self.headers.get("Content-Length", 0))
                     body = self.rfile.read(length)
@@ -182,8 +202,14 @@ class HttpFrontend:
                         example = decode_npz(body)
                     else:
                         example = frontend._decode(json.loads(body)["inputs"])
-                except Exception as e:
-                    # malformed JSON/npz, non-object JSON, bad dtypes
+                except (
+                    KeyError,          # missing "inputs"
+                    TypeError,         # valid JSON that isn't an object
+                    ValueError,        # bad dtypes, truncated npy
+                    json.JSONDecodeError,
+                    zipfile.BadZipFile,
+                    EOFError,
+                ) as e:
                     self._reply(400, {"error": f"bad request: {e}"})
                     return
                 try:

@@ -37,6 +37,29 @@ def test_int8_matmul_relative_error_bound():
     np.testing.assert_array_equal(np.asarray(z), 0.0)
 
 
+def test_int8_matmul_straight_through_gradients():
+    """Differentiating through the quant GEMM yields the EXACT matmul's
+    gradients (straight-through estimator) — training with the quant
+    policy behaves like QAT instead of silently zeroing kernel grads."""
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.randn(4, 32), jnp.float32)
+    w = jnp.asarray(rng.randn(32, 16) * 0.1, jnp.float32)
+
+    def loss_q(x, w):
+        return jnp.sum(jnp.sin(int8_dynamic_matmul(x, w)))
+
+    def loss_exact(x, w):
+        return jnp.sum(jnp.sin(x @ w))
+
+    gx_q, gw_q = jax.grad(loss_q, argnums=(0, 1))(x, w)
+    gx_e, gw_e = jax.grad(loss_exact, argnums=(0, 1))(x, w)
+    assert float(jnp.abs(gw_q).max()) > 0.0  # not round()-zeroed
+    # STE grads match the exact ones up to the forward's quant error
+    # propagating through sin' (cos of slightly different points)
+    np.testing.assert_allclose(np.asarray(gx_q), np.asarray(gx_e), atol=0.15)
+    np.testing.assert_allclose(np.asarray(gw_q), np.asarray(gw_e), atol=0.15)
+
+
 def test_quant_policy_validation():
     assert quant_enabled(PARITY) is False
     assert quant_enabled(dataclasses.replace(PARITY, quant="int8_dynamic"))

@@ -138,6 +138,17 @@ def test_npz_codec_roundtrip():
     arr = np.random.RandomState(0).randn(4).astype(np.float32)
     np.testing.assert_array_equal(decode_npz(encode_npz(arr)), arr)
 
+    # keys that collide with np.savez's own kwargs round-trip fine
+    tricky = {"file": np.ones(2, np.float32), "arr_0": np.zeros(3, np.int32)}
+    back2 = decode_npz(encode_npz(tricky))
+    assert set(back2) == {"file", "arr_0"}
+    np.testing.assert_array_equal(back2["arr_0"], tricky["arr_0"])
+
+    # bfloat16 outputs are cast to a client-readable float32
+    bf = decode_npz(encode_npz({"y": jnp.ones((2,), jnp.bfloat16) * 1.5}))
+    assert bf["y"].dtype == np.float32
+    np.testing.assert_allclose(bf["y"], 1.5)
+
 
 def test_http_frontend_npz_binary_protocol():
     """octet-stream requests carry npz pytrees both ways; uint8 dtypes
