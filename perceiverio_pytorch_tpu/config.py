@@ -132,12 +132,13 @@ class Policy:
     # but still recomputes batched attention logits/softmax -- it skips the
     # forward-GEMM recompute at the cost of O(saved dots) HBM.
     remat_policy: Optional[str] = None
-    # INFERENCE-only dynamic int8 quantization of the dense projections
-    # (q/k/v/out and the MLP): "int8_dynamic" routes those GEMMs through
-    # the int8 MXU with per-token activation scales and per-channel weight
-    # scales (ops/quant.py; ~1% relative error per GEMM, int8 measures
-    # +16-44% over bf16 at the classification shapes on the Jan-2026
-    # libtpu).  Never use for training: jnp.round has zero gradient.
+    # Dynamic int8 quantization of the dense projections (q/k/v/out and
+    # the MLP): "int8_dynamic" routes those GEMMs through the int8 MXU
+    # with per-token activation scales and per-channel weight scales
+    # (ops/quant.py; ~1% relative error per GEMM, int8 measures +16-44%
+    # over bf16 at the classification shapes on the Jan-2026 libtpu).
+    # Built for inference; differentiating through it uses the exact
+    # matmul's gradients (straight-through estimator), i.e. QAT semantics.
     quant: Optional[str] = None
     interpret: bool = False
 
