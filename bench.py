@@ -87,8 +87,10 @@ def bench_flow():
     )
 
 
-def bench_mlm():
+def bench_mlm(quant: bool = False):
     """Secondary metric: byte-MLM sequences/sec (2048 tokens, masked)."""
+    import dataclasses
+
     from perceiverio_pytorch_tpu import PERFORMANCE
     from perceiverio_pytorch_tpu.models import LanguagePerceiver
     from perceiverio_pytorch_tpu.utils.params import cast_variables_for_inference
@@ -96,7 +98,12 @@ def bench_mlm():
     # Measured optimum (one-process sweep: 8: 983, 16: 1015, 32: 1047-1072,
     # 64: 1034 seq/s).
     batch = 32
-    model = LanguagePerceiver(policy=PERFORMANCE)
+    policy = (
+        dataclasses.replace(PERFORMANCE, quant="int8_dynamic")
+        if quant
+        else PERFORMANCE
+    )
+    model = LanguagePerceiver(policy=policy)
     tokens = jnp.asarray(
         np.random.RandomState(0).randint(0, 262, (batch, 2048)), jnp.int32
     )
@@ -120,7 +127,8 @@ def bench_mlm():
     print(
         json.dumps(
             {
-                "metric": "byte_mlm_sequences_per_sec_per_chip",
+                "metric": "byte_mlm_sequences_per_sec_per_chip"
+                + ("_int8" if quant else ""),
                 "value": round(batch / dt, 2),
                 "unit": "seq/sec",
                 "vs_baseline": 1.0,
@@ -478,7 +486,7 @@ if __name__ == "__main__":
     )
     parser.add_argument(
         "--quant", action="store_true",
-        help="imagenet task only: dynamic int8 projections"
+        help="imagenet/mlm tasks: dynamic int8 projections"
              " (Policy.quant='int8_dynamic'; approximate inference)",
     )
     args = parser.parse_args()
@@ -486,7 +494,7 @@ if __name__ == "__main__":
     if task == "flow":
         bench_flow()
     elif task == "mlm":
-        bench_mlm()
+        bench_mlm(quant=args.quant)
     elif task == "multimodal":
         bench_multimodal()
     elif task == "training":

@@ -67,6 +67,42 @@ def test_quant_policy_validation():
         quant_enabled(dataclasses.replace(PARITY, quant="int4"))
 
 
+def test_qat_training_through_quant_policy_converges():
+    """A full Trainer run with the quant policy learns (STE end to end):
+    loss drops and the quantized kernels actually move."""
+    import optax
+
+    from perceiverio_pytorch_tpu.models import ClassificationPerceiver, PrepType
+    from perceiverio_pytorch_tpu.training import Trainer, classification_cross_entropy
+
+    qpolicy = dataclasses.replace(PARITY, quant="int8_dynamic")
+    model = ClassificationPerceiver(
+        num_classes=4, img_size=(16, 16), num_self_attends_per_block=1,
+        num_blocks=1, num_latents=4, num_latent_channels=32,
+        prep_type=PrepType.FOURIER_POS_PIXEL, policy=qpolicy,
+    )
+    rng = np.random.RandomState(0)
+    imgs = rng.randn(16, 3, 16, 16).astype(np.float32)
+    labels = rng.randint(0, 4, (16,))
+    # learnable signal: the label is stamped into a corner patch
+    for i, l in enumerate(labels):
+        imgs[i, :, :4, :4] = l - 1.5
+
+    def loss_fn(params, x, y):
+        return classification_cross_entropy(model.apply(params, x), y)
+
+    t = Trainer(loss_fn, optax.adam(3e-3), log_every=1000)
+    state = t.init_state(
+        jax.jit(model.init)(jax.random.PRNGKey(0), jnp.asarray(imgs))
+    )
+    l0 = float(jax.jit(loss_fn)(state.params, jnp.asarray(imgs), jnp.asarray(labels)))
+    state = t.fit(
+        state, iter([(imgs, labels)] * 100), num_steps=100
+    )
+    l1 = float(jax.jit(loss_fn)(state.params, jnp.asarray(imgs), jnp.asarray(labels)))
+    assert l1 < 0.7 * l0, (l0, l1)
+
+
 def test_quantized_classifier_close_to_exact():
     """Policy(quant='int8_dynamic') through a full tiny classifier: logits
     stay within a few percent of the exact fp32 model (all 4+2 projections
