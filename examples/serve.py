@@ -36,11 +36,14 @@ from perceiverio_pytorch_tpu.training.checkpoint import (
 from perceiverio_pytorch_tpu.utils.params import cast_variables_for_inference
 
 
-def build(out_dir: str, full_scale: bool) -> None:
+def build(out_dir: str, full_scale: bool, quant: bool = False) -> None:
+    from perceiverio_pytorch_tpu import PERFORMANCE_INT8
+
+    policy = PERFORMANCE_INT8 if quant else PERFORMANCE
     if full_scale:
         model = ClassificationPerceiver(
             num_classes=1000, img_size=(224, 224),
-            prep_type=PrepType.FOURIER_POS_CONVNET, policy=PERFORMANCE,
+            prep_type=PrepType.FOURIER_POS_CONVNET, policy=policy,
         )
         img_shape = (1, 3, 224, 224)
     else:
@@ -48,7 +51,7 @@ def build(out_dir: str, full_scale: bool) -> None:
             num_classes=10, img_size=(32, 32),
             prep_type=PrepType.FOURIER_POS_PIXEL,
             num_self_attends_per_block=2, num_blocks=1,
-            num_latents=16, num_latent_channels=64,
+            num_latents=16, num_latent_channels=64, policy=policy,
         )
         img_shape = (1, 3, 32, 32)
 
@@ -227,6 +230,9 @@ def main():
                     help="also demo the micro-batching BatchingServer")
     ap.add_argument("--http", action="store_true",
                     help="also demo the HTTP front-end (JSON protocol)")
+    ap.add_argument("--quant", action="store_true",
+                    help="export with dynamic int8 projections "
+                         "(PERFORMANCE_INT8; approximate inference)")
     from perceiverio_pytorch_tpu.utils.compilation_cache import (
         add_cache_arg,
         enable_cache_if_requested,
@@ -236,7 +242,7 @@ def main():
     args = ap.parse_args()
     enable_cache_if_requested(args)
 
-    build(args.out, args.full_scale)
+    build(args.out, args.full_scale, quant=args.quant)
     serve_demo(
         args.out,
         hw=224 if args.full_scale else 32,

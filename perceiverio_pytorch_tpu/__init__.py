@@ -14,6 +14,7 @@ from perceiverio_pytorch_tpu.config import (  # noqa: F401
     DEFAULT,
     PARITY,
     PERFORMANCE,
+    PERFORMANCE_INT8,
     Policy,
 )
 from perceiverio_pytorch_tpu.core.attention import (  # noqa: F401

@@ -174,4 +174,10 @@ PERFORMANCE = Policy(
     fold_query_pad=True,
 )
 
+# PERFORMANCE plus dynamic int8 projections: approximate (~1%/GEMM) but
+# +19% classification / +8.6% MLM on the int8 MXU.  Right for the
+# latent-compute-heavy models; flow/multimodal measured SLOWER with it
+# (PERFORMANCE.md item 16).
+PERFORMANCE_INT8 = dataclasses.replace(PERFORMANCE, quant="int8_dynamic")
+
 DEFAULT = Policy()
