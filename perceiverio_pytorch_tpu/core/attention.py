@@ -262,6 +262,11 @@ class Attention(nn.Module):
         C -- for the multimodal image modality that is 195 of 1026 channels
         over 97% of the 805k decode tokens.  The [B, Tq, C] padded concat
         is never materialised.
+
+        Policy.quant does NOT apply on this path: the folded Q projection
+        stays full precision (the fold's LayerNorm algebra assumes the
+        exact GEMM, and quant measured a net LOSS on the multimodal decode
+        where the fold is used -- PERFORMANCE.md item 16).
         """
         kernel = self.proj_q.variables["params"]["kernel"]
         bias = self.proj_q.variables["params"]["bias"]
@@ -338,6 +343,19 @@ class Attention(nn.Module):
         deterministic: bool = True,
         kv_logical_len: Optional[int] = None,
     ):
+        # The reference's Linear(in_features=...) errors on mismatched
+        # widths; flax infers them, so enforce the declared contract here
+        # (otherwise a misconfiguration silently builds kernels whose shapes
+        # no longer match the checkpoint adapter's expectations).
+        for name, declared, arr in (
+            ("k_in_channels", self.k_in_channels, inputs_k),
+            ("v_in_channels", self.v_in_channels, inputs_v),
+        ):
+            if declared is not None and arr.shape[-1] != declared:
+                raise ValueError(
+                    f"Attention {name}={declared} but the input has"
+                    f" {arr.shape[-1]} channels"
+                )
         dropout_rate = 0.0 if deterministic else self.dropout_prob
         dropout_rng = (
             self.make_rng("dropout") if dropout_rate > 0.0 else None

@@ -583,7 +583,15 @@ class PerceiverIO(nn.Module):
             block_k = self.policy.flash_block_k or DEFAULT_BLOCK_K
             pad = -m % block_k
             if pad and self._align_gate(
-                self.num_latents, m, self.encoder.dropout_prob, deterministic
+                self.num_latents,
+                m,
+                # the rate the cross-attend's multihead_attention dispatches
+                # on is the ATTENTION dropout (dropout_attn_prob, 0 as the
+                # encoder constructs it) -- not the MLP dropout_prob; gating
+                # on the latter would skip alignment in training configs
+                # whose attention still takes the flash kernel
+                self.encoder.cross_attend.dropout_attn_prob,
+                deterministic,
             ):
                 # Pad the token axis to the flash block size HERE, where XLA
                 # fuses the pad into the preprocess concat that produces the

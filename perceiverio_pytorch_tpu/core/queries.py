@@ -66,7 +66,11 @@ class BasicQuery(nn.Module):
         elif self.project_pos_dim > 0:
             channels = self.project_pos_dim
         elif self.position_encoding_type == PosEncodingType.TRAINABLE:
-            channels = self.trainable_position_encoding_kwargs["num_channels"]
+            # default mirrors TrainablePositionEncoding.num_channels (128,
+            # as in the reference) so omitting the kwarg stays legal
+            channels = (self.trainable_position_encoding_kwargs or {}).get(
+                "num_channels", 128
+            )
         else:
             kw = dict(self.fourier_position_encoding_kwargs)
             dims = _as_tuple(self.output_index_dims)

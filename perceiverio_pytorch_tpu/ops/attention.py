@@ -268,7 +268,10 @@ def multihead_attention(
             **block_kwargs,
         )
 
-    if attention_mask is None and (q_mask is not None or kv_mask is not None):
+    if q_mask is not None or kv_mask is not None:
+        # Factored masks combine with (never replace, never get dropped by)
+        # a caller-supplied rank-3 mask -- this includes the kv_mask the
+        # alignment safety net above synthesized from kv_logical_len.
         batch = q.shape[0]
         qm = (
             q_mask
@@ -280,7 +283,12 @@ def multihead_attention(
             if kv_mask is not None
             else jnp.ones((batch, kv_len), dtype=bool)
         )
-        attention_mask = make_cross_attention_mask(qm, km)
+        factored = make_cross_attention_mask(qm, km)
+        attention_mask = (
+            factored
+            if attention_mask is None
+            else (attention_mask.astype(bool) & factored)
+        )
 
     return attend_xla(
         q,

@@ -166,10 +166,15 @@ def _flash_kernel(
 
 
 def _pick_blocks(block_q, block_k, q_len, kv_len, d_pad, dv_pad, itemsize,
-                 extra_scratch_cols=0, unbounded=False):
+                 extra_scratch_cols=0, unbounded=False, mask_rows=0):
     """Shrink block sizes until the kernel's VMEM footprint fits (~16 MB/core):
     wide heads (e.g. the multimodal 704-ch single-head cross-attend) or fp32
     operands would otherwise overflow scoped VMEM at the defaults.
+
+    ``mask_rows``: batch size when a kv_mask operand rides along -- its
+    BlockSpec is the FULL [batch, k_pad] int32 array resident every grid
+    cell (TPU sublane alignment forbids slicing its batch axis), a fixed
+    cost block shrinking cannot reduce, so it comes out of the budget.
 
     ``unbounded`` (interpreter mode) skips the VMEM budget: the interpreter
     has no VMEM, and CPU parity tests at full model scale NEED large blocks
@@ -185,7 +190,8 @@ def _pick_blocks(block_q, block_k, q_len, kv_len, d_pad, dv_pad, itemsize,
         scores = bq * bk * 4 * 2  # s and p in fp32
         scratch = (bq * dv_pad + 2 * bq * _LANE + (bq + bk) * extra_scratch_cols) * 4
         out = (bq + bk) * (d_pad + dv_pad) * itemsize
-        return operands + scores + scratch + out
+        mask = mask_rows * _round_up(kv_len, bk) * 4
+        return operands + scores + scratch + out + mask
 
     budget = 12 * 1024 * 1024
     while _vmem_bytes(block_q, block_k) > budget and (
@@ -231,6 +237,7 @@ def _flash_forward(
     block_q, block_k = _pick_blocks(
         block_q, block_k, q_len, kv_len, d_pad, dv_pad, q.dtype.itemsize,
         unbounded=interpret,
+        mask_rows=batch if kv_mask is not None else 0,
     )
 
     q_pad = _round_up(q_len, block_q)
@@ -271,8 +278,10 @@ def _flash_forward(
         mask_arr = jnp.pad(
             kv_mask.astype(jnp.int32), ((0, 0), (0, k_pad - kv_shape_len))
         )
-        # Full-batch block: TPU requires the sublane dim of a block to be
-        # 8-aligned or equal to the array dim; batch x block_k is small.
+        # Full-array block: TPU requires the sublane dim of a block to be
+        # 8-aligned or equal to the array dim, so the whole [batch, k_pad]
+        # mask rides in VMEM each cell -- budgeted via _pick_blocks
+        # (mask_rows), since block shrinking cannot reduce it.
         in_specs.append(
             pl.BlockSpec(
                 (batch, k_pad),
@@ -569,6 +578,7 @@ def _pallas_attention_bwd(q, k, v, kv_mask, q_mask, out, lse, g, *,
     block_q, block_k = _pick_blocks(
         block_q, block_k, q_len, kv_len, d_pad, dv_pad, q.dtype.itemsize,
         extra_scratch_cols=d_pad + dv_pad, unbounded=interpret,
+        mask_rows=batch if kv_mask is not None else 0,
     )
     q_pad = _round_up(q_len, block_q)
     k_pad = _round_up(kv_shape_len, block_k)

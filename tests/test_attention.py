@@ -220,3 +220,50 @@ def test_auto_dispatch_is_device_correct(monkeypatch):
     # An explicit Policy.backend overrides everything.
     assert attention_path("auto", backend="cpu", **flash_shape) == "xla"
     assert attention_path("auto", backend="tpu", **flash_shape) == "flash"
+
+
+def test_rank3_mask_combines_with_factored_masks():
+    """A caller-supplied rank-3 attention_mask must AND with q_mask/kv_mask
+    and with the kv_mask synthesized from kv_logical_len (alignment pad
+    keys must not receive softmax weight on the XLA fallback path)."""
+    from perceiverio_pytorch_tpu.ops.attention import multihead_attention
+
+    rng = np.random.RandomState(0)
+    b, tq, tk, h, d = 2, 4, 16, 2, 8
+    logical = 11  # keys [11:16) are alignment padding
+    q = jnp.asarray(rng.randn(b, tq, h, d), jnp.float32)
+    k = jnp.asarray(rng.randn(b, tk, h, d), jnp.float32)
+    v = jnp.asarray(rng.randn(b, tk, h, d), jnp.float32)
+    rank3 = jnp.asarray(rng.rand(b, tq, tk) > 0.3)
+    # reference: truncate to the logical keys and apply the same rank-3 mask
+    want = attend_xla(
+        q, k[:, :logical], v[:, :logical], attention_mask=rank3[:, :, :logical]
+    )
+    got = multihead_attention(
+        q, k, v, attention_mask=rank3, kv_logical_len=logical, impl="xla"
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-6, atol=1e-6
+    )
+
+    # q_mask also still wipes rows when a rank-3 mask is present
+    q_mask = jnp.asarray([[True, False, True, True], [True] * 4])
+    got2 = multihead_attention(
+        q, k, v, attention_mask=rank3, q_mask=q_mask,
+        kv_logical_len=logical, impl="xla",
+    )
+    np.testing.assert_array_equal(np.asarray(got2[0, 1]), 0.0)
+
+
+def test_attention_in_channel_declarations_enforced():
+    """Declared k/v input widths error on mismatch (reference Linear
+    semantics) instead of silently building differently-shaped kernels."""
+    import pytest
+
+    att = Attention(q_in_channels=8, k_in_channels=8, v_in_channels=8)
+    q = jnp.zeros((1, 3, 8))
+    bad = jnp.zeros((1, 5, 12))
+    with pytest.raises(ValueError, match="k_in_channels"):
+        jax.eval_shape(
+            lambda: att.init(jax.random.PRNGKey(0), q, bad, bad)
+        )

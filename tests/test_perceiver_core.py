@@ -444,3 +444,20 @@ def test_flow_inference_waves_match_wide_batch():
     # with batch_tiles=False must be rejected, not silently ignored.
     with pytest.raises(ValueError, match="batch_tiles"):
         FlowInference(model, params, batch_tiles=False, wave_size=2)
+
+
+def test_basic_query_channels_default_when_kwargs_omit_num_channels():
+    """trainable_position_encoding_kwargs without num_channels is a valid
+    config (the encoding defaults to 128, as in the reference) -- the
+    channel-count helper must agree instead of KeyError-ing."""
+    from perceiverio_pytorch_tpu.core.queries import BasicQuery
+
+    q = BasicQuery(
+        output_index_dims=6,
+        trainable_position_encoding_kwargs={"init_scale": 0.01},
+    )
+    assert q.n_query_channels() == 128
+    out = jax.jit(
+        lambda key, x: q.init_with_output(key, x)[0]
+    )(jax.random.PRNGKey(0), jnp.zeros((2, 6, 4)))
+    assert out.shape == (2, 6, 128)
