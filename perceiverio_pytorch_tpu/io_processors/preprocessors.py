@@ -117,9 +117,15 @@ class ImagePreprocessor(nn.Module):
     fourier_position_encoding_kwargs: Optional[Mapping[str, Any]] = None
 
     def _index_dims(self):
-        dims = [d // self.spatial_downsample for d in self.img_size]
+        # ceil division: the pixels path's strided slice ([::k]) and the
+        # SAME-padded convs both produce ceil(d/k) positions, so floor
+        # would mis-size the position grid whenever d % k != 0 (the
+        # patches path requires exact divisibility and errors upstream)
+        dims = [-(-d // self.spatial_downsample) for d in self.img_size]
         if self.num_frames > 1:
-            dims = [self.num_frames // self.temporal_downsample] + dims
+            dims = [
+                -(-self.num_frames // self.temporal_downsample)
+            ] + dims
         return dims
 
     def _pos_enc_channels(self) -> int:

@@ -128,13 +128,14 @@ def compute_grid_indices(
         )
     ys = list(range(0, image_shape[0], ph - min_overlap))
     xs = list(range(0, image_shape[1], pw - min_overlap))
-    # Keep the final tiles flush with the image boundary.
-    ys[-1] = image_shape[0] - ph
-    xs[-1] = image_shape[1] - pw
-    if image_shape[0] == ph:
-        ys = [0]
-    if image_shape[1] == pw:
-        xs = [0]
+    # Clamp EVERY origin so its tile stays inside the image, then dedupe
+    # preserving order.  The reference clamps only the last origin
+    # (flow_perceiver.py:113-117), so an image dimension in
+    # (k*step, k*step + min_overlap) emits an intermediate tile that
+    # overflows the boundary and crashes the tile slice -- a reference bug
+    # not reproduced here (SURVEY.md: implement the intended semantics).
+    ys = list(dict.fromkeys(min(y, image_shape[0] - ph) for y in ys))
+    xs = list(dict.fromkeys(min(x, image_shape[1] - pw) for x in xs))
     return list(itertools.product(ys, xs))
 
 
@@ -257,10 +258,12 @@ class FlowInference:
             )
             if self._dp_size > 1 and tiles1.shape[0] % self._dp_size != 0:
                 # Even DP sharding needs a divisible tile batch; pad with
-                # repeats and drop the extras afterwards.
+                # cyclic repeats (pad_n can exceed the tile count on a wide
+                # mesh with a small grid) and drop the extras afterwards.
                 pad_n = -tiles1.shape[0] % self._dp_size
-                tiles1 = jnp.concatenate([tiles1, tiles1[:pad_n]], axis=0)
-                tiles2 = jnp.concatenate([tiles2, tiles2[:pad_n]], axis=0)
+                idx = jnp.arange(pad_n) % tiles1.shape[0]
+                tiles1 = jnp.concatenate([tiles1, tiles1[idx]], axis=0)
+                tiles2 = jnp.concatenate([tiles2, tiles2[idx]], axis=0)
             n_stacked = tiles1.shape[0]
             if self._wave_fn is not None and n_stacked > self.wave_size:
                 # Fixed-size waves under one lax.scan: per-wave batch stays

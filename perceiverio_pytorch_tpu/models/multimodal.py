@@ -169,10 +169,16 @@ class MultiModalPerceiver(nn.Module):
           "label" [B, num_classes].
         """
         batch_size, t, c, h, w = images.shape
+        n_audio_patches = audio.shape[1] // self.audio_samples_per_patch
+        if (t * h * w) % n_chunks or n_audio_patches % n_chunks:
+            raise ValueError(
+                f"n_chunks ({n_chunks}) must divide both the image query"
+                f" count ({t * h * w} = t*h*w) and the audio patch count"
+                f" ({n_audio_patches}) -- otherwise the decoded chunks"
+                " cannot be stitched back to the input shapes"
+            )
         image_chunk_size = t * h * w // n_chunks
-        audio_chunk_size = (
-            audio.shape[1] // self.audio_samples_per_patch // n_chunks
-        )
+        audio_chunk_size = n_audio_patches // n_chunks
 
         inputs = {
             "image": images,

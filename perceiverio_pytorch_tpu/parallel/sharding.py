@@ -48,15 +48,10 @@ def param_partition_spec(path: Tuple[str, ...], value) -> P:
 
 def shard_variables(variables, mesh: Mesh):
     """Place a variables pytree on the mesh according to the TP rules."""
-    out = {}
-    for collection, tree in variables.items():
-        flat = flatten_dict(tree)
-        new_flat = {}
-        for path, value in flat.items():
-            spec = param_partition_spec(path, value) if collection == "params" else P()
-            new_flat[path] = jax.device_put(value, NamedSharding(mesh, spec))
-        out[collection] = unflatten_dict(new_flat)
-    return out
+    # single source of truth for the rule walk: variables_shardings
+    return jax.tree_util.tree_map(
+        jax.device_put, variables, variables_shardings(variables, mesh)
+    )
 
 
 def variables_shardings(variables, mesh: Mesh):

@@ -76,6 +76,10 @@ def save_variables(path: str, variables: Any, overwrite: bool = False) -> None:
             multihost_utils.sync_global_devices(f"ckpt_overwrite:{path}")
     with ocp.StandardCheckpointer() as ckptr:
         ckptr.save(path, _mask_zero_size(variables))
+    if jax.process_index() != 0:
+        # one writer for the host-side sidecar (N processes racing the same
+        # file on shared storage can interleave to garbled JSON)
+        return
     import json
 
     flat, _ = jax.tree_util.tree_flatten_with_path(variables)

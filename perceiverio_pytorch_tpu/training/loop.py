@@ -387,17 +387,24 @@ class Trainer:
                 # Index the per-step losses only when actually logging: an
                 # eager slice on the device array is an extra XLA dispatch
                 # per call on the remote transport.
+                import jax as _jax
+
                 extra = {}
                 if isinstance(loss, dict):  # log_grad_norm metrics
+                    # ONE wholesale fetch: a float() per key would pay the
+                    # transport round trip per metric (evaluate() batches
+                    # the same way)
+                    fetched = _jax.device_get(loss)
                     extra = {
                         k: round(float(v), 6)
-                        for k, v in loss.items()
+                        for k, v in fetched.items()
                         if k != "loss"
                     }
-                    loss = loss["loss"]
-                elif group > 1:
-                    loss = loss[-1]
-                loss_val = float(loss)  # host fetch = completion barrier
+                    loss_val = float(fetched["loss"])
+                else:
+                    if group > 1:
+                        loss = loss[-1]
+                    loss_val = float(loss)  # host fetch = completion barrier
                 now = time.perf_counter()
                 if self.lr_schedule is not None:
                     # AFTER the timing capture: optax schedules are jnp

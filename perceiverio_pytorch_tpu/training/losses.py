@@ -60,19 +60,23 @@ def multimodal_autoencode_loss(
     targets: Mapping[str, jnp.ndarray],
     weights: Optional[Mapping[str, float]] = None,
 ) -> jnp.ndarray:
-    """Weighted sum of per-modality reconstruction/CE losses."""
-    weights = weights or {"image": 1.0, "audio": 1.0, "label": 1.0}
+    """Weighted sum of per-modality reconstruction/CE losses.
+
+    ``weights``: per-modality multipliers; unspecified modalities default
+    to 1.0 (a partial dict like ``{"label": 2.0}`` is fine).
+    """
+    weights = dict(weights or {})
     total = 0.0
     if "image" in outputs:
-        total += weights["image"] * jnp.mean(
+        total += weights.get("image", 1.0) * jnp.mean(
             (outputs["image"] - targets["image"]) ** 2
         )
     if "audio" in outputs:
-        total += weights["audio"] * jnp.mean(
+        total += weights.get("audio", 1.0) * jnp.mean(
             (outputs["audio"] - targets["audio"]) ** 2
         )
     if "label" in outputs:
-        total += weights["label"] * jnp.mean(
+        total += weights.get("label", 1.0) * jnp.mean(
             optax.softmax_cross_entropy_with_integer_labels(
                 outputs["label"], targets["label"]
             )

@@ -17,13 +17,9 @@ from typing import Any, Callable
 import jax
 import jax.numpy as jnp
 import optax
-from flax.traverse_util import flatten_dict, unflatten_dict
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from perceiverio_pytorch_tpu.parallel.sharding import (
-    batch_sharding,
-    param_partition_spec,
-)
+from perceiverio_pytorch_tpu.parallel.sharding import batch_sharding
 
 
 @dataclasses.dataclass
@@ -63,7 +59,9 @@ def create_train_state(
     return TrainState(
         step=jnp.zeros((), jnp.int32),
         params=params,
-        opt_state=tx.init(params),
+        # jitted: eager tx.init dispatches one XLA computation per leaf
+        # (hundreds of remote-compile RPCs on this transport)
+        opt_state=jax.jit(tx.init)(params),
         model_state=model_state,
         # A jitted identity forces fresh buffers (one XLA dispatch for the
         # whole tree): params and ema_params must not alias or the donated
@@ -194,13 +192,10 @@ def make_multi_step(
 
 def param_shardings(params, mesh: Mesh):
     """NamedSharding pytree for a params tree from the TP partition rules."""
-    flat = flatten_dict(params)
-    return unflatten_dict(
-        {
-            path: NamedSharding(mesh, param_partition_spec(path, value))
-            for path, value in flat.items()
-        }
-    )
+    from perceiverio_pytorch_tpu.parallel.sharding import variables_shardings
+
+    # delegate so the rule walk has one home (parallel/sharding.py)
+    return variables_shardings({"params": params}, mesh)["params"]
 
 
 def create_sharded_train_state(

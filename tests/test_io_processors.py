@@ -219,3 +219,20 @@ def test_image_postprocessor_conv_upsample_functional():
     params = post.init(jax.random.PRNGKey(0), x)
     out = post.apply(params, x)
     assert out.shape == (2, 16, 16, 3)  # 4x upsampled, channel-last
+
+
+def test_compute_grid_indices_never_overflows():
+    """Every tile origin keeps the tile inside the image — the reference
+    clamps only the LAST origin (flow_perceiver.py:113-117), so dimensions
+    in (k*step, k*step+min_overlap) emitted an out-of-bounds tile."""
+    from perceiverio_pytorch_tpu.models.flow import compute_grid_indices
+
+    # height 700 with patch 368, overlap 20 (step 348): naive ys=[0,348,696]
+    # -> clamping only the last gave [0,348,332]; 348+368 > 700 overflows
+    grid = compute_grid_indices((700, 496), (368, 496), 20)
+    for y, x in grid:
+        assert 0 <= y <= 700 - 368 and 0 <= x <= 496 - 496
+    assert len(set(grid)) == len(grid)  # no duplicate tiles
+    assert max(y for y, _ in grid) == 700 - 368  # flush with the boundary
+    # exact-fit image: one tile
+    assert compute_grid_indices((368, 496), (368, 496), 20) == [(0, 0)]

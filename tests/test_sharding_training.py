@@ -811,3 +811,50 @@ def test_sharded_train_step_with_trainable_mask():
     assert float(loss) < first
     np.testing.assert_array_equal(np.asarray(state.params["w"]), w0)
     assert float(np.abs(np.asarray(state.params["head"]) - params["head"]).max()) > 0
+
+
+def test_multimodal_rejects_nondivisible_n_chunks():
+    """n_chunks that doesn't divide the query counts raises a clear error
+    at trace time instead of a cryptic reshape failure at stitch time."""
+    import pytest
+
+    from perceiverio_pytorch_tpu.models import MultiModalPerceiver
+
+    model = MultiModalPerceiver(
+        img_size=(16, 16), num_frames=2, num_classes=11,
+        audio_samples_per_frame=128, audio_samples_per_patch=16,
+        num_self_attends_per_block=1, num_blocks=1,
+        num_latents=8, num_latent_channels=512,
+    )
+    images = jnp.zeros((1, 2, 3, 16, 16), jnp.float32)
+    audio = jnp.zeros((1, 256, 1), jnp.float32)  # 16 audio patches
+    # 512 image queries and 16 audio patches: n_chunks=3 divides neither
+    with pytest.raises(ValueError, match="n_chunks"):
+        jax.eval_shape(
+            lambda: model.init(jax.random.PRNGKey(0), images, audio, 3)
+        )
+
+
+def test_flow_inference_dp_pad_exceeding_tile_count():
+    """A mesh data axis larger than the tile grid pads with CYCLIC repeats
+    (tiles[:pad_n] alone under-fills when pad_n > n_tiles) and matches the
+    unmeshed result."""
+    from perceiverio_pytorch_tpu.models import FlowInference, FlowPerceiver
+
+    model = FlowPerceiver(
+        img_size=(16, 24), num_latents=8, num_latent_channels=32,
+        num_self_attends_per_block=1, num_blocks=1,
+    )
+    rng = np.random.RandomState(1)
+    # height == patch height -> single tile row; grid of 2 tiles, dp=8
+    img1 = jnp.asarray(rng.uniform(-1, 1, (1, 3, 16, 40)), jnp.float32)
+    img2 = jnp.asarray(rng.uniform(-1, 1, (1, 3, 16, 40)), jnp.float32)
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, 3, 16, 24)), jnp.zeros((1, 3, 16, 24))
+    )
+    ref = FlowInference(model, params, min_overlap=8)(img1, img2)
+    mesh = make_mesh((8, 1))
+    dp = FlowInference(model, params, min_overlap=8, mesh=mesh)(img1, img2)
+    np.testing.assert_allclose(
+        np.asarray(ref), np.asarray(dp), rtol=1e-5, atol=1e-5
+    )

@@ -1124,3 +1124,25 @@ def test_resume_overwrites_unfinalized_checkpoint(tmp_path):
     assert int(s2.step) == 6
     # the re-save finalized the once-broken checkpoint
     assert latest_checkpoint(ckpt_dir).endswith("step_00000006")
+
+
+def test_multimodal_loss_partial_weights():
+    """A partial weights dict applies defaults to unnamed modalities; an
+    explicit weight scales only its own term."""
+    from perceiverio_pytorch_tpu.training import multimodal_autoencode_loss
+
+    rng = np.random.RandomState(12)
+    outputs = {
+        "image": jnp.asarray(rng.randn(2, 8), jnp.float32),
+        "label": jnp.asarray(rng.randn(2, 5), jnp.float32),
+    }
+    targets = {
+        "image": jnp.asarray(rng.randn(2, 8), jnp.float32),
+        "label": jnp.asarray([1, 3]),
+    }
+    base = float(multimodal_autoencode_loss(outputs, targets))
+    only_label = float(
+        multimodal_autoencode_loss(outputs, targets, weights={"label": 2.0})
+    )
+    img_term = float(jnp.mean((outputs["image"] - targets["image"]) ** 2))
+    np.testing.assert_allclose(only_label - base, base - img_term, rtol=1e-5)
