@@ -286,13 +286,21 @@ def bench_training():
     i1 = jnp.asarray(rng.uniform(-1, 1, (1, 3, 368, 496)), jnp.float32)
     i2 = jnp.asarray(rng.uniform(-1, 1, (1, 3, 368, 496)), jnp.float32)
     gt = jnp.asarray(rng.uniform(-3, 3, (1, 2, 368, 496)), jnp.float32)
-    params = jax.jit(flow_model.init)(jax.random.PRNGKey(0), i1, i2)
+    flow_vars = jax.jit(flow_model.init)(jax.random.PRNGKey(0), i1, i2)
+    # The derived Fourier tables ("consts") are NOT trainable: route them
+    # through model_state, or the 188 MB table gets adamw moments and a
+    # gradient every step (and dominates any global-norm clip).
+    flow_consts = {k: v for k, v in flow_vars.items() if k != "params"}
 
-    def flow_loss(params, a, b, gt):
-        return flow_endpoint_error(flow_model.apply(params, a, b), gt)
+    def flow_loss(params, model_state, a, b, gt):
+        out = flow_model.apply({"params": params, **model_state}, a, b)
+        return flow_endpoint_error(out, gt), model_state
 
     ms = _time_steps(
-        make_train_step(flow_loss, tx), create_train_state(params, tx),
+        make_train_step(flow_loss, tx, with_model_state=True),
+        create_train_state(
+            flow_vars["params"], tx, model_state=flow_consts
+        ),
         (i1, i2, gt), iters=10,
     )
     print(json.dumps({

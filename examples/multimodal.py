@@ -33,12 +33,9 @@ IMG_SZ = 224
 
 
 
-def _resolve_sample(path: str) -> str:
-    """Fall back to the reference repo's sample_data for the demo media."""
-    if os.path.exists(path):
-        return path
-    alt = os.path.join("/root/reference", path.lstrip("./"))
-    return alt if os.path.exists(alt) else path
+from perceiverio_pytorch_tpu.utils.image import (  # shared fallback
+    resolve_sample_path as _resolve_sample,
+)
 
 def multimodal_example(
     video_path: str = "./sample_data/video.avi",

@@ -102,6 +102,16 @@ def serve_demo(out_dir: str, hw: int, batch_sizes=(1, 4, 16), requests: int = 20
         )
 
 
+def _warm_buckets(call, hw: int, max_batch: int) -> None:
+    """Compile every bucket shape the server will pad to before timing
+    (each padded shape is one compile -- expensive through the remote
+    compile service)."""
+    from perceiverio_pytorch_tpu.serving_server import _default_buckets
+
+    for b in _default_buckets(max_batch):
+        np.asarray(call(jnp.zeros((b, 3, hw, hw), jnp.float32)))
+
+
 def server_demo(out_dir: str, hw: int, clients: int = 24, max_batch: int = 8):
     """Concurrent clients against the micro-batching server: requests
     coalesce into bucketed device batches transparently."""
@@ -113,12 +123,7 @@ def server_demo(out_dir: str, hw: int, clients: int = 24, max_batch: int = 8):
         fn = load_exported(f.read())
     variables = restore_variables(os.path.join(out_dir, "weights"))
     call = jax.jit(lambda x: fn(variables, x))
-    # warm every bucket the server will pad to, so client latency is
-    # steady-state (each padded shape is one compile)
-    from perceiverio_pytorch_tpu.serving_server import _default_buckets
-
-    for b in _default_buckets(max_batch):
-        np.asarray(call(jnp.zeros((b, 3, hw, hw), jnp.float32)))
+    _warm_buckets(call, hw, max_batch)
 
     server = BatchingServer(
         call, max_batch=max_batch, max_wait_ms=3.0,
@@ -167,13 +172,7 @@ def http_demo(out_dir: str, hw: int, clients: int = 12, max_batch: int = 8):
         fn = load_exported(f.read())
     variables = restore_variables(os.path.join(out_dir, "weights"))
     call = jax.jit(lambda x: fn(variables, x))
-    # warm every bucket (each padded shape is one compile -- expensive
-    # through the remote compile service) so the clients measure serving,
-    # not compilation
-    from perceiverio_pytorch_tpu.serving_server import _default_buckets
-
-    for b in _default_buckets(max_batch):
-        np.asarray(call(jnp.zeros((b, 3, hw, hw), jnp.float32)))
+    _warm_buckets(call, hw, max_batch)
     server = BatchingServer(
         lambda x: call(x["image"]), max_batch=max_batch, max_wait_ms=3.0,
         pipeline=True,

@@ -32,7 +32,11 @@ from perceiverio_pytorch_tpu.training import (
     build_optimizer,
     classification_cross_entropy,
 )
-from perceiverio_pytorch_tpu.utils.data import epoch_batches, prefetch_to_device
+from perceiverio_pytorch_tpu.utils.data import (
+    batch_iterator,
+    epoch_batches,
+    prefetch_to_device,
+)
 
 
 def synthetic_quadrants(n: int, hw, num_classes: int, seed: int = 0):
@@ -100,9 +104,11 @@ def main(steps=30, batch_size=8, full_scale=False, mesh_shape=None,
     )
     state = trainer.init_state(variables["params"], model_state=aux)
 
+    # epochs=None reshuffles every epoch (a fresh epoch_batches() per
+    # loop iteration would replay the same seed-0 permutation)
     def batches():
-        while True:
-            yield from epoch_batches((img, labels), batch_size)
+        return batch_iterator((img, labels), batch_size,
+                              shuffle=True, epochs=None)
 
     state = trainer.fit(
         state, prefetch_to_device(batches(), 2), num_steps=steps, resume=resume,

@@ -32,7 +32,11 @@ from perceiverio_pytorch_tpu.training import (
     build_optimizer,
     flow_endpoint_error,
 )
-from perceiverio_pytorch_tpu.utils.data import epoch_batches, prefetch_to_device
+from perceiverio_pytorch_tpu.utils.data import (
+    batch_iterator,
+    epoch_batches,
+    prefetch_to_device,
+)
 
 
 def synthetic_flow_pairs(n: int, hw, max_shift: int = 3, seed: int = 0):
@@ -73,12 +77,17 @@ def main(steps=30, batch_size=None, full_scale=False, mesh_shape=None,
         hw = (32, 48)
 
     img1, img2, flow = synthetic_flow_pairs(8 * batch_size, hw)
-    params = jax.jit(model.init)(
+    variables = jax.jit(model.init)(
         jax.random.PRNGKey(0), img1[:batch_size], img2[:batch_size]
     )
+    # Split the derived Fourier tables ("consts") out of the trainable
+    # params: they are pure functions of the config -- training them would
+    # waste adamw moments on the table and dominate the global-norm clip.
+    consts = {k: v for k, v in variables.items() if k != "params"}
 
-    def loss_fn(params, a, b, gt):
-        return flow_endpoint_error(model.apply(params, a, b), gt)
+    def loss_fn(params, model_state, a, b, gt):
+        out = model.apply({"params": params, **model_state}, a, b)
+        return flow_endpoint_error(out, gt), model_state
 
     mesh = None
     if mesh_shape is not None:
@@ -95,16 +104,19 @@ def main(steps=30, batch_size=None, full_scale=False, mesh_shape=None,
         ),
         mesh=mesh,
         num_batch_args=3,
+        with_model_state=True,
         metrics_path="./flow_metrics.jsonl",
         log_every=10,
         checkpoint_dir=checkpoint_dir,
         checkpoint_every=0 if checkpoint_dir is None else max(steps // 2, 1),
     )
-    state = trainer.init_state(params)
+    state = trainer.init_state(variables["params"], model_state=consts)
 
+    # epochs=None reshuffles every epoch (a fresh epoch_batches() per
+    # loop iteration would replay the same seed-0 permutation)
     def batches():
-        while True:
-            yield from epoch_batches((img1, img2, flow), batch_size)
+        return batch_iterator((img1, img2, flow), batch_size,
+                              shuffle=True, epochs=None)
 
     state = trainer.fit(
         state, prefetch_to_device(batches(), 2), num_steps=steps, resume=resume,

@@ -24,16 +24,25 @@ from perceiverio_pytorch_tpu.training import (
     build_optimizer,
     masked_token_cross_entropy,
 )
-from perceiverio_pytorch_tpu.utils.data import epoch_batches, prefetch_to_device
+from perceiverio_pytorch_tpu.utils.data import (
+    batch_iterator,
+    epoch_batches,
+    prefetch_to_device,
+)
 
 
 def synthetic_corpus(n: int, seq_len: int, vocab: int, seed: int = 0):
+    """Corpus + MLM corruption: 15% of positions are replaced by MASK (=3,
+    utils.bytes_tokenizer reserved id) and the loss is computed on exactly
+    those positions against the original tokens -- real masked-token
+    prediction, not visible-copy reconstruction."""
     rng = np.random.RandomState(seed)
     tokens = rng.randint(6, vocab, (n, seq_len)).astype(np.int32)
     # plant a learnable regularity: every 8th token repeats its predecessor
     tokens[:, 7::8] = tokens[:, 6::8]
-    mask = np.ones((n, seq_len), bool)
-    return tokens, mask
+    mlm_mask = rng.rand(n, seq_len) < 0.15
+    corrupted = np.where(mlm_mask, 3, tokens).astype(np.int32)
+    return corrupted, tokens, mlm_mask
 
 
 def main(steps: int = 50, batch_size: int = 8, seq_len: int = None,
@@ -55,20 +64,25 @@ def main(steps: int = 50, batch_size: int = 8, seq_len: int = None,
             max_seq_len=seq_len, embed_dim=64, num_self_attends_per_block=4,
             num_latents=64, num_latent_channels=256,
         )
-    tokens, mask = synthetic_corpus(1024, seq_len, 262)
-    eval_tokens, eval_mask = synthetic_corpus(2 * batch_size, seq_len, 262, seed=1)
+    corrupted, targets, mlm_mask = synthetic_corpus(1024, seq_len, 262)
+    eval_c, eval_t, eval_m = synthetic_corpus(2 * batch_size, seq_len, 262, seed=1)
     params = jax.jit(model.init)(
-        jax.random.PRNGKey(0), jnp.asarray(tokens[:batch_size]),
-        jnp.asarray(mask[:batch_size]),
+        jax.random.PRNGKey(0), jnp.asarray(corrupted[:batch_size]),
+        jnp.ones((batch_size, seq_len), bool),
     )
 
-    def loss_fn(params, tokens, mask):
-        logits = model.apply(params, tokens, mask, deterministic=False)
-        return masked_token_cross_entropy(logits, tokens, mask)
+    def loss_fn(params, corrupted, targets, mlm_mask):
+        # input mask = all valid (no padding); the MLM mask selects which
+        # positions count toward the loss
+        logits = model.apply(
+            params, corrupted, jnp.ones_like(corrupted, bool),
+            deterministic=False,
+        )
+        return masked_token_cross_entropy(logits, targets, mlm_mask)
 
-    def eval_fn(params, tokens, mask):
-        logits = model.apply(params, tokens, mask)
-        return masked_token_cross_entropy(logits, tokens, mask)
+    def eval_fn(params, corrupted, targets, mlm_mask):
+        logits = model.apply(params, corrupted, jnp.ones_like(corrupted, bool))
+        return masked_token_cross_entropy(logits, targets, mlm_mask)
 
     mesh = None
     if mesh_shape is not None:
@@ -84,7 +98,7 @@ def main(steps: int = 50, batch_size: int = 8, seq_len: int = None,
             warmup_steps=max(steps // 10, 1), clip_norm=1.0,
         ),
         mesh=mesh,
-        num_batch_args=2,
+        num_batch_args=3,
         metrics_path="./mlm_metrics.jsonl",
         log_every=10,
         checkpoint_dir=checkpoint_dir,
@@ -96,11 +110,13 @@ def main(steps: int = 50, batch_size: int = 8, seq_len: int = None,
         steps_per_call=steps_per_call,
     )
     state = trainer.init_state(params)
-    eval_batches = list(epoch_batches((eval_tokens, eval_mask), batch_size))
+    eval_batches = list(epoch_batches((eval_c, eval_t, eval_m), batch_size))
 
+    # epochs=None reshuffles every epoch (a fresh epoch_batches() per
+    # loop iteration would replay the same seed-0 permutation)
     def batches():
-        while True:
-            yield from epoch_batches((tokens, mask), batch_size)
+        return batch_iterator((corrupted, targets, mlm_mask), batch_size,
+                              shuffle=True, epochs=None)
 
     state = trainer.fit(
         state, prefetch_to_device(batches(), 2), num_steps=steps,

@@ -36,7 +36,11 @@ from perceiverio_pytorch_tpu.training import (
     build_optimizer,
     multimodal_autoencode_loss,
 )
-from perceiverio_pytorch_tpu.utils.data import epoch_batches, prefetch_to_device
+from perceiverio_pytorch_tpu.utils.data import (
+    batch_iterator,
+    epoch_batches,
+    prefetch_to_device,
+)
 
 
 def synthetic_clips(n: int, num_frames, hw, n_audio, num_classes, seed=0):
@@ -111,9 +115,11 @@ def main(steps=20, batch_size=1, n_chunks=None, full_scale=False,
     )
     state = trainer.init_state(variables["params"], model_state=consts)
 
+    # epochs=None reshuffles every epoch (a fresh epoch_batches() per
+    # loop iteration would replay the same seed-0 permutation)
     def batches():
-        while True:
-            yield from epoch_batches((video, audio, labels), batch_size)
+        return batch_iterator((video, audio, labels), batch_size,
+                              shuffle=True, epochs=None)
 
     state = trainer.fit(
         state, prefetch_to_device(batches(), 2), num_steps=steps, resume=resume,

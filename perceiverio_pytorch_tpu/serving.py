@@ -63,6 +63,10 @@ def export_apply(
         ``deterministic=True`` or a subsampling spec.
     """
     fn = jax.jit(lambda v, *a: apply_fn(v, *a, **static_kwargs))
+    if isinstance(platforms, str):
+        # tuple("tpu") would become ('t','p','u') -- accept the natural
+        # single-string spelling
+        platforms = (platforms,)
     kwargs = {"platforms": tuple(platforms)} if platforms else {}
     if batch_polymorphic:
         specs = jax_export.symbolic_args_specs(

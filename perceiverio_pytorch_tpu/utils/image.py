@@ -121,3 +121,15 @@ def show_animation(images: np.ndarray, fps: int = 25, title: str = "animation"):
     )
     plt.show()
     return ani
+
+
+def resolve_sample_path(path: str, fallback_root: str = "/root/reference") -> str:
+    """Example-media fallback: return ``path`` if it exists, else the same
+    relative path under the reference repo's checkout (the examples ship
+    against the reference's ``sample_data/``)."""
+    import os
+
+    if os.path.exists(path):
+        return path
+    alt = os.path.join(fallback_root, path.lstrip("./"))
+    return alt if os.path.exists(alt) else path

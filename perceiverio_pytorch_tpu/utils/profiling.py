@@ -22,7 +22,7 @@ annotate = jax.named_scope
 
 
 @contextlib.contextmanager
-def trace(log_dir: str, host_profile: bool = False):
+def trace(log_dir: str):
     """Capture a device trace for the enclosed block into ``log_dir``."""
     jax.profiler.start_trace(log_dir, create_perfetto_link=False)
     try:
@@ -87,24 +87,33 @@ def op_stats(trace_dir: str, top: int = 0):
 
 
 class ThroughputMeter:
-    """Steady-state throughput: warm up, then time ``iters`` chained calls."""
+    """Steady-state throughput: warm up, then time ``iters`` chained calls.
+
+    The chaining reduction is jitted ONCE and composed around ``fn``: an
+    eager ``.sum()`` inside the timed loop would dispatch a fresh XLA
+    computation per call through the remote compile service and corrupt
+    the measurement (CLAUDE.md; removing exactly this pattern from
+    bench.py changed the multimodal number from 8.4 to 14.2 clips/s).
+    """
 
     def __init__(self, warmup: int = 3):
         self.warmup = warmup
 
     def measure(self, fn, *args, iters: int = 10, items_per_call: int = 1):
-        acc = None
-        for _ in range(self.warmup):
-            out = fn(*args)
+        @jax.jit
+        def _step(acc, *a):
+            out = fn(*a)
             leaf = jax.tree_util.tree_leaves(out)[0]
-            acc = leaf.sum() if acc is None else acc + leaf.sum()
+            return acc + jnp.sum(leaf.astype(jnp.float32))
+
+        acc = jnp.float32(0.0)
+        for _ in range(self.warmup):
+            acc = _step(acc, *args)
         float(acc)
         t0 = time.perf_counter()
-        acc = None
+        acc = jnp.float32(0.0)
         for _ in range(iters):
-            out = fn(*args)
-            leaf = jax.tree_util.tree_leaves(out)[0]
-            acc = leaf.sum() if acc is None else acc + leaf.sum()
-        float(acc)
+            acc = _step(acc, *args)
+        float(acc)  # single fetch = the completion barrier
         dt = (time.perf_counter() - t0) / iters
         return items_per_call / dt
