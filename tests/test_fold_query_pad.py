@@ -54,10 +54,10 @@ def test_param_structure_identical(mm_setup):
     params_f = jax.jit(lambda k, i, a: folded.init(k, i, a, 4))(
         jax.random.PRNGKey(0), images, audio
     )
-    paths = lambda tree: set(
-        jax.tree_util.tree_flatten_with_path(tree)[0][i][0].__repr__()
-        for i in range(len(jax.tree_util.tree_flatten_with_path(tree)[0]))
-    )
+    paths = lambda tree: {
+        jax.tree_util.keystr(p)
+        for p, _ in jax.tree_util.tree_flatten_with_path(tree)[0]
+    }
     assert paths(params) == paths(params_f)
 
 
@@ -82,7 +82,7 @@ def test_forward_equality(mm_setup):
 def test_fold_composes_with_chunk_mesh(mm_setup):
     """FoldedQuery must flow through the chunk-parallel decode path
     (nn.vmap over chunk indices, sharded over the mesh data axis)."""
-    from tests.test_sharding_training import make_mesh
+    from perceiverio_pytorch_tpu.parallel import make_mesh
 
     images, audio, params = mm_setup
     base = MultiModalPerceiver(policy=PARITY, **MM_KWARGS)

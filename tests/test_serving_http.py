@@ -67,24 +67,37 @@ def test_http_frontend_serves_and_batches():
 
         rng = np.random.RandomState(0)
         examples = [rng.randn(4, 3).astype(np.float32) for _ in range(6)]
-        results = [None] * len(examples)
 
-        def call(i):
-            status, body = _post(port, {"inputs": {"x": examples[i].tolist()}})
-            assert status == 200
-            results[i] = np.asarray(body["outputs"]["y"], np.float32)
+        def run_burst():
+            results = [None] * len(examples)
+            barrier = threading.Barrier(len(examples))
 
-        threads = [
-            threading.Thread(target=call, args=(i,))
-            for i in range(len(examples))
-        ]
-        for t in threads:
-            t.start()
-        for t in threads:
-            t.join()
-        for ex, got in zip(examples, results):
-            np.testing.assert_allclose(got, ex @ w, rtol=1e-6)
-        # the 150 ms collection window coalesced the burst
+            def call(i):
+                barrier.wait()  # release all clients at once
+                status, body = _post(
+                    port, {"inputs": {"x": examples[i].tolist()}}
+                )
+                assert status == 200
+                results[i] = np.asarray(body["outputs"]["y"], np.float32)
+
+            threads = [
+                threading.Thread(target=call, args=(i,))
+                for i in range(len(examples))
+            ]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+            return results
+
+        # coalescing is timing-dependent on a loaded machine: retry the
+        # burst a few times before declaring the batching broken
+        for _ in range(3):
+            results = run_burst()
+            for ex, got in zip(examples, results):
+                np.testing.assert_allclose(got, ex @ w, rtol=1e-6)
+            if max(batch_sizes) > 1:
+                break
         assert max(batch_sizes) > 1
     finally:
         front.stop()

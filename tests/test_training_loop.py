@@ -1017,7 +1017,9 @@ def test_prefetch_consumer_drop_stops_worker():
 
     from perceiverio_pytorch_tpu.training import prefetch_to_device
 
-    before = {t.name for t in threading.enumerate()}
+    # snapshot thread OBJECTS: filtering by name against a name-set passes
+    # vacuously when an earlier test's worker (same name) is still draining
+    before = set(threading.enumerate())
     it = prefetch_to_device(iter([(np.zeros(2),)] * 10), size=2)
     next(it)
     it.close()  # consumer walks away mid-stream
@@ -1025,7 +1027,7 @@ def test_prefetch_consumer_drop_stops_worker():
     while _time.time() < deadline:
         alive = [
             t for t in threading.enumerate()
-            if t.name == "prefetch_to_device" and t.name not in before
+            if t.name == "prefetch_to_device" and t not in before
         ]
         if not alive:
             break
