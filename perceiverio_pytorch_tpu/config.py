@@ -139,19 +139,48 @@ class Policy:
     # over bf16 at the classification shapes on the Jan-2026 libtpu).
     # Built for inference; differentiating through it uses the exact
     # matmul's gradients (straight-through estimator), i.e. QAT semantics.
+    # "int8_static" replaces the per-token activation scales with ONE
+    # calibrated scalar per GEMM site (a "quant_stats" collection filled
+    # by ops.quant.calibrate) -- no per-row max pass over huge
+    # activations, standard PTQ clipping risk instead.
     quant: Optional[str] = None
+    # Which attention sites quantize. "all": every projection/MLP GEMM.
+    # "latent": the self-attention stack only -- cross-attention sites
+    # (the encoder input attend, the decoder) keep the exact GEMM. At
+    # flow/multimodal scale the cross sites' per-token quantize traffic
+    # on 182k-805k-token activations outweighs their small-K GEMM
+    # savings (PERFORMANCE.md item 16); "latent" keeps the int8 win on
+    # the latent compute without paying that traffic.
+    quant_scope: str = "all"
     interpret: bool = False
 
 
-def quant_enabled(policy: "Policy") -> bool:
-    """Validate Policy.quant and return whether int8 projections are on."""
+def quant_enabled(policy: "Policy", site: str = "latent") -> bool:
+    """Validate Policy.quant/quant_scope; is int8 on at this ``site``?
+
+    Args:
+      policy: the Policy to read.
+      site: "latent" (self-attention stack) or "cross" (cross-attention
+        blocks: encoder input attend, decoder).
+    """
+    if policy.quant_scope not in ("all", "latent"):
+        raise ValueError(
+            "Policy.quant_scope must be 'all' or 'latent'; got"
+            f" {policy.quant_scope!r}"
+        )
     if policy.quant is None:
         return False
-    if policy.quant == "int8_dynamic":
-        return True
+    if policy.quant in ("int8_dynamic", "int8_static"):
+        return policy.quant_scope == "all" or site == "latent"
     raise ValueError(
-        f"Policy.quant must be None or 'int8_dynamic'; got {policy.quant!r}"
+        "Policy.quant must be None, 'int8_dynamic' or 'int8_static'; got"
+        f" {policy.quant!r}"
     )
+
+
+def quant_mode(policy: "Policy", site: str = "latent") -> Optional[str]:
+    """The validated Policy.quant mode at this site, or None when off."""
+    return policy.quant if quant_enabled(policy, site) else None
 
 
 def resolve_remat_policy(policy: "Policy"):

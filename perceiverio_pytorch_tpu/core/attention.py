@@ -22,6 +22,7 @@ Differences by design (TPU-first, not a port):
 
 from __future__ import annotations
 
+import dataclasses
 import math
 from typing import Any, NamedTuple, Optional, Tuple
 
@@ -31,7 +32,12 @@ import jax.numpy as jnp
 
 from flax.linen.dtypes import promote_dtype
 
-from perceiverio_pytorch_tpu.config import DEFAULT, Policy, quant_enabled
+from perceiverio_pytorch_tpu.config import (
+    DEFAULT,
+    Policy,
+    quant_enabled,
+    quant_mode,
+)
 from perceiverio_pytorch_tpu.ops.attention import (
     attention_path,
     multihead_attention,
@@ -125,12 +131,17 @@ class _FoldPadDense(nn.Module):
     bias_init: Any = nn.initializers.zeros
     dtype: Optional[Any] = None
     param_dtype: Any = jnp.float32
-    # Dynamic int8 GEMM (Policy.quant == "int8_dynamic"): quantizes from
-    # the STORED param dtype, skipping the compute-dtype promotion -- fp32
-    # params see only the int8 grid error; params already cast to bf16
-    # (utils.params.cast_variables_for_inference, the bench path) compound
-    # the two roundings.  Backward is a straight-through estimator.
-    quant: bool = False
+    # int8 GEMM mode (Policy.quant): None, "int8_dynamic" (per-token
+    # activation scales) or "int8_static" (one calibrated scalar per site,
+    # stored in the "quant_stats" collection; applying with
+    # mutable=["quant_stats"] records max|x| and runs the EXACT GEMM --
+    # that is the calibration pass, see ops.quant.calibrate).  Quantizes
+    # from the STORED param dtype, skipping the compute-dtype promotion --
+    # fp32 params see only the int8 grid error; params already cast to
+    # bf16 (utils.params.cast_variables_for_inference, the bench path)
+    # compound the two roundings.  Backward is a straight-through
+    # estimator.
+    quant: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, head_pad: int = 0):
@@ -165,11 +176,31 @@ class _FoldPadDense(nn.Module):
                     kernel.reshape(h, d, self.features),
                     ((0, 0), (0, head_pad), (0, 0)),
                 ).reshape(h * (d + head_pad), self.features)
-        if self.quant:
-            from perceiverio_pytorch_tpu.ops.quant import int8_dynamic_matmul
+        quant = self.quant
+        if quant == "int8_static":
+            amax = self.variable(
+                "quant_stats", "amax", lambda: jnp.zeros((), jnp.float32)
+            )
+            if self.is_mutable_collection("quant_stats"):
+                # Calibration (or init) pass: record the running max|x| of
+                # the EXACT activations and fall through to the exact GEMM.
+                amax.value = jnp.maximum(
+                    amax.value, jnp.max(jnp.abs(x.astype(jnp.float32)))
+                )
+                quant = None
+        if quant:
+            from perceiverio_pytorch_tpu.ops.quant import (
+                int8_dynamic_matmul,
+                int8_static_matmul,
+            )
 
             out_dtype = self.dtype or x.dtype
-            y = int8_dynamic_matmul(x, kernel, out_dtype=out_dtype)
+            if quant == "int8_static":
+                y = int8_static_matmul(
+                    x, kernel, amax.value, out_dtype=out_dtype
+                )
+            else:
+                y = int8_dynamic_matmul(x, kernel, out_dtype=out_dtype)
             if bias is not None:
                 bias = bias.astype(out_dtype)
                 y = y + jnp.reshape(bias, (1,) * (y.ndim - 1) + (-1,))
@@ -222,7 +253,7 @@ class Attention(nn.Module):
             dtype=self.policy.compute_dtype,
             param_dtype=self.policy.param_dtype,
             bias_init=nn.initializers.zeros,
-            quant=quant_enabled(self.policy),
+            quant=quant_mode(self.policy),
         )
         self.proj_q = _FoldPadDense(
             qk_out, kernel_init=variance_scaling(self.init_scale), **dense_kwargs
@@ -468,7 +499,7 @@ class MLP(nn.Module):
             param_dtype=self.policy.param_dtype,
             kernel_init=variance_scaling(self.init_scale),
             bias_init=nn.initializers.zeros,
-            quant=quant_enabled(self.policy),
+            quant=quant_mode(self.policy),
         )
         x = _FoldPadDense(
             self.widening_factor * self.in_channels, name="fc1", **dense_kwargs
@@ -592,6 +623,15 @@ class CrossAttention(nn.Module):
                 )
         v_channels = self.v_channels or qk_channels
 
+        # Cross-attention is a "cross" quant site: under
+        # Policy(quant_scope="latent") its projections/MLP keep the exact
+        # GEMM (identical param tree either way -- quant has no params).
+        sub_policy = self.policy
+        if sub_policy.quant is not None and not quant_enabled(
+            sub_policy, site="cross"
+        ):
+            sub_policy = dataclasses.replace(sub_policy, quant=None)
+
         self.attention = Attention(
             q_in_channels=self.q_in_channels,
             k_in_channels=self.kv_in_channels,
@@ -602,14 +642,14 @@ class CrossAttention(nn.Module):
             qk_out_channels=qk_channels,
             v_out_channels=v_channels,
             output_channels=output_channels,
-            policy=self.policy,
+            policy=sub_policy,
         )
         self.mlp = MLP(
             in_channels=output_channels,
             widening_factor=self.widening_factor,
             dropout_prob=self.dropout_prob,
             init_scale=self.mlp_init_scale,
-            policy=self.policy,
+            policy=sub_policy,
         )
         fast = self.policy.fast_layer_norm
         self.layer_norm_q = _layer_norm("layer_norm_q", fast)

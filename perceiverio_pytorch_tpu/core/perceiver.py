@@ -191,7 +191,10 @@ class PerceiverEncoder(nn.Module):
                 static_argnums=(2,),
                 policy=resolve_remat_policy(self.policy),
             )
-        if self.num_blocks > 1:
+        self._fn_lift_blocks = (
+            self.num_blocks > 1 and self.policy.quant == "int8_static"
+        )
+        if self.num_blocks > 1 and not self._fn_lift_blocks:
             # Weight sharing across blocks (perceiver.py:104-106) as a scan
             # with broadcast params: the block body is traced/compiled once.
             scan_cls = nn.scan(
@@ -203,6 +206,14 @@ class PerceiverEncoder(nn.Module):
             )
             self.self_attends = scan_cls(**stack_kwargs, name="self_attends")
         else:
+            # Plain shared instance.  For static-quant models the block
+            # repetition is lifted over this instance at CALL time: flax
+            # cannot CREATE carried collections inside nn.scan, so
+            # init/calibration passes (mutable "quant_stats" -- the amax
+            # variables are created/max-folded there) run an unrolled loop
+            # over the same instance instead, and ordinary applies scan
+            # with the stats as read-only broadcast.  Param paths match
+            # the class-scan exactly.
             self.self_attends = stack_cls(**stack_kwargs, name="self_attends")
 
     def latents(self, inputs) -> jnp.ndarray:
@@ -222,7 +233,29 @@ class PerceiverEncoder(nn.Module):
                 kv_logical_len=kv_logical_len,
             )
         with jax.named_scope("encoder_self_attends"):
-            latents, _ = self.self_attends(latents, deterministic)
+            if not self._fn_lift_blocks:
+                latents, _ = self.self_attends(latents, deterministic)
+            elif self.is_initializing() or self.is_mutable_collection(
+                "quant_stats"
+            ):
+                for _ in range(self.num_blocks):
+                    latents, _ = self.self_attends(latents, deterministic)
+            else:
+
+                def run_block(stack, carry, _):
+                    out, _ = stack(carry, deterministic)
+                    return out, ()
+
+                scan = nn.scan(
+                    run_block,
+                    variable_broadcast=["params", "consts", "quant_stats"],
+                    split_rngs={"params": False, "dropout": True},
+                    in_axes=0,
+                    out_axes=0,
+                )
+                latents, _ = scan(
+                    self.self_attends, latents, jnp.arange(self.num_blocks)
+                )
         return latents
 
 

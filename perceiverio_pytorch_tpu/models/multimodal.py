@@ -228,14 +228,30 @@ class MultiModalPerceiver(nn.Module):
             else decode_one
         )
 
-        if n_par == 1:
+        if self.policy.quant == "int8_static" and (
+            self.is_initializing() or self.is_mutable_collection("quant_stats")
+        ):
+            # int8_static init/calibration: flax cannot CREATE the carried
+            # "quant_stats" collection inside nn.scan, so these passes
+            # decode the chunks in an unrolled loop over the same shared
+            # module (amax variables are created and max-folded across
+            # chunks); ordinary applies below scan with the stats as
+            # read-only broadcast.  Calibration ignores chunk_mesh.
+            outs_list = [
+                decode_body(self.perceiver, jnp.asarray(i))
+                for i in range(n_chunks)
+            ]
+            outs = jax.tree_util.tree_map(
+                lambda *xs: jnp.stack(xs), *outs_list
+            )
+        elif n_par == 1:
 
             def decode_chunk(perceiver, carry, chunk_idx):
                 return carry, decode_body(perceiver, chunk_idx)
 
             scan_fn = nn.scan(
                 decode_chunk,
-                variable_broadcast=["params", "consts"],
+                variable_broadcast=["params", "consts", "quant_stats"],
                 split_rngs={"params": False},
                 in_axes=0,
                 out_axes=0,
@@ -254,7 +270,11 @@ class MultiModalPerceiver(nn.Module):
                     decode_body,
                     in_axes=0,
                     out_axes=0,
-                    variable_axes={"params": None, "consts": None},
+                    variable_axes={
+                        "params": None,
+                        "consts": None,
+                        "quant_stats": None,
+                    },
                     split_rngs={"params": False},
                 )
                 outs = vm(perceiver, wave_idxs)
@@ -266,7 +286,7 @@ class MultiModalPerceiver(nn.Module):
 
             scan_fn = nn.scan(
                 decode_wave,
-                variable_broadcast=["params", "consts"],
+                variable_broadcast=["params", "consts", "quant_stats"],
                 split_rngs={"params": False},
                 in_axes=0,
                 out_axes=0,

@@ -1,4 +1,4 @@
-"""Dynamic int8 matmul for inference (the v5e int8 MXU path).
+"""int8 matmuls for inference (the v5e int8 MXU path).
 
 The v5e MXU runs int8xint8->int32 at ~2x the bf16 rate.  Early libtpu
 builds in this environment did not expose that path through XLA (round-2
@@ -19,6 +19,16 @@ inference; differentiating through it uses a straight-through estimator
 (the backward pass is the EXACT matmul's) so a training step through the
 quant policy behaves like standard quantization-aware training rather
 than silently zeroing the kernel gradients through ``jnp.round``.
+
+STATIC variant (``Policy.quant == "int8_static"``): the per-token max
+pass is replaced by one calibrated scalar per GEMM site (a "quant_stats"
+flax collection filled by running representative batches with
+``mutable=["quant_stats"]`` -- see ``calibrate``).  Cheaper at huge token
+counts -- the dynamic mode's per-row ``max|x|`` reduction is an extra
+full read of a 182k-805k-token activation -- at the cost of standard
+post-training-quantization accuracy (outliers beyond the calibrated
+range clip at +-127).  Decode-shape microbench ([50432,1026]x[1026,1026],
+chained): bf16 1124-1187 us, int8 dynamic 904-918, int8 static 841-887.
 """
 
 from __future__ import annotations
@@ -28,15 +38,20 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-__all__ = ["int8_dynamic_matmul"]
+__all__ = ["int8_dynamic_matmul", "int8_static_matmul", "calibrate"]
+
+
+def _quantize_weights(k32):
+    """Symmetric per-output-channel int8 weights + [1, N] scales."""
+    w_scale = jnp.max(jnp.abs(k32), axis=0, keepdims=True) / 127.0
+    w_scale = jnp.maximum(w_scale, 1e-12)
+    return jnp.round(k32 / w_scale).astype(jnp.int8), w_scale
 
 
 @jax.custom_vjp
 def _int8_matmul_f32(x32, k32):
     """fp32-in/fp32-out core with an STE backward (exact-matmul grads)."""
-    w_scale = jnp.max(jnp.abs(k32), axis=0, keepdims=True) / 127.0  # [1, N]
-    w_scale = jnp.maximum(w_scale, 1e-12)
-    wq = jnp.round(k32 / w_scale).astype(jnp.int8)
+    wq, w_scale = _quantize_weights(k32)
 
     x_scale = (
         jnp.max(jnp.abs(x32), axis=-1, keepdims=True) / 127.0
@@ -67,6 +82,84 @@ def _int8_bwd(res, g):
 
 
 _int8_matmul_f32.defvjp(_int8_fwd, _int8_bwd)
+
+
+@jax.custom_vjp
+def _int8_static_matmul_f32(x32, k32, amax):
+    """Like ``_int8_matmul_f32`` but with ONE calibrated activation scale.
+
+    ``amax`` is a scalar: the calibrated ``max|x|`` for this GEMM site.
+    An uncalibrated site (amax == 0) falls back to scale 1.0 -- bounded
+    but coarse; run ``calibrate`` before static inference.  Values beyond
+    the calibrated range clip at the int8 grid edge (standard PTQ).
+    """
+    wq, w_scale = _quantize_weights(k32)
+    x_scale = jnp.where(amax > 0, amax, 127.0) / 127.0
+    xq = jnp.clip(jnp.round(x32 / x_scale), -127, 127).astype(jnp.int8)
+    y = jax.lax.dot_general(
+        xq, wq, (((x32.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    return y.astype(jnp.float32) * (x_scale * w_scale)
+
+
+def _int8_static_fwd(x32, k32, amax):
+    return _int8_static_matmul_f32(x32, k32, amax), (x32, k32, amax)
+
+
+def _int8_static_bwd(res, g):
+    x32, k32, amax = res
+    dx, dk = _int8_bwd((x32, k32), g)
+    return dx, dk, jnp.zeros_like(amax)
+
+
+_int8_static_matmul_f32.defvjp(_int8_static_fwd, _int8_static_bwd)
+
+
+def int8_static_matmul(
+    x, kernel, amax, *, out_dtype: Optional[jnp.dtype] = None
+):
+    """``x @ kernel`` on the int8 MXU with a calibrated activation scale.
+
+    Args:
+      x: [..., K] activations (any float dtype).
+      kernel: [K, N] float weights (quantized per output channel here).
+      amax: scalar calibrated ``max|x|`` for this site (see ``calibrate``).
+      out_dtype: result dtype (default: ``x.dtype``).
+    """
+    out_dtype = out_dtype or x.dtype
+    y = _int8_static_matmul_f32(
+        x.astype(jnp.float32),
+        kernel.astype(jnp.float32),
+        jnp.asarray(amax, jnp.float32),
+    )
+    return y.astype(out_dtype)
+
+
+def calibrate(model, variables, batches, **apply_kwargs):
+    """Fill the ``quant_stats`` collection from representative batches.
+
+    Runs ``model.apply`` once per batch with ``mutable=["quant_stats"]``;
+    each ``int8_static`` GEMM site records the running ``max|x|`` of its
+    (exact, unquantized) input activations.  Returns ``variables`` with the
+    updated collection merged in -- pass the result to inference applies.
+
+    Args:
+      model: a flax module built with ``Policy(quant="int8_static")``.
+      variables: the init/loaded variables dict (contains "quant_stats").
+      batches: iterable of positional-argument tuples for ``model.apply``.
+      **apply_kwargs: static keyword arguments forwarded to ``apply``
+        (e.g. ``n_chunks=16``).
+    """
+    run = jax.jit(
+        lambda v, args: model.apply(
+            v, *args, mutable=["quant_stats"], **apply_kwargs
+        )[1]
+    )
+    for args in batches:
+        updated = run(variables, tuple(args))
+        variables = {**variables, **updated}
+    return variables
 
 
 def int8_dynamic_matmul(x, kernel, *, out_dtype: Optional[jnp.dtype] = None):

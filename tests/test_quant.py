@@ -128,3 +128,205 @@ def test_quantized_classifier_close_to_exact():
     rel = np.abs(got - want).max() / np.abs(want).max()
     assert rel < 0.05, rel
     assert not np.allclose(got, want)  # the quant path actually engaged
+
+
+def test_quant_scope_validation_and_sites():
+    assert quant_enabled(
+        dataclasses.replace(PARITY, quant="int8_dynamic", quant_scope="all"),
+        site="cross",
+    )
+    latent_only = dataclasses.replace(
+        PARITY, quant="int8_dynamic", quant_scope="latent"
+    )
+    assert quant_enabled(latent_only, site="latent")
+    assert not quant_enabled(latent_only, site="cross")
+    with pytest.raises(ValueError, match="quant_scope"):
+        quant_enabled(dataclasses.replace(PARITY, quant_scope="decoder"))
+
+
+def test_quant_scope_latent_cross_attention_is_exact():
+    """Under quant_scope="latent" a CrossAttention block is bit-identical
+    to the unquantized one (same param tree), while SelfAttention still
+    matches the scope="all" quantized block."""
+    from perceiverio_pytorch_tpu.core.attention import (
+        CrossAttention,
+        SelfAttention,
+    )
+
+    rng = np.random.RandomState(3)
+    q = jnp.asarray(rng.randn(2, 6, 32), jnp.float32)
+    kv = jnp.asarray(rng.randn(2, 10, 48), jnp.float32)
+
+    latent_only = dataclasses.replace(
+        PARITY, quant="int8_dynamic", quant_scope="latent"
+    )
+    quant_all = dataclasses.replace(PARITY, quant="int8_dynamic")
+
+    def cross_out(policy):
+        m = CrossAttention(q_in_channels=32, kv_in_channels=48, num_heads=4,
+                           policy=policy)
+        params = jax.jit(m.init)(jax.random.PRNGKey(0), q, kv)
+        return params, np.asarray(jax.jit(m.apply)(params, q, kv))
+
+    p_exact, out_exact = cross_out(PARITY)
+    p_latent, out_latent = cross_out(latent_only)
+    _, out_all = cross_out(quant_all)
+    assert jax.tree_util.tree_structure(p_exact) == jax.tree_util.tree_structure(
+        p_latent
+    )
+    np.testing.assert_array_equal(out_latent, out_exact)
+    assert np.abs(out_all - out_exact).max() > 0  # "all" really quantizes
+
+    def self_out(policy):
+        m = SelfAttention(in_channels=32, num_heads=4, policy=policy)
+        params = jax.jit(m.init)(jax.random.PRNGKey(0), q)
+        return np.asarray(jax.jit(m.apply)(params, q))
+
+    np.testing.assert_array_equal(self_out(latent_only), self_out(quant_all))
+    assert np.abs(self_out(latent_only) - self_out(PARITY)).max() > 0
+
+
+def test_int8_static_matmul_matches_dynamic_at_calibrated_scale():
+    """With amax = the true row max, static equals dynamic on rows that
+    hit the max; uncalibrated (amax=0) falls back to scale 1.0 (finite)."""
+    from perceiverio_pytorch_tpu.ops.quant import int8_static_matmul
+
+    rng = np.random.RandomState(4)
+    x = rng.randn(6, 64).astype(np.float32)
+    w = (rng.randn(64, 32) * 0.05).astype(np.float32)
+    amax = float(np.abs(x).max())
+    got = np.asarray(int8_static_matmul(jnp.asarray(x), jnp.asarray(w), amax))
+    want = x @ w
+    rel = np.abs(got - want).max() / np.abs(want).max()
+    assert rel < 0.03, rel
+    # out-of-range values clip instead of exploding
+    x_hot = x.copy()
+    x_hot[0, 0] = 50.0
+    got_hot = np.asarray(
+        int8_static_matmul(jnp.asarray(x_hot), jnp.asarray(w), amax)
+    )
+    assert np.isfinite(got_hot).all()
+    # uncalibrated: finite, coarse
+    got0 = np.asarray(int8_static_matmul(jnp.asarray(x), jnp.asarray(w), 0.0))
+    assert np.isfinite(got0).all()
+
+
+def test_int8_static_gradients_are_ste():
+    from perceiverio_pytorch_tpu.ops.quant import int8_static_matmul
+
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.randn(4, 32), jnp.float32)
+    w = jnp.asarray(rng.randn(32, 16) * 0.1, jnp.float32)
+    amax = jnp.float32(np.abs(np.asarray(x)).max())
+
+    gx, gw = jax.grad(
+        lambda x, w: jnp.sum(jnp.sin(int8_static_matmul(x, w, amax))),
+        argnums=(0, 1),
+    )(x, w)
+    gx_e, gw_e = jax.grad(
+        lambda x, w: jnp.sum(jnp.sin(x @ w)), argnums=(0, 1)
+    )(x, w)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_e), atol=0.15)
+    np.testing.assert_allclose(np.asarray(gw), np.asarray(gw_e), atol=0.15)
+
+
+def test_int8_static_calibrate_then_infer_full_model():
+    """init -> ops.quant.calibrate (mutable quant_stats, exact forward,
+    scan-carried amax folding) -> static inference close to exact fp32.
+    Exercises the encoder nn.scan carry (num_blocks=2) end to end."""
+    from perceiverio_pytorch_tpu.models import ClassificationPerceiver, PrepType
+    from perceiverio_pytorch_tpu.ops.quant import calibrate
+
+    spolicy = dataclasses.replace(PARITY, quant="int8_static")
+    kwargs = dict(
+        num_classes=4, img_size=(16, 16), num_self_attends_per_block=2,
+        num_blocks=2, num_latents=8, num_latent_channels=32,
+        prep_type=PrepType.FOURIER_POS_PIXEL,
+    )
+    model = ClassificationPerceiver(policy=spolicy, **kwargs)
+    exact = ClassificationPerceiver(policy=PARITY, **kwargs)
+
+    rng = np.random.RandomState(6)
+    img = jnp.asarray(rng.randn(2, 3, 16, 16) * 0.5, jnp.float32)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), img)
+    assert "quant_stats" in variables
+    # init ran on the real input, so stats are already non-trivial; reset
+    # them to zeros to prove calibrate() fills them from scratch.
+    zeroed = jax.tree_util.tree_map(
+        jnp.zeros_like, variables["quant_stats"]
+    )
+    variables = {**variables, "quant_stats": zeroed}
+
+    calibrated = calibrate(model, variables, [(img,)])
+    amaxes = jax.tree_util.tree_leaves(calibrated["quant_stats"])
+    assert all(float(a) > 0 for a in amaxes)
+
+    logits_static = np.asarray(jax.jit(model.apply)(calibrated, img))
+    logits_exact = np.asarray(
+        jax.jit(exact.apply)(
+            {k: v for k, v in calibrated.items() if k != "quant_stats"}, img
+        )
+    )
+    denom = np.abs(logits_exact).max()
+    assert np.abs(logits_static - logits_exact).max() / denom < 0.12
+    # calibration passes themselves run the EXACT forward
+    calib_out, _ = jax.jit(
+        lambda v, x: model.apply(v, x, mutable=["quant_stats"])
+    )(calibrated, img)
+    np.testing.assert_allclose(
+        np.asarray(calib_out), logits_exact, rtol=2e-4, atol=2e-5
+    )
+
+
+def test_int8_static_multimodal_calibrate_and_chunked_decode():
+    """Static quant through MultiModalPerceiver: init + calibration run the
+    unrolled decode loop (quant_stats created/max-folded across chunks),
+    inference scans with the stats as read-only broadcast, and the result
+    stays chunk-count invariant and close to exact."""
+    from perceiverio_pytorch_tpu.models import MultiModalPerceiver
+    from perceiverio_pytorch_tpu.ops.quant import calibrate
+
+    kwargs = dict(
+        img_size=(16, 16), num_frames=2, num_classes=11,
+        audio_samples_per_frame=128, audio_samples_per_patch=16,
+        num_self_attends_per_block=1, num_blocks=2, num_latents=8,
+        num_latent_channels=512,
+    )
+    spolicy = dataclasses.replace(PARITY, quant="int8_static")
+    model = MultiModalPerceiver(policy=spolicy, **kwargs)
+    exact = MultiModalPerceiver(policy=PARITY, **kwargs)
+
+    rng = np.random.RandomState(8)
+    images = jnp.asarray(rng.rand(1, 2, 3, 16, 16), jnp.float32)
+    audio = jnp.asarray(rng.uniform(-1, 1, (1, 256, 1)), jnp.float32)
+
+    variables = jax.jit(lambda k, i, a: model.init(k, i, a, 2))(
+        jax.random.PRNGKey(0), images, audio
+    )
+    assert "quant_stats" in variables
+    calibrated = calibrate(model, variables, [(images, audio)], n_chunks=2)
+    assert all(
+        float(a) > 0
+        for a in jax.tree_util.tree_leaves(calibrated["quant_stats"])
+    )
+
+    out2 = jax.jit(lambda v, i, a: model.apply(v, i, a, 2))(
+        calibrated, images, audio
+    )
+    out4 = jax.jit(lambda v, i, a: model.apply(v, i, a, 4))(
+        calibrated, images, audio
+    )
+    for k in out2:
+        np.testing.assert_allclose(
+            np.asarray(out2[k]), np.asarray(out4[k]), rtol=2e-4, atol=2e-5
+        )
+
+    out_exact = jax.jit(lambda v, i, a: exact.apply(v, i, a, 2))(
+        {k: v for k, v in calibrated.items() if k != "quant_stats"},
+        images,
+        audio,
+    )
+    for k in out2:
+        err = np.abs(np.asarray(out2[k]) - np.asarray(out_exact[k])).max()
+        denom = max(np.abs(np.asarray(out_exact[k])).max(), 1e-3)
+        assert err / denom < 0.15, (k, err / denom)
