@@ -87,10 +87,22 @@ def bench_flow():
     )
 
 
-def bench_mlm(quant: bool = False):
-    """Secondary metric: byte-MLM sequences/sec (2048 tokens, masked)."""
+def _quant_policy(base, quant):
+    """Apply a --quant mode (None/'dynamic'/'static') to a Policy.
+
+    Static mode calibrates from the init pass (init runs with the
+    quant_stats collection mutable on the benchmark input, recording each
+    site's max|x|) -- sufficient for throughput measurement.
+    """
     import dataclasses
 
+    if not quant:
+        return base
+    return dataclasses.replace(base, quant=f"int8_{quant}")
+
+
+def bench_mlm(quant=None):
+    """Secondary metric: byte-MLM sequences/sec (2048 tokens, masked)."""
     from perceiverio_pytorch_tpu import PERFORMANCE
     from perceiverio_pytorch_tpu.models import LanguagePerceiver
     from perceiverio_pytorch_tpu.utils.params import cast_variables_for_inference
@@ -98,11 +110,7 @@ def bench_mlm(quant: bool = False):
     # Measured optimum (one-process sweep: 8: 983, 16: 1015, 32: 1047-1072,
     # 64: 1034 seq/s).
     batch = 32
-    policy = (
-        dataclasses.replace(PERFORMANCE, quant="int8_dynamic")
-        if quant
-        else PERFORMANCE
-    )
+    policy = _quant_policy(PERFORMANCE, quant)
     model = LanguagePerceiver(policy=policy)
     tokens = jnp.asarray(
         np.random.RandomState(0).randint(0, 262, (batch, 2048)), jnp.int32
@@ -128,7 +136,7 @@ def bench_mlm(quant: bool = False):
         json.dumps(
             {
                 "metric": "byte_mlm_sequences_per_sec_per_chip"
-                + ("_int8" if quant else ""),
+                + (f"_int8_{quant}" if quant else ""),
                 "value": round(batch / dt, 2),
                 "unit": "seq/sec",
                 "vs_baseline": 1.0,
@@ -421,9 +429,7 @@ def bench_serving():
     )
 
 
-def main(quant: bool = False):
-    import dataclasses
-
+def main(quant=None):
     from perceiverio_pytorch_tpu import PARITY, PERFORMANCE
     from perceiverio_pytorch_tpu.models import ClassificationPerceiver, PrepType
     from perceiverio_pytorch_tpu.utils.params import cast_variables_for_inference
@@ -433,11 +439,7 @@ def main(quant: bool = False):
         np.random.RandomState(0).randn(batch, 3, 224, 224), jnp.float32
     )
 
-    policy = (
-        dataclasses.replace(PERFORMANCE, quant="int8_dynamic")
-        if quant
-        else PERFORMANCE
-    )
+    policy = _quant_policy(PERFORMANCE, quant)
     perf_model = ClassificationPerceiver(
         prep_type=PrepType.FOURIER_POS_CONVNET, policy=policy
     )
@@ -472,7 +474,7 @@ def main(quant: bool = False):
         json.dumps(
             {
                 "metric": "imagenet_convprep_images_per_sec_per_chip"
-                + ("_int8" if quant else ""),
+                + (f"_int8_{quant}" if quant else ""),
                 "value": round(perf_ips, 2),
                 "unit": "images/sec",
                 "vs_baseline": round(perf_ips / base_ips, 3),
@@ -493,9 +495,12 @@ if __name__ == "__main__":
              "micro-batching request throughput",
     )
     parser.add_argument(
-        "--quant", action="store_true",
-        help="imagenet/mlm tasks: dynamic int8 projections"
-             " (Policy.quant='int8_dynamic'; approximate inference)",
+        "--quant", nargs="?", const="dynamic", default=None,
+        choices=["dynamic", "static"],
+        help="imagenet/mlm tasks: int8 projections (Policy.quant="
+             "'int8_dynamic' per-token scales, or 'int8_static' calibrated"
+             " per-site scales; approximate inference). Bare --quant means"
+             " dynamic.",
     )
     args = parser.parse_args()
     task = args.task
