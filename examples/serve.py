@@ -36,10 +36,14 @@ from perceiverio_pytorch_tpu.training.checkpoint import (
 from perceiverio_pytorch_tpu.utils.params import cast_variables_for_inference
 
 
-def build(out_dir: str, full_scale: bool, quant: bool = False) -> None:
-    from perceiverio_pytorch_tpu import PERFORMANCE_INT8
+def build(out_dir: str, full_scale: bool, quant=None) -> None:
+    import dataclasses
 
-    policy = PERFORMANCE_INT8 if quant else PERFORMANCE
+    policy = (
+        dataclasses.replace(PERFORMANCE, quant=f"int8_{quant}")
+        if quant
+        else PERFORMANCE
+    )
     if full_scale:
         model = ClassificationPerceiver(
             num_classes=1000, img_size=(224, 224),
@@ -57,6 +61,19 @@ def build(out_dir: str, full_scale: bool, quant: bool = False) -> None:
 
     example = jnp.zeros(img_shape, jnp.float32)
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), example)
+    if quant == "static":
+        # PTQ calibration before export: record each GEMM site's max|x|
+        # on representative inputs (random here; real data in production).
+        # The resulting "quant_stats" collection rides the same weights
+        # directory -- the serving process needs no extra files.
+        from perceiverio_pytorch_tpu.ops.quant import calibrate
+
+        rng = np.random.RandomState(0)
+        batches = [
+            (jnp.asarray(rng.uniform(-1, 1, img_shape), jnp.float32),)
+            for _ in range(2)
+        ]
+        variables = calibrate(model, variables, batches)
     variables = cast_variables_for_inference(variables)
 
     blob = export_apply(
@@ -229,9 +246,12 @@ def main():
                     help="also demo the micro-batching BatchingServer")
     ap.add_argument("--http", action="store_true",
                     help="also demo the HTTP front-end (JSON protocol)")
-    ap.add_argument("--quant", action="store_true",
-                    help="export with dynamic int8 projections "
-                         "(PERFORMANCE_INT8; approximate inference)")
+    ap.add_argument("--quant", nargs="?", const="dynamic", default=None,
+                    choices=["dynamic", "static"],
+                    help="export with int8 projections (bare --quant = "
+                         "dynamic per-token scales; 'static' calibrates "
+                         "per-site scales before export; approximate "
+                         "inference)")
     from perceiverio_pytorch_tpu.utils.compilation_cache import (
         add_cache_arg,
         enable_cache_if_requested,

@@ -135,3 +135,46 @@ def test_full_serving_stack_end_to_end():
     finally:
         front.stop()
         server.stop()
+
+
+def test_export_static_quant_with_calibrated_stats(tmp_path):
+    """The serving deployment path for int8_static (examples/serve.py
+    --quant static): calibrate -> export -> save -> template-free restore
+    -> the artifact reproduces the quantized (not exact) forward, with the
+    quant_stats collection riding the same weights directory."""
+    import dataclasses
+
+    from perceiverio_pytorch_tpu import PARITY
+    from perceiverio_pytorch_tpu.ops.quant import calibrate
+    from perceiverio_pytorch_tpu.training.checkpoint import (
+        restore_variables,
+        save_variables,
+    )
+
+    spolicy = dataclasses.replace(PARITY, quant="int8_static")
+    kwargs = dict(
+        num_classes=5, img_size=(32, 32), num_self_attends_per_block=1,
+        num_blocks=2, num_latents=8, num_latent_channels=32,
+        prep_type=PrepType.FOURIER_POS_PIXEL,
+    )
+    model = ClassificationPerceiver(policy=spolicy, **kwargs)
+    exact = ClassificationPerceiver(policy=PARITY, **kwargs)
+    img = jnp.asarray(np.random.RandomState(0).randn(2, 3, 32, 32), jnp.float32)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), img)
+    variables = calibrate(model, variables, [(img,)])
+
+    blob = export_apply(model.apply, variables, img, deterministic=True)
+    path = str(tmp_path / "weights")
+    save_variables(path, variables)
+    restored = restore_variables(path)
+    assert "quant_stats" in restored
+
+    got = np.asarray(load_exported(blob)(restored, img))
+    want = np.asarray(jax.jit(model.apply)(variables, img))
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-7)
+    want_exact = np.asarray(
+        jax.jit(exact.apply)(
+            {k: v for k, v in variables.items() if k != "quant_stats"}, img
+        )
+    )
+    assert np.abs(got - want_exact).max() > 0  # the int8 path is baked in
