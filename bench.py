@@ -349,7 +349,7 @@ def bench_training():
     }))
 
 
-def bench_serving():
+def bench_serving(quant=None):
     """Online-serving metric: single-example requests/sec through the
     micro-batching server on the FULL shipped classification config.
 
@@ -366,7 +366,8 @@ def bench_serving():
     from perceiverio_pytorch_tpu.utils.params import cast_variables_for_inference
 
     model = ClassificationPerceiver(
-        prep_type=PrepType.FOURIER_POS_CONVNET, policy=PERFORMANCE
+        prep_type=PrepType.FOURIER_POS_CONVNET,
+        policy=_quant_policy(PERFORMANCE, quant),
     )
     example = jnp.zeros((16, 3, 224, 224), jnp.float32)
     params = cast_variables_for_inference(
@@ -420,7 +421,8 @@ def bench_serving():
     print(
         json.dumps(
             {
-                "metric": "serving_requests_per_sec_per_chip",
+                "metric": "serving_requests_per_sec_per_chip"
+                + (f"_int8_{quant}" if quant else ""),
                 "value": round(clients * per_client / wall, 2),
                 "unit": "req/sec",
                 "vs_baseline": 1.0,
@@ -497,7 +499,7 @@ if __name__ == "__main__":
     parser.add_argument(
         "--quant", nargs="?", const="dynamic", default=None,
         choices=["dynamic", "static"],
-        help="imagenet/mlm tasks: int8 projections (Policy.quant="
+        help="imagenet/mlm/serving tasks: int8 projections (Policy.quant="
              "'int8_dynamic' per-token scales, or 'int8_static' calibrated"
              " per-site scales; approximate inference). Bare --quant means"
              " dynamic.",
@@ -513,7 +515,7 @@ if __name__ == "__main__":
     elif task == "training":
         bench_training()
     elif task == "serving":
-        bench_serving()
+        bench_serving(quant=args.quant)
     elif task == "all":
         main()
         bench_flow()
