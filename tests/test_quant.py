@@ -330,3 +330,81 @@ def test_int8_static_multimodal_calibrate_and_chunked_decode():
         err = np.abs(np.asarray(out2[k]) - np.asarray(out_exact[k])).max()
         denom = max(np.abs(np.asarray(out_exact[k])).max(), 1e-3)
         assert err / denom < 0.15, (k, err / denom)
+
+
+def test_quant_static_data_parallel_apply_matches_single_device():
+    """int8_static under the 8-device DP mesh: the replicated quant_stats
+    collection rides make_data_parallel_apply, and batch sharding does not
+    change the per-site static scales (they are per-GEMM scalars)."""
+    from perceiverio_pytorch_tpu.models import ClassificationPerceiver, PrepType
+    from perceiverio_pytorch_tpu.ops.quant import calibrate
+    from perceiverio_pytorch_tpu.parallel import make_data_parallel_apply, make_mesh
+
+    spolicy = dataclasses.replace(PARITY, quant="int8_static")
+    model = ClassificationPerceiver(
+        num_classes=5, img_size=(32, 32), num_self_attends_per_block=1,
+        num_blocks=1, num_latents=8, num_latent_channels=32,
+        prep_type=PrepType.FOURIER_POS_PIXEL, policy=spolicy,
+    )
+    img = jnp.asarray(np.random.RandomState(0).randn(8, 3, 32, 32), jnp.float32)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), img)
+    variables = calibrate(model, variables, [(img,)])
+    ref = jax.jit(model.apply)(variables, img)
+
+    mesh = make_mesh((8, 1))
+    fn, place = make_data_parallel_apply(model, mesh)
+    out = fn(*place(variables, img))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_quant_dynamic_sharded_train_step_matches_single_device():
+    """QAT train step (int8 forward, STE backward) through the DP+TP GSPMD
+    partitioner: TP column-parallel splits the projection kernels' output
+    dim, which leaves both the per-output-channel weight scales and the
+    per-token activation scales shard-local-exact, so the sharded step must
+    reproduce the single-device step."""
+    import optax
+
+    from perceiverio_pytorch_tpu.models import LanguagePerceiver
+    from perceiverio_pytorch_tpu.parallel import make_mesh
+    from perceiverio_pytorch_tpu.training import masked_token_cross_entropy
+    from perceiverio_pytorch_tpu.training.trainer import (
+        create_sharded_train_state,
+        create_train_state,
+        make_sharded_train_step,
+        make_train_step,
+    )
+
+    qpolicy = dataclasses.replace(PARITY, quant="int8_dynamic")
+    model = LanguagePerceiver(
+        vocab_size=262, max_seq_len=16, embed_dim=16, num_latents=8,
+        num_latent_channels=64, num_self_attends_per_block=1, num_blocks=1,
+        policy=qpolicy,
+    )
+    rng = np.random.RandomState(0)
+    tokens = jnp.asarray(rng.randint(6, 262, (8, 16)), jnp.int32)
+    mask = jnp.ones((8, 16), bool)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), tokens, mask)
+
+    def loss_fn(params, tokens, mask):
+        return masked_token_cross_entropy(
+            model.apply(params, tokens, mask), tokens, mask
+        )
+
+    tx = optax.sgd(1e-2)
+    mesh = make_mesh((4, 2))
+    state = create_sharded_train_state(params, tx, mesh)
+    step = make_sharded_train_step(
+        loss_fn, tx, mesh, state, num_batch_args=2, donate=False
+    )
+    ref_state = create_train_state(params, tx)
+    ref_step = make_train_step(loss_fn, tx, donate=False)
+
+    state, loss = step(state, tokens, mask)
+    ref_state, ref_loss = ref_step(ref_state, tokens, mask)
+    np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                    jax.tree_util.tree_leaves(ref_state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
