@@ -408,3 +408,28 @@ def test_quant_dynamic_sharded_train_step_matches_single_device():
                     jax.tree_util.tree_leaves(ref_state.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_quant_composes_with_flash_head_padding():
+    """quant + the flash path's head padding (d_head=8, padded to the lane
+    width inside _FoldPadDense): per-output-channel weight scales are
+    unaffected by the zero pad columns, so flash(interpret) and XLA attention
+    must agree under the same quant mode."""
+    from perceiverio_pytorch_tpu.core.attention import SelfAttention
+
+    rng = np.random.RandomState(11)
+    x = jnp.asarray(rng.randn(2, 16, 32), jnp.float32)
+
+    def out(attn_impl):
+        policy = dataclasses.replace(
+            PARITY, quant="int8_dynamic", attn_impl=attn_impl,
+            interpret=True, flash_min_kv=1, flash_min_self=1,
+            flash_block_q=8, flash_block_k=8,
+        )
+        m = SelfAttention(in_channels=32, num_heads=4, policy=policy)
+        params = jax.jit(m.init)(jax.random.PRNGKey(0), x)
+        return np.asarray(jax.jit(m.apply)(params, x))
+
+    got_flash = out("flash")
+    got_xla = out("xla")
+    np.testing.assert_allclose(got_flash, got_xla, rtol=2e-4, atol=2e-5)
