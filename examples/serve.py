@@ -167,12 +167,18 @@ def server_demo(out_dir: str, hw: int, clients: int = 24, max_batch: int = 8):
             t.join()
         wall = time.perf_counter() - t0
     finally:
+        stats = server.stats()
         server.stop()
     lat.sort()
     print(
         f"server: {clients} concurrent clients, max_batch {max_batch}: "
         f"p50 {lat[len(lat)//2]*1e3:.1f} ms  "
         f"p99 {lat[-1]*1e3:.1f} ms  {clients/wall:.1f} req/s"
+    )
+    print(
+        f"server stats: {stats['batches_dispatched']} batches, "
+        f"occupancy {stats.get('mean_batch_occupancy', 0):.2f}, "
+        f"buckets {stats['bucket_dispatches']}"
     )
 
 
@@ -229,11 +235,18 @@ def http_demo(out_dir: str, hw: int, clients: int = 12, max_batch: int = 8):
         for t in threads:
             t.join()
         wall = time.perf_counter() - t0
+        import urllib.request as _rq
+
+        with _rq.urlopen(
+            f"http://127.0.0.1:{front.port}/stats", timeout=30
+        ) as resp:
+            stats = json.loads(resp.read())
     finally:
         front.stop()
         server.stop()
     assert all(ok) and len(ok) == clients
     print(f"http: {clients} concurrent clients over HTTP: {clients/wall:.1f} req/s")
+    print(f"http GET /stats: {stats}")
 
 
 def main():

@@ -12,6 +12,10 @@ Protocol:
 
     POST /v1/infer   {"inputs": <pytree>}   ->  {"outputs": <pytree>}
     GET  /healthz                           ->  {"status": "ok"}
+    GET  /stats                             ->  BatchingServer.stats() JSON
+                                                (counters, bucket usage,
+                                                batch occupancy, request
+                                                latency percentiles)
 
 Pytree convention (JSON): objects are structure, arrays are array leaves
 (one example, NO batch dim; the server adds and strips it).  Numeric
@@ -184,6 +188,12 @@ class HttpFrontend:
             def do_GET(self):
                 if self.path == "/healthz":
                     self._reply(200, {"status": "ok"})
+                elif self.path == "/stats":
+                    stats_fn = getattr(frontend._server, "stats", None)
+                    if stats_fn is None:
+                        self._reply(404, {"error": "server exposes no stats"})
+                    else:
+                        self._reply(200, stats_fn())
                 else:
                     self._reply(404, {"error": f"no route {self.path}"})
 

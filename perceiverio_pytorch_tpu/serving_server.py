@@ -24,6 +24,7 @@ a batch of one (tested), only latency/throughput change.
 
 from __future__ import annotations
 
+import collections
 import queue
 import threading
 import time
@@ -89,6 +90,15 @@ class BatchingServer:
             )
         self._queue: "queue.Queue" = queue.Queue()
         self._stopped = threading.Event()
+        # observability (see stats()); guarded by _stats_lock -- counters
+        # are touched by the worker thread and read by any caller
+        self._stats_lock = threading.Lock()
+        self._counters = {
+            "requests_served": 0, "batches_dispatched": 0,
+            "examples_dispatched": 0, "rows_padded": 0, "errors": 0,
+        }
+        self._bucket_counts = {b: 0 for b in self._buckets}
+        self._latencies: "collections.deque" = collections.deque(maxlen=512)
         self._worker = threading.Thread(
             target=self._run, daemon=True, name="batching_server"
         )
@@ -102,7 +112,7 @@ class BatchingServer:
         if self._stopped.is_set():
             raise RuntimeError("BatchingServer is stopped")
         fut: Future = Future()
-        self._queue.put((example, fut))
+        self._queue.put((example, fut, time.perf_counter()))
         return fut
 
     def __call__(self, example: Any) -> Any:
@@ -123,14 +133,61 @@ class BatchingServer:
                 break
             if item is None:
                 continue
-            example, fut = item
+            example, fut, t0 = item
             if drain:
                 try:
-                    fut.set_result(self._call_batch([example])[0])
+                    row = self._call_batch([example])[0]
                 except BaseException as e:
+                    self._count_error()
                     fut.set_exception(e)
+                else:
+                    self._resolve([(example, fut, t0)], [row])
             else:
                 fut.set_exception(RuntimeError("BatchingServer stopped"))
+
+    def stats(self) -> dict:
+        """Snapshot of serving counters (thread-safe, cheap).
+
+        Keys: requests_served, batches_dispatched, examples_dispatched,
+        rows_padded, errors, queue_depth, per-bucket dispatch counts,
+        mean_batch_occupancy (examples / padded rows actually computed),
+        and request latency percentiles over the last 512 requests
+        (submit -> result, i.e. including queueing and batching waits).
+        """
+        with self._stats_lock:
+            c = dict(self._counters)
+            buckets = {str(k): v for k, v in self._bucket_counts.items()}
+            lat = sorted(self._latencies)
+        out: dict = {**c, "queue_depth": self._queue.qsize(),
+                     "bucket_dispatches": buckets}
+        rows = c["examples_dispatched"] + c["rows_padded"]
+        if rows:
+            out["mean_batch_occupancy"] = round(
+                c["examples_dispatched"] / rows, 4
+            )
+        if lat:
+            out["request_latency_ms"] = {
+                "p50": round(lat[len(lat) // 2] * 1e3, 3),
+                "p99": round(lat[min(len(lat) - 1, int(len(lat) * 0.99))]
+                             * 1e3, 3),
+                "mean": round(sum(lat) / len(lat) * 1e3, 3),
+                "window": len(lat),
+            }
+        return out
+
+    def _count_error(self) -> None:
+        with self._stats_lock:
+            self._counters["errors"] += 1
+
+    def _resolve(self, group, rows) -> None:
+        """Record latencies and hand each request its output row."""
+        now = time.perf_counter()
+        with self._stats_lock:
+            self._counters["requests_served"] += len(group)
+            for _, _, t0 in group:
+                self._latencies.append(now - t0)
+        for (_, fut, _), row in zip(group, rows):
+            fut.set_result(row)
 
     # -- worker side -------------------------------------------------------
 
@@ -145,6 +202,11 @@ class BatchingServer:
         with a jitted async fn the device work is merely enqueued here)."""
         n = len(examples)
         pad_to = self._bucket(n)
+        with self._stats_lock:
+            self._counters["batches_dispatched"] += 1
+            self._counters["examples_dispatched"] += n
+            self._counters["rows_padded"] += pad_to - n
+            self._bucket_counts[pad_to] += 1
         stacked = jax.tree_util.tree_map(
             lambda *leaves: np.stack(
                 list(leaves) + [leaves[-1]] * (pad_to - n)
@@ -175,11 +237,11 @@ class BatchingServer:
             try:
                 rows = self._finish(out, len(group))
             except BaseException as e:
-                for _, fut in group:
+                self._count_error()
+                for _, fut, _ in group:
                     fut.set_exception(e)
                 return
-            for (_, fut), row in zip(group, rows):
-                fut.set_result(row)
+            self._resolve(group, rows)
 
         def handle(group) -> None:
             nonlocal pending
@@ -187,9 +249,10 @@ class BatchingServer:
                 self._serve_group(group)
                 return
             try:
-                out = self._dispatch([ex for ex, _ in group])
+                out = self._dispatch([ex for ex, _, _ in group])
             except BaseException as e:
-                for _, fut in group:
+                self._count_error()
+                for _, fut, _ in group:
                     fut.set_exception(e)
                 out = None
             # resolve the PREVIOUS batch while this one computes: its
@@ -240,12 +303,12 @@ class BatchingServer:
                 return
 
     def _serve_group(self, group) -> None:
-        examples = [ex for ex, _ in group]
+        examples = [ex for ex, _, _ in group]
         try:
             rows = self._call_batch(examples)
         except BaseException as e:
-            for _, fut in group:
+            self._count_error()
+            for _, fut, _ in group:
                 fut.set_exception(e)
             return
-        for (_, fut), row in zip(group, rows):
-            fut.set_result(row)
+        self._resolve(group, rows)

@@ -214,3 +214,29 @@ def test_http_frontend_double_start_rejected():
     finally:
         front.stop()
         server.stop()
+
+
+def test_http_stats_route():
+    import urllib.request
+
+    fn = jax.jit(lambda x: x * 3.0)
+    server = BatchingServer(fn, max_batch=4, max_wait_ms=1.0)
+    front = HttpFrontend(server, port=0).start()
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{front.port}/v1/infer",
+            data=json.dumps({"inputs": [1.0, 2.0]}).encode(),
+            method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=30) as resp:
+            assert json.loads(resp.read())["outputs"] == [3.0, 6.0]
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{front.port}/stats", timeout=30
+        ) as resp:
+            stats = json.loads(resp.read())
+        assert stats["requests_served"] == 1
+        assert stats["batches_dispatched"] == 1
+        assert "request_latency_ms" in stats
+    finally:
+        front.stop()
+        server.stop()

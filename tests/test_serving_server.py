@@ -169,3 +169,52 @@ def test_pipeline_mode_error_propagation_and_stop_drain():
         np.testing.assert_allclose(ok2.result(timeout=30)["y"], 4.0)
     finally:
         server.stop()
+
+
+@pytest.mark.parametrize("pipeline", [False, True])
+def test_stats_counters_and_latency(pipeline):
+    fn = jax.jit(lambda x: x + 1.0)
+    server = BatchingServer(
+        fn, max_batch=4, max_wait_ms=5.0, pipeline=pipeline
+    )
+    try:
+        futs = [
+            server.submit(np.full((2,), float(i), np.float32))
+            for i in range(10)
+        ]
+        for f in futs:
+            f.result(timeout=10)
+        stats = server.stats()
+        assert stats["requests_served"] == 10
+        assert stats["examples_dispatched"] == 10
+        assert stats["batches_dispatched"] >= 3  # max_batch 4
+        assert stats["errors"] == 0
+        # padded rows are consistent with the bucket dispatch counts
+        rows = sum(int(b) * n for b, n in stats["bucket_dispatches"].items())
+        assert rows == stats["examples_dispatched"] + stats["rows_padded"]
+        assert 0 < stats["mean_batch_occupancy"] <= 1.0
+        lat = stats["request_latency_ms"]
+        assert lat["window"] == 10 and lat["p50"] > 0 and lat["p99"] >= lat["p50"]
+    finally:
+        server.stop()
+    # stop(drain=True) itself leaves counters consistent
+    assert server.stats()["requests_served"] == 10
+
+
+def test_stats_counts_errors():
+    def fn(x):
+        raise ValueError("boom")
+
+    server = BatchingServer(fn, max_batch=2, max_wait_ms=0.0)
+    try:
+        fut = server.submit(np.zeros((1,), np.float32))
+        with pytest.raises(ValueError):
+            fut.result(timeout=10)
+        # the dispatch raised before any request resolved
+        deadline = time.perf_counter() + 5
+        while server.stats()["errors"] == 0 and time.perf_counter() < deadline:
+            time.sleep(0.01)
+        stats = server.stats()
+        assert stats["errors"] >= 1 and stats["requests_served"] == 0
+    finally:
+        server.stop(drain=False)
