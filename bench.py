@@ -45,14 +45,14 @@ def _throughput(model, params, img, iters=20, warmup=3):
     return img.shape[0] / dt
 
 
-def bench_flow():
+def bench_flow(quant=None):
     """Secondary metric: Sintel-flow frame-pairs/sec, one 368x496 tile."""
     from perceiverio_pytorch_tpu import PERFORMANCE
     from perceiverio_pytorch_tpu.models import FlowPerceiver
     from perceiverio_pytorch_tpu.utils.params import cast_variables_for_inference
 
     batch = 2  # best measured throughput point (hides pipeline bubbles)
-    model = FlowPerceiver(policy=PERFORMANCE)
+    model = FlowPerceiver(policy=_quant_policy(PERFORMANCE, quant, "latent"))
     i1 = jnp.asarray(
         np.random.RandomState(0).randn(batch, 3, 368, 496) * 0.5, jnp.float32
     )
@@ -78,7 +78,8 @@ def bench_flow():
     print(
         json.dumps(
             {
-                "metric": "sintel_flow_frame_pairs_per_sec_per_chip",
+                "metric": "sintel_flow_frame_pairs_per_sec_per_chip"
+                + (f"_int8_{quant}" if quant else ""),
                 "value": round(batch / dt, 2),
                 "unit": "frame-pairs/sec",
                 "vs_baseline": 1.0,
@@ -87,18 +88,21 @@ def bench_flow():
     )
 
 
-def _quant_policy(base, quant):
+def _quant_policy(base, quant, scope="all"):
     """Apply a --quant mode (None/'dynamic'/'static') to a Policy.
 
     Static mode calibrates from the init pass (init runs with the
     quant_stats collection mutable on the benchmark input, recording each
-    site's max|x|) -- sufficient for throughput measurement.
+    site's max|x|) -- sufficient for throughput measurement.  flow and
+    multimodal pass scope="latent": quantizing their 182k-805k-token
+    cross-attention activations is a measured net loss (PERFORMANCE.md
+    item 16).
     """
     import dataclasses
 
     if not quant:
         return base
-    return dataclasses.replace(base, quant=f"int8_{quant}")
+    return dataclasses.replace(base, quant=f"int8_{quant}", quant_scope=scope)
 
 
 def bench_mlm(quant=None):
@@ -145,7 +149,7 @@ def bench_mlm(quant=None):
     )
 
 
-def bench_multimodal():
+def bench_multimodal(quant=None):
     """Secondary metric: Kinetics clips/sec (805k output queries/clip)."""
     from perceiverio_pytorch_tpu import PERFORMANCE
     from perceiverio_pytorch_tpu.models import MultiModalPerceiver
@@ -155,7 +159,9 @@ def bench_multimodal():
     # 16: 17.2, 32: 16.1-16.5, 64: 16.4 clips/s); outputs are chunk-count
     # invariant.
     n_chunks = 16
-    model = MultiModalPerceiver(policy=PERFORMANCE)
+    model = MultiModalPerceiver(
+        policy=_quant_policy(PERFORMANCE, quant, "latent")
+    )
     imgs = jnp.zeros((1, 16, 3, 224, 224), jnp.float32)
     aud = jnp.zeros((1, 16 * 1920, 1), jnp.float32)
     params = cast_variables_for_inference(
@@ -180,7 +186,8 @@ def bench_multimodal():
     print(
         json.dumps(
             {
-                "metric": "kinetics_autoencode_clips_per_sec_per_chip",
+                "metric": "kinetics_autoencode_clips_per_sec_per_chip"
+                + (f"_int8_{quant}" if quant else ""),
                 "value": round(1.0 / dt, 3),
                 "unit": "clips/sec",
                 "vs_baseline": 1.0,
@@ -499,19 +506,20 @@ if __name__ == "__main__":
     parser.add_argument(
         "--quant", nargs="?", const="dynamic", default=None,
         choices=["dynamic", "static"],
-        help="imagenet/mlm/serving tasks: int8 projections (Policy.quant="
+        help="int8 projections on any task (Policy.quant="
              "'int8_dynamic' per-token scales, or 'int8_static' calibrated"
              " per-site scales; approximate inference). Bare --quant means"
-             " dynamic.",
+             " dynamic. flow/multimodal use quant_scope='latent' (the"
+             " measured-safe setting).",
     )
     args = parser.parse_args()
     task = args.task
     if task == "flow":
-        bench_flow()
+        bench_flow(quant=args.quant)
     elif task == "mlm":
         bench_mlm(quant=args.quant)
     elif task == "multimodal":
-        bench_multimodal()
+        bench_multimodal(quant=args.quant)
     elif task == "training":
         bench_training()
     elif task == "serving":
