@@ -433,3 +433,28 @@ def test_quant_composes_with_flash_head_padding():
     got_flash = out("flash")
     got_xla = out("xla")
     np.testing.assert_allclose(got_flash, got_xla, rtol=2e-4, atol=2e-5)
+
+
+def test_int8_static_composes_with_remat():
+    """QAT at scale needs remat: int8_static must init/calibrate (unrolled
+    mutable passes under nn.remat), infer, and differentiate with remat=True."""
+    from perceiverio_pytorch_tpu.models import ClassificationPerceiver, PrepType
+
+    spolicy = dataclasses.replace(PARITY, quant="int8_static")
+    model = ClassificationPerceiver(
+        num_classes=4, img_size=(16, 16), num_self_attends_per_block=2,
+        num_blocks=2, num_latents=8, num_latent_channels=32,
+        prep_type=PrepType.FOURIER_POS_PIXEL, policy=spolicy, remat=True,
+    )
+    img = jnp.asarray(np.random.RandomState(12).randn(2, 3, 16, 16), jnp.float32)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), img)
+    assert "quant_stats" in variables
+
+    def loss(params):
+        return jnp.sum(model.apply({**variables, "params": params}, img) ** 2)
+
+    grads = jax.jit(jax.grad(loss))(variables["params"])
+    total = jax.tree_util.tree_reduce(
+        lambda a, b: a + jnp.sum(jnp.abs(b)), grads, jnp.float32(0.0)
+    )
+    assert float(total) > 0 and np.isfinite(float(total))
