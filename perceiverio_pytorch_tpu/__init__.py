@@ -15,6 +15,7 @@ from perceiverio_pytorch_tpu.config import (  # noqa: F401
     PARITY,
     PERFORMANCE,
     PERFORMANCE_INT8,
+    PERFORMANCE_INT8_STATIC,
     Policy,
 )
 from perceiverio_pytorch_tpu.core.attention import (  # noqa: F401

@@ -209,4 +209,11 @@ PERFORMANCE = Policy(
 # (PERFORMANCE.md item 16).
 PERFORMANCE_INT8 = dataclasses.replace(PERFORMANCE, quant="int8_dynamic")
 
+# The static (calibrated) variant -- fastest int8 mode (classification
+# 546 img/s, MLM 1381 seq/s) but requires a calibration pass: fill the
+# "quant_stats" collection with ops.quant.calibrate before inference.
+PERFORMANCE_INT8_STATIC = dataclasses.replace(
+    PERFORMANCE, quant="int8_static"
+)
+
 DEFAULT = Policy()
