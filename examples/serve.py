@@ -119,16 +119,6 @@ def serve_demo(out_dir: str, hw: int, batch_sizes=(1, 4, 16), requests: int = 20
         )
 
 
-def _warm_buckets(call, hw: int, max_batch: int) -> None:
-    """Compile every bucket shape the server will pad to before timing
-    (each padded shape is one compile -- expensive through the remote
-    compile service)."""
-    from perceiverio_pytorch_tpu.serving_server import _default_buckets
-
-    for b in _default_buckets(max_batch):
-        np.asarray(call(jnp.zeros((b, 3, hw, hw), jnp.float32)))
-
-
 def server_demo(out_dir: str, hw: int, clients: int = 24, max_batch: int = 8):
     """Concurrent clients against the micro-batching server: requests
     coalesce into bucketed device batches transparently."""
@@ -140,12 +130,14 @@ def server_demo(out_dir: str, hw: int, clients: int = 24, max_batch: int = 8):
         fn = load_exported(f.read())
     variables = restore_variables(os.path.join(out_dir, "weights"))
     call = jax.jit(lambda x: fn(variables, x))
-    _warm_buckets(call, hw, max_batch)
 
     server = BatchingServer(
         call, max_batch=max_batch, max_wait_ms=3.0,
         pipeline=True,  # overlap next batch's transfer with current compute
     )
+    # compile every bucket before timed traffic (one compile per padded
+    # shape -- expensive through the remote compile service)
+    server.warmup(jnp.zeros((3, hw, hw), jnp.float32))
     rng = np.random.RandomState(0)
     lat = []
     lock = threading.Lock()
@@ -195,11 +187,11 @@ def http_demo(out_dir: str, hw: int, clients: int = 12, max_batch: int = 8):
         fn = load_exported(f.read())
     variables = restore_variables(os.path.join(out_dir, "weights"))
     call = jax.jit(lambda x: fn(variables, x))
-    _warm_buckets(call, hw, max_batch)
     server = BatchingServer(
         lambda x: call(x["image"]), max_batch=max_batch, max_wait_ms=3.0,
         pipeline=True,
     )
+    server.warmup({"image": jnp.zeros((3, hw, hw), jnp.float32)})
     front = HttpFrontend(server, port=0).start()
     rng = np.random.RandomState(0)
     ok = []

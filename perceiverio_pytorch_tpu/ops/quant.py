@@ -38,7 +38,12 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-__all__ = ["int8_dynamic_matmul", "int8_static_matmul", "calibrate"]
+__all__ = [
+    "calibrate",
+    "int8_dynamic_matmul",
+    "int8_static_matmul",
+    "quant_error_report",
+]
 
 
 def _quantize_weights(k32):
@@ -173,3 +178,62 @@ def int8_dynamic_matmul(x, kernel, *, out_dtype: Optional[jnp.dtype] = None):
     out_dtype = out_dtype or x.dtype
     y = _int8_matmul_f32(x.astype(jnp.float32), kernel.astype(jnp.float32))
     return y.astype(out_dtype)
+
+
+def quant_error_report(model, variables, batches, **apply_kwargs):
+    """Compare quantized vs exact outputs on representative batches.
+
+    The accuracy check to run before deploying a quant mode: rebuilds the
+    same model with ``quant=None`` (same params -- quant adds no params),
+    applies both on each batch, and accumulates per-output-leaf error
+    statistics.  Works for any task model taking ``policy=`` (all do).
+
+    Args:
+      model: a flax module built with a quantizing Policy.
+      variables: its variables (a ``quant_stats`` collection is dropped for
+        the exact twin).
+      batches: iterable of positional-argument tuples for ``model.apply``.
+      **apply_kwargs: static keyword arguments forwarded to both applies.
+
+    Returns:
+      dict mapping each output leaf path (or "output" for a bare array) to
+      ``{"max_rel": ..., "max_abs": ..., "mean_abs": ...}`` where max_rel
+      is the max abs error over the leaf normalised by the exact leaf's
+      max magnitude.
+    """
+    import dataclasses as _dc
+
+    import numpy as _np
+
+    exact = model.clone(policy=_dc.replace(model.policy, quant=None))
+    v_exact = {k: v for k, v in variables.items() if k != "quant_stats"}
+    qf = jax.jit(lambda v, a: model.apply(v, *a, **apply_kwargs))
+    ef = jax.jit(lambda v, a: exact.apply(v, *a, **apply_kwargs))
+
+    stats: dict = {}
+    for args in batches:
+        got = jax.device_get(qf(variables, tuple(args)))
+        want = jax.device_get(ef(v_exact, tuple(args)))
+        flat_g, treedef = jax.tree_util.tree_flatten_with_path(got)
+        flat_w = jax.tree_util.tree_leaves(want)
+        for (path, g), w in zip(flat_g, flat_w):
+            g = _np.asarray(g, _np.float32)
+            w = _np.asarray(w, _np.float32)
+            err = _np.abs(g - w)
+            key = jax.tree_util.keystr(path) or "output"
+            s = stats.setdefault(
+                key, {"max_rel": 0.0, "max_abs": 0.0, "_sum": 0.0, "_n": 0}
+            )
+            denom = max(float(_np.abs(w).max()), 1e-12)
+            s["max_rel"] = max(s["max_rel"], float(err.max()) / denom)
+            s["max_abs"] = max(s["max_abs"], float(err.max()))
+            s["_sum"] += float(err.sum())
+            s["_n"] += err.size
+    return {
+        k: {
+            "max_rel": s["max_rel"],
+            "max_abs": s["max_abs"],
+            "mean_abs": s["_sum"] / max(s["_n"], 1),
+        }
+        for k, s in stats.items()
+    }

@@ -119,6 +119,22 @@ class BatchingServer:
         """Blocking convenience wrapper around submit()."""
         return self.submit(example).result()
 
+    def warmup(self, example: Any) -> None:
+        """Compile every bucket shape before taking traffic.
+
+        Each padded batch shape is one XLA compile (expensive through a
+        remote compile service); production servers warm them all at
+        startup so no client request ever pays a compile.  Calls ``fn``
+        directly from this thread (jitted callables are thread-safe) and
+        fetches, so when this returns every bucket is compiled and the
+        device is idle.  Does not touch the stats counters.
+        """
+        for b in self._buckets:
+            stacked = jax.tree_util.tree_map(
+                lambda leaf: np.stack([leaf] * b), example
+            )
+            jax.device_get(self._fn(stacked))
+
     def stop(self, drain: bool = True) -> None:
         """Stop the worker.  ``drain=True`` serves queued requests first;
         otherwise they fail with RuntimeError."""

@@ -458,3 +458,33 @@ def test_int8_static_composes_with_remat():
         lambda a, b: a + jnp.sum(jnp.abs(b)), grads, jnp.float32(0.0)
     )
     assert float(total) > 0 and np.isfinite(float(total))
+
+
+def test_quant_error_report():
+    """The PTQ validation helper: small bounded errors for int8 modes, and
+    exact-zero when the model's policy doesn't quantize."""
+    from perceiverio_pytorch_tpu.models import ClassificationPerceiver, PrepType
+    from perceiverio_pytorch_tpu.ops.quant import calibrate, quant_error_report
+
+    kwargs = dict(
+        num_classes=4, img_size=(16, 16), num_self_attends_per_block=1,
+        num_blocks=1, num_latents=8, num_latent_channels=32,
+        prep_type=PrepType.FOURIER_POS_PIXEL,
+    )
+    img = jnp.asarray(np.random.RandomState(13).randn(2, 3, 16, 16) * 0.5,
+                      jnp.float32)
+
+    spolicy = dataclasses.replace(PARITY, quant="int8_static")
+    model = ClassificationPerceiver(policy=spolicy, **kwargs)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), img)
+    variables = calibrate(model, variables, [(img,)])
+    report = quant_error_report(model, variables, [(img,)])
+    (stats,) = report.values()
+    assert 0 < stats["max_rel"] < 0.15, report
+    assert stats["mean_abs"] <= stats["max_abs"]
+
+    # unquantized model reports zero error against itself
+    exact = ClassificationPerceiver(policy=PARITY, **kwargs)
+    v = {k: v for k, v in variables.items() if k != "quant_stats"}
+    report0 = quant_error_report(exact, v, [(img,)])
+    assert all(s["max_abs"] == 0.0 for s in report0.values())

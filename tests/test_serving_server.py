@@ -218,3 +218,25 @@ def test_stats_counts_errors():
         assert stats["errors"] >= 1 and stats["requests_served"] == 0
     finally:
         server.stop(drain=False)
+
+
+def test_warmup_compiles_every_bucket():
+    seen = []
+
+    @jax.jit
+    def fn(x):
+        return x * 2.0
+
+    def spy(x):
+        seen.append(x.shape[0])
+        return fn(x)
+
+    server = BatchingServer(spy, max_batch=8, max_wait_ms=1.0)
+    try:
+        server.warmup(np.zeros((3,), np.float32))
+        assert seen == [1, 2, 4, 8]
+        assert server.stats()["batches_dispatched"] == 0  # warmup is free
+        out = server(np.full((3,), 2.0, np.float32))
+        np.testing.assert_allclose(np.asarray(out), np.full((3,), 4.0))
+    finally:
+        server.stop()
