@@ -162,10 +162,12 @@ class HttpFrontend:
         port: int = 0,
         decode: Optional[Callable[[Any], Any]] = None,
         encode: Optional[Callable[[Any], Any]] = None,
+        max_body_mb: float = 64.0,
     ):
         self._server = server
         self._decode = decode or decode_inputs
         self._encode = encode or encode_outputs
+        self._max_body = int(max_body_mb * 1e6)
         frontend = self
 
         class _Handler(BaseHTTPRequestHandler):
@@ -207,6 +209,12 @@ class HttpFrontend:
 
                 try:
                     length = int(self.headers.get("Content-Length", 0))
+                    if length > frontend._max_body:
+                        self._reply(413, {
+                            "error": f"body {length} B exceeds the"
+                                     f" {frontend._max_body} B limit"
+                        })
+                        return
                     body = self.rfile.read(length)
                     if binary:
                         example = decode_npz(body)
@@ -223,9 +231,17 @@ class HttpFrontend:
                     self._reply(400, {"error": f"bad request: {e}"})
                     return
                 try:
+                    # submit is synchronous: an example_spec rejection
+                    # raises HERE (the request's fault -> 400), before the
+                    # example could poison a shared device batch
+                    fut = frontend._server.submit(example)
+                except ValueError as e:
+                    self._reply(400, {"error": str(e)})
+                    return
+                try:
                     # blocks THIS handler thread; concurrent requests pile
                     # into the BatchingServer queue and share a device batch
-                    row = frontend._server.submit(example).result()
+                    row = fut.result()
                     if binary:
                         self._reply_raw(
                             200, encode_npz(row), "application/octet-stream"

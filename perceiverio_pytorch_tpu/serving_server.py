@@ -37,6 +37,33 @@ import numpy as np
 __all__ = ["BatchingServer"]
 
 
+def _spec_of(example):
+    """(treedef, [(shape, dtype), ...]) of an example pytree; no fetches."""
+    leaves, treedef = jax.tree_util.tree_flatten(example)
+    return treedef, [
+        (np.shape(l), getattr(l, "dtype", np.asarray(l).dtype))
+        for l in leaves
+    ]
+
+
+def _check_spec(spec, example) -> None:
+    treedef, leaf_specs = spec
+    leaves, got_def = jax.tree_util.tree_flatten(example)
+    if got_def != treedef:
+        raise ValueError(
+            f"request structure {got_def} does not match the served"
+            f" spec {treedef}"
+        )
+    for i, (leaf, (shape, dtype)) in enumerate(zip(leaves, leaf_specs)):
+        got_shape = np.shape(leaf)
+        got_dtype = getattr(leaf, "dtype", np.asarray(leaf).dtype)
+        if got_shape != shape or got_dtype != dtype:
+            raise ValueError(
+                f"request leaf {i} is {got_dtype}{list(got_shape)};"
+                f" the served spec is {dtype}{list(shape)}"
+            )
+
+
 def _default_buckets(max_batch: int) -> Sequence[int]:
     out, b = [], 1
     while b < max_batch:
@@ -67,6 +94,12 @@ class BatchingServer:
         WITHOUT fetching (no ``np.asarray`` inside — pass the jitted call
         directly); the server fetches when resolving futures.  Output
         equivalence is tested; only latency shape changes.
+      example_spec: optional example pytree fixing the accepted request
+        structure/shapes/dtypes.  With a spec, a malformed example is
+        rejected at ``submit`` time with ValueError instead of poisoning
+        the whole device batch it would share (one bad request would
+        fail every coalesced neighbour's future).  ``warmup`` sets the
+        spec from its example if none was given.
     """
 
     def __init__(
@@ -76,6 +109,7 @@ class BatchingServer:
         max_wait_ms: float = 2.0,
         batch_sizes: Optional[Sequence[int]] = None,
         pipeline: bool = False,
+        example_spec: Any = None,
     ):
         if max_batch < 1:
             raise ValueError(f"max_batch must be >= 1; got {max_batch}")
@@ -88,6 +122,7 @@ class BatchingServer:
             raise ValueError(
                 f"largest bucket {self._buckets[-1]} < max_batch {max_batch}"
             )
+        self._spec = _spec_of(example_spec) if example_spec is not None else None
         self._queue: "queue.Queue" = queue.Queue()
         self._stopped = threading.Event()
         # observability (see stats()); guarded by _stats_lock -- counters
@@ -111,6 +146,8 @@ class BatchingServer:
         Future resolving to that example's output row (batch dim removed)."""
         if self._stopped.is_set():
             raise RuntimeError("BatchingServer is stopped")
+        if self._spec is not None:
+            _check_spec(self._spec, example)
         fut: Future = Future()
         self._queue.put((example, fut, time.perf_counter()))
         return fut
@@ -127,8 +164,12 @@ class BatchingServer:
         startup so no client request ever pays a compile.  Calls ``fn``
         directly from this thread (jitted callables are thread-safe) and
         fetches, so when this returns every bucket is compiled and the
-        device is idle.  Does not touch the stats counters.
+        device is idle.  Does not touch the stats counters.  Also fixes
+        the accepted request spec to this example's structure/shapes/
+        dtypes if no ``example_spec`` was given.
         """
+        if self._spec is None:
+            self._spec = _spec_of(example)
         for b in self._buckets:
             stacked = jax.tree_util.tree_map(
                 lambda leaf: np.stack([leaf] * b), example

@@ -240,3 +240,44 @@ def test_http_stats_route():
     finally:
         front.stop()
         server.stop()
+
+
+def test_http_spec_rejection_is_400_and_body_cap_is_413():
+    import urllib.error
+    import urllib.request
+
+    fn = jax.jit(lambda x: x * 2.0)
+    server = BatchingServer(
+        fn, max_batch=2, max_wait_ms=1.0,
+        example_spec=np.zeros((2,), np.float32),
+    )
+    front = HttpFrontend(server, port=0, max_body_mb=0.001).start()
+    try:
+        # oversized body -> 413
+        big = json.dumps({"inputs": [0.0] * 4096}).encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{front.port}/v1/infer", data=big, method="POST"
+        )
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(req, timeout=30)
+        assert e.value.code == 413
+        # wrong shape -> 400 (not a 500, and not a poisoned batch)
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{front.port}/v1/infer",
+            data=json.dumps({"inputs": [1.0, 2.0, 3.0]}).encode(),
+            method="POST",
+        )
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(req, timeout=30)
+        assert e.value.code == 400
+        # conforming request still served
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{front.port}/v1/infer",
+            data=json.dumps({"inputs": [1.0, 2.0]}).encode(),
+            method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=30) as resp:
+            assert json.loads(resp.read())["outputs"] == [2.0, 4.0]
+    finally:
+        front.stop()
+        server.stop()

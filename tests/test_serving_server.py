@@ -240,3 +240,39 @@ def test_warmup_compiles_every_bucket():
         np.testing.assert_allclose(np.asarray(out), np.full((3,), 4.0))
     finally:
         server.stop()
+
+
+def test_example_spec_rejects_malformed_requests():
+    """A bad request must fail at submit time -- never inside the device
+    batch it would share with good requests."""
+    fn = jax.jit(lambda x: x * 2.0)
+    server = BatchingServer(
+        fn, max_batch=4, max_wait_ms=1.0,
+        example_spec=np.zeros((3,), np.float32),
+    )
+    try:
+        with pytest.raises(ValueError, match="spec"):
+            server.submit(np.zeros((5,), np.float32))  # wrong shape
+        with pytest.raises(ValueError, match="spec"):
+            server.submit(np.zeros((3,), np.int32))  # wrong dtype
+        with pytest.raises(ValueError, match="structure"):
+            server.submit({"x": np.zeros((3,), np.float32)})
+        out = server(np.full((3,), 2.0, np.float32))  # conforming: fine
+        np.testing.assert_allclose(np.asarray(out), np.full((3,), 4.0))
+        assert server.stats()["errors"] == 0
+    finally:
+        server.stop()
+
+
+def test_warmup_fixes_spec_when_absent():
+    fn = jax.jit(lambda x: x + 1.0)
+    server = BatchingServer(fn, max_batch=2, max_wait_ms=1.0)
+    try:
+        server.warmup(np.zeros((2, 2), np.float32))
+        with pytest.raises(ValueError):
+            server.submit(np.zeros((3, 3), np.float32))
+        np.testing.assert_allclose(
+            np.asarray(server(np.zeros((2, 2), np.float32))), np.ones((2, 2))
+        )
+    finally:
+        server.stop()
