@@ -53,15 +53,27 @@ def synthetic_quadrants(n: int, hw, num_classes: int, seed: int = 0):
 
 
 def main(steps=30, batch_size=8, full_scale=False, mesh_shape=None,
-         checkpoint_dir=None, resume=False):
+         checkpoint_dir=None, resume=False, quant=None):
+    import dataclasses
+
+    from perceiverio_pytorch_tpu import DEFAULT
+
+    # --quant: quantization-aware training (int8 forward, exact STE
+    # backward) so the trained weights match an int8 deployment; speed is
+    # ~neutral (PERFORMANCE.md item 16 -- QAT is an accuracy workflow).
+    def _q(policy):
+        return (dataclasses.replace(policy, quant=f"int8_{quant}")
+                if quant else policy)
+
     if full_scale:
-        model = ClassificationPerceiver(policy=PERFORMANCE, remat=True)
+        model = ClassificationPerceiver(policy=_q(PERFORMANCE), remat=True)
         hw, num_classes = (224, 224), 1000
     else:
         model = ClassificationPerceiver(
             num_classes=4, img_size=(32, 32), num_latents=32,
             num_latent_channels=128, num_self_attends_per_block=2,
             num_blocks=1, prep_type=PrepType.FOURIER_POS_CONVNET,
+            policy=_q(DEFAULT),
         )
         hw, num_classes = (32, 32), 4
 
@@ -128,6 +140,10 @@ if __name__ == "__main__":
     parser.add_argument("--checkpoint-dir", default=None)
     parser.add_argument("--resume", action="store_true",
                         help="continue from the newest checkpoint in --checkpoint-dir")
+    parser.add_argument("--quant", nargs="?", const="dynamic", default=None,
+                        choices=["dynamic"],
+                        help="QAT: int8 forward + exact (STE) backward, so"
+                             " training matches an int8_dynamic deployment")
     from perceiverio_pytorch_tpu.utils.compilation_cache import (
         add_cache_arg,
         enable_cache_if_requested,
@@ -137,4 +153,5 @@ if __name__ == "__main__":
     args = parser.parse_args()
     enable_cache_if_requested(args)
     main(args.steps, args.batch_size, full_scale=args.full_scale,
-         mesh_shape=args.mesh, checkpoint_dir=args.checkpoint_dir, resume=args.resume)
+         mesh_shape=args.mesh, checkpoint_dir=args.checkpoint_dir,
+         resume=args.resume, quant=args.quant)

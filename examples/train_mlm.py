@@ -47,22 +47,35 @@ def synthetic_corpus(n: int, seq_len: int, vocab: int, seed: int = 0):
 
 def main(steps: int = 50, batch_size: int = 8, seq_len: int = None,
          mesh_shape=None, checkpoint_dir=None, steps_per_call: int = 1,
-         full_scale: bool = False, resume=False):
+         full_scale: bool = False, resume=False, quant=None):
+    import dataclasses
+
+    from perceiverio_pytorch_tpu import DEFAULT, PERFORMANCE
+
+    # --quant: quantization-aware training -- the forward runs the int8
+    # GEMMs the deployed model will run (dynamic scales; per-token), the
+    # backward stays exact (straight-through estimator).  Speed-neutral
+    # (PERFORMANCE.md item 16); this is an accuracy workflow for int8
+    # deployment, not a training-throughput lever.
     if full_scale:
         # Exact shipped config (language_perceiver.py: 2048 tokens, 26
         # layers, 256x1280 latents): 28.8 ms/step at batch 8 on one v5e
         # chip (PERFORMANCE.md).
-        from perceiverio_pytorch_tpu import PERFORMANCE
-
         if seq_len not in (None, 2048):
             print(f"--full-scale forces seq_len=2048 (requested {seq_len})")
         seq_len = 2048
-        model = LanguagePerceiver(policy=PERFORMANCE)
+        policy = PERFORMANCE
     else:
         seq_len = 256 if seq_len is None else seq_len
+        policy = DEFAULT
+    if quant:
+        policy = dataclasses.replace(policy, quant=f"int8_{quant}")
+    if full_scale:
+        model = LanguagePerceiver(policy=policy)
+    else:
         model = LanguagePerceiver(
             max_seq_len=seq_len, embed_dim=64, num_self_attends_per_block=4,
-            num_latents=64, num_latent_channels=256,
+            num_latents=64, num_latent_channels=256, policy=policy,
         )
     corrupted, targets, mlm_mask = synthetic_corpus(1024, seq_len, 262)
     eval_c, eval_t, eval_m = synthetic_corpus(2 * batch_size, seq_len, 262, seed=1)
@@ -136,6 +149,10 @@ if __name__ == "__main__":
     parser.add_argument("--steps-per-call", type=int, default=1)
     parser.add_argument("--full-scale", action="store_true",
                         help="exact shipped 2048-token config, bf16")
+    parser.add_argument("--quant", nargs="?", const="dynamic", default=None,
+                        choices=["dynamic"],
+                        help="QAT: int8 forward + exact (STE) backward, so"
+                             " training matches an int8_dynamic deployment")
     parser.add_argument("--resume", action="store_true",
                         help="continue from the newest checkpoint in --checkpoint-dir")
     from perceiverio_pytorch_tpu.utils.compilation_cache import (
@@ -149,4 +166,4 @@ if __name__ == "__main__":
     main(args.steps, args.batch_size, mesh_shape=args.mesh,
          checkpoint_dir=args.checkpoint_dir,
          steps_per_call=args.steps_per_call,
-         full_scale=args.full_scale, resume=args.resume)
+         full_scale=args.full_scale, resume=args.resume, quant=args.quant)
