@@ -525,9 +525,9 @@ if __name__ == "__main__":
     elif task == "serving":
         bench_serving(quant=args.quant)
     elif task == "all":
-        main()
-        bench_flow()
-        bench_mlm()
-        bench_multimodal()
+        main(quant=args.quant)
+        bench_flow(quant=args.quant)
+        bench_mlm(quant=args.quant)
+        bench_multimodal(quant=args.quant)
     else:
         main(quant=args.quant)

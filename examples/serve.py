@@ -37,13 +37,13 @@ from perceiverio_pytorch_tpu.utils.params import cast_variables_for_inference
 
 
 def build(out_dir: str, full_scale: bool, quant=None) -> None:
-    import dataclasses
+    from perceiverio_pytorch_tpu import PERFORMANCE_INT8, PERFORMANCE_INT8_STATIC
 
-    policy = (
-        dataclasses.replace(PERFORMANCE, quant=f"int8_{quant}")
-        if quant
-        else PERFORMANCE
-    )
+    policy = {
+        None: PERFORMANCE,
+        "dynamic": PERFORMANCE_INT8,
+        "static": PERFORMANCE_INT8_STATIC,
+    }[quant]
     if full_scale:
         model = ClassificationPerceiver(
             num_classes=1000, img_size=(224, 224),
@@ -136,8 +136,9 @@ def server_demo(out_dir: str, hw: int, clients: int = 24, max_batch: int = 8):
         pipeline=True,  # overlap next batch's transfer with current compute
     )
     # compile every bucket before timed traffic (one compile per padded
-    # shape -- expensive through the remote compile service)
-    server.warmup(jnp.zeros((3, hw, hw), jnp.float32))
+    # shape -- expensive through the remote compile service); these demo
+    # clients all send one shape/dtype, so also pin the request spec
+    server.warmup(jnp.zeros((3, hw, hw), jnp.float32), set_spec=True)
     rng = np.random.RandomState(0)
     lat = []
     lock = threading.Lock()
@@ -191,7 +192,7 @@ def http_demo(out_dir: str, hw: int, clients: int = 12, max_batch: int = 8):
         lambda x: call(x["image"]), max_batch=max_batch, max_wait_ms=3.0,
         pipeline=True,
     )
-    server.warmup({"image": jnp.zeros((3, hw, hw), jnp.float32)})
+    server.warmup({"image": jnp.zeros((3, hw, hw), jnp.float32)}, set_spec=True)
     front = HttpFrontend(server, port=0).start()
     rng = np.random.RandomState(0)
     ok = []

@@ -238,6 +238,12 @@ class HttpFrontend:
                 except ValueError as e:
                     self._reply(400, {"error": str(e)})
                     return
+                except RuntimeError as e:
+                    # BatchingServer stopped (lifecycles are separate --
+                    # the server may be shared): tell the client the
+                    # backend is gone instead of dropping the connection
+                    self._reply(503, {"error": str(e)})
+                    return
                 try:
                     # blocks THIS handler thread; concurrent requests pile
                     # into the BatchingServer queue and share a device batch

@@ -98,8 +98,10 @@ class BatchingServer:
         structure/shapes/dtypes.  With a spec, a malformed example is
         rejected at ``submit`` time with ValueError instead of poisoning
         the whole device batch it would share (one bad request would
-        fail every coalesced neighbour's future).  ``warmup`` sets the
-        spec from its example if none was given.
+        fail every coalesced neighbour's future) -- note a batch mixing
+        dtypes is silently upcast by the stacking, so with heterogeneous
+        clients a spec (or per-dtype servers) is strongly advised.
+        ``warmup(example, set_spec=True)`` can set it from an example.
     """
 
     def __init__(
@@ -156,7 +158,7 @@ class BatchingServer:
         """Blocking convenience wrapper around submit()."""
         return self.submit(example).result()
 
-    def warmup(self, example: Any) -> None:
+    def warmup(self, example: Any, set_spec: bool = False) -> None:
         """Compile every bucket shape before taking traffic.
 
         Each padded batch shape is one XLA compile (expensive through a
@@ -164,11 +166,17 @@ class BatchingServer:
         startup so no client request ever pays a compile.  Calls ``fn``
         directly from this thread (jitted callables are thread-safe) and
         fetches, so when this returns every bucket is compiled and the
-        device is idle.  Does not touch the stats counters.  Also fixes
-        the accepted request spec to this example's structure/shapes/
-        dtypes if no ``example_spec`` was given.
+        device is idle.  Does not touch the stats counters.
+
+        ``set_spec=True`` additionally fixes the accepted request spec to
+        this example's structure/shapes/dtypes (if no ``example_spec``
+        was given).  Off by default: a server may legitimately accept
+        several request dtypes (e.g. uint8 pixel payloads next to fp32 --
+        jit compiles each variant), and pinning the warmup example's
+        dtype would 400 the others.  Only opt in when all clients send
+        exactly one shape/dtype.
         """
-        if self._spec is None:
+        if set_spec and self._spec is None:
             self._spec = _spec_of(example)
         for b in self._buckets:
             stacked = jax.tree_util.tree_map(

@@ -281,3 +281,24 @@ def test_http_spec_rejection_is_400_and_body_cap_is_413():
     finally:
         front.stop()
         server.stop()
+
+
+def test_http_stopped_server_returns_503():
+    import urllib.error
+    import urllib.request
+
+    fn = jax.jit(lambda x: x)
+    server = BatchingServer(fn, max_batch=2, max_wait_ms=1.0)
+    front = HttpFrontend(server, port=0).start()
+    try:
+        server.stop()  # lifecycles are separate; the frontend stays up
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{front.port}/v1/infer",
+            data=json.dumps({"inputs": [1.0]}).encode(),
+            method="POST",
+        )
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(req, timeout=30)
+        assert e.value.code == 503
+    finally:
+        front.stop()

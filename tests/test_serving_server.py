@@ -264,11 +264,18 @@ def test_example_spec_rejects_malformed_requests():
         server.stop()
 
 
-def test_warmup_fixes_spec_when_absent():
+def test_warmup_spec_is_opt_in():
     fn = jax.jit(lambda x: x + 1.0)
     server = BatchingServer(fn, max_batch=2, max_wait_ms=1.0)
     try:
+        # default warmup leaves the server dtype/shape-polymorphic (a
+        # server may serve uint8 AND fp32 clients; jit handles each)
         server.warmup(np.zeros((2, 2), np.float32))
+        np.testing.assert_allclose(
+            np.asarray(server(np.zeros((3, 3), np.float32))),
+            np.ones((3, 3)),
+        )
+        server.warmup(np.zeros((2, 2), np.float32), set_spec=True)
         with pytest.raises(ValueError):
             server.submit(np.zeros((3, 3), np.float32))
         np.testing.assert_allclose(
