@@ -17,6 +17,23 @@ Protocol:
                                                 batch occupancy, request
                                                 latency percentiles)
 
+Multi-model routing: pass ``{"name": BatchingServer, ...}`` instead of a
+single server and each model gets its own route (its own buckets, its own
+compiles, one shared chip):
+
+    POST /v1/models/<name>/infer            ->  that model's outputs
+    GET  /v1/models                         ->  {"models": [...], "default": ...}
+    GET  /v1/models/<name>/stats            ->  that model's stats
+    GET  /stats                             ->  {"<name>": stats, ...}
+
+``/v1/infer`` keeps working when a ``default_model`` is named (or there is
+only one model).
+
+Request deadlines: a ``timeout_ms`` field next to ``inputs`` (JSON) or an
+``X-Timeout-Ms`` header (either content type) sets a server-side deadline;
+a request still queued past it is shed (never burns device time) and the
+client gets **504**.
+
 Pytree convention (JSON): objects are structure, arrays are array leaves
 (one example, NO batch dim; the server adds and strips it).  Numeric
 leaves land as float32/int32/bool — the TPU-native dtypes.
@@ -147,7 +164,12 @@ class HttpFrontend:
 
     Args:
       server: the BatchingServer (or any object with ``submit(example) ->
-        Future``) handling the device side.
+        Future``) handling the device side — or a ``{"name": server}``
+        mapping to serve several models from one port (each under
+        ``/v1/models/<name>/infer``).
+      default_model: with a mapping, the model ``/v1/infer`` routes to.
+        Defaults to the sole model when there is exactly one; with several
+        and no default, ``/v1/infer`` returns 404 listing the models.
       host/port: bind address; ``port=0`` picks a free port (read it back
         from ``.port`` — the pattern tests use).
       decode/encode: override the JSON<->pytree codecs (e.g. to accept a
@@ -157,14 +179,31 @@ class HttpFrontend:
 
     def __init__(
         self,
-        server: BatchingServer,
+        server: Any,
         host: str = "127.0.0.1",
         port: int = 0,
         decode: Optional[Callable[[Any], Any]] = None,
         encode: Optional[Callable[[Any], Any]] = None,
         max_body_mb: float = 64.0,
+        default_model: Optional[str] = None,
     ):
-        self._server = server
+        if isinstance(server, dict):
+            if not server:
+                raise ValueError("the model mapping is empty")
+            self._models = dict(server)
+            self._single = False
+            if default_model is None and len(self._models) == 1:
+                default_model = next(iter(self._models))
+            if default_model is not None and default_model not in self._models:
+                raise ValueError(
+                    f"default_model {default_model!r} is not one of"
+                    f" {sorted(self._models)}"
+                )
+            self._default = default_model
+        else:
+            self._models = {"__default": server}
+            self._single = True
+            self._default = "__default"
         self._decode = decode or decode_inputs
         self._encode = encode or encode_outputs
         self._max_body = int(max_body_mb * 1e6)
@@ -191,17 +230,28 @@ class HttpFrontend:
                 if self.path == "/healthz":
                     self._reply(200, {"status": "ok"})
                 elif self.path == "/stats":
-                    stats_fn = getattr(frontend._server, "stats", None)
-                    if stats_fn is None:
-                        self._reply(404, {"error": "server exposes no stats"})
+                    self._reply(*frontend._stats_reply())
+                elif self.path == "/v1/models":
+                    payload = {"models": sorted(frontend._models)}
+                    if not frontend._single:
+                        payload["default"] = frontend._default
+                    self._reply(200, payload)
+                elif (self.path.startswith("/v1/models/")
+                      and self.path.endswith("/stats")):
+                    name = self.path[len("/v1/models/"):-len("/stats")]
+                    srv = frontend._models.get(name)
+                    if srv is None:
+                        self._reply(404, {"error": f"no model {name!r}",
+                                          "models": sorted(frontend._models)})
                     else:
-                        self._reply(200, stats_fn())
+                        self._reply(*frontend._one_stats_reply(srv))
                 else:
                     self._reply(404, {"error": f"no route {self.path}"})
 
             def do_POST(self):
-                if self.path != "/v1/infer":
-                    self._reply(404, {"error": f"no route {self.path}"})
+                server, err = frontend._model_for_path(self.path)
+                if server is None:
+                    self._reply(*err)
                     return
                 ctype = self.headers.get("Content-Type", "")
                 binary = ctype.startswith("application/octet-stream")
@@ -216,10 +266,20 @@ class HttpFrontend:
                         })
                         return
                     body = self.rfile.read(length)
+                    timeout_ms = self.headers.get("X-Timeout-Ms")
                     if binary:
                         example = decode_npz(body)
                     else:
-                        example = frontend._decode(json.loads(body)["inputs"])
+                        obj = json.loads(body)
+                        example = frontend._decode(obj["inputs"])
+                        if isinstance(obj, dict):
+                            timeout_ms = obj.get("timeout_ms", timeout_ms)
+                    if timeout_ms is not None:
+                        timeout_ms = float(timeout_ms)
+                        if timeout_ms <= 0:
+                            raise ValueError(
+                                f"timeout_ms must be positive; got {timeout_ms}"
+                            )
                 except (
                     KeyError,          # missing "inputs"
                     TypeError,         # valid JSON that isn't an object
@@ -234,7 +294,10 @@ class HttpFrontend:
                     # submit is synchronous: an example_spec rejection
                     # raises HERE (the request's fault -> 400), before the
                     # example could poison a shared device batch
-                    fut = frontend._server.submit(example)
+                    if timeout_ms is None:
+                        fut = server.submit(example)
+                    else:
+                        fut = server.submit(example, timeout=timeout_ms / 1e3)
                 except ValueError as e:
                     self._reply(400, {"error": str(e)})
                     return
@@ -254,11 +317,49 @@ class HttpFrontend:
                         )
                     else:
                         self._reply(200, {"outputs": frontend._encode(row)})
+                except TimeoutError as e:  # deadline shed by the server
+                    self._reply(504, {"error": str(e)})
                 except Exception as e:  # model/shape errors -> 500
                     self._reply(500, {"error": str(e)})
 
         self._httpd = ThreadingHTTPServer((host, port), _Handler)
         self._thread: Optional[threading.Thread] = None
+
+    # -- routing -------------------------------------------------------------
+
+    def _model_for_path(self, path: str):
+        """POST path -> (server, None) or (None, (status, payload))."""
+        if path == "/v1/infer":
+            if self._default is None:
+                return None, (404, {
+                    "error": "no default model; POST"
+                             " /v1/models/<name>/infer",
+                    "models": sorted(self._models),
+                })
+            return self._models[self._default], None
+        if path.startswith("/v1/models/") and path.endswith("/infer"):
+            name = path[len("/v1/models/"):-len("/infer")]
+            server = self._models.get(name)
+            if server is None:
+                return None, (404, {"error": f"no model {name!r}",
+                                    "models": sorted(self._models)})
+            return server, None
+        return None, (404, {"error": f"no route {path}"})
+
+    def _one_stats_reply(self, server):
+        stats_fn = getattr(server, "stats", None)
+        if stats_fn is None:
+            return 404, {"error": "server exposes no stats"}
+        return 200, stats_fn()
+
+    def _stats_reply(self):
+        if self._single:
+            return self._one_stats_reply(self._models["__default"])
+        out = {}
+        for name, server in self._models.items():
+            code, payload = self._one_stats_reply(server)
+            out[name] = payload if code == 200 else None
+        return 200, out
 
     @property
     def port(self) -> int:

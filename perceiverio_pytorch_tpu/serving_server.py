@@ -133,6 +133,7 @@ class BatchingServer:
         self._counters = {
             "requests_served": 0, "batches_dispatched": 0,
             "examples_dispatched": 0, "rows_padded": 0, "errors": 0,
+            "requests_expired": 0,
         }
         self._bucket_counts = {b: 0 for b in self._buckets}
         self._latencies: "collections.deque" = collections.deque(maxlen=512)
@@ -143,15 +144,30 @@ class BatchingServer:
 
     # -- client side -------------------------------------------------------
 
-    def submit(self, example: Any) -> Future:
+    def submit(self, example: Any, timeout: Optional[float] = None) -> Future:
         """Enqueue one example (a pytree WITHOUT batch dim); returns a
-        Future resolving to that example's output row (batch dim removed)."""
+        Future resolving to that example's output row (batch dim removed).
+
+        ``timeout`` (seconds) sets a request deadline: if the worker has
+        not DISPATCHED the example to the device by then, the future fails
+        with TimeoutError and the example is shed — it never occupies a
+        device batch.  This is server-side load shedding: under overload
+        the queue backlog grows, and without deadlines every late request
+        still burns device time computing an answer its client already
+        abandoned.  (A client-side ``fut.result(timeout=...)`` only stops
+        the *wait*, not the work.)  Once dispatch has started the request
+        completes normally — device work is never cancelled mid-batch.
+        """
         if self._stopped.is_set():
             raise RuntimeError("BatchingServer is stopped")
+        if timeout is not None and timeout <= 0:
+            raise ValueError(f"timeout must be positive; got {timeout}")
         if self._spec is not None:
             _check_spec(self._spec, example)
         fut: Future = Future()
-        self._queue.put((example, fut, time.perf_counter()))
+        now = time.perf_counter()
+        deadline = None if timeout is None else now + timeout
+        self._queue.put((example, fut, now, deadline))
         return fut
 
     def __call__(self, example: Any) -> Any:
@@ -198,7 +214,9 @@ class BatchingServer:
                 break
             if item is None:
                 continue
-            example, fut, t0 = item
+            if self._shed_if_expired(item):
+                continue
+            example, fut, t0, deadline = item
             if drain:
                 try:
                     row = self._call_batch([example])[0]
@@ -206,7 +224,7 @@ class BatchingServer:
                     self._count_error()
                     fut.set_exception(e)
                 else:
-                    self._resolve([(example, fut, t0)], [row])
+                    self._resolve([item], [row])
             else:
                 fut.set_exception(RuntimeError("BatchingServer stopped"))
 
@@ -214,7 +232,8 @@ class BatchingServer:
         """Snapshot of serving counters (thread-safe, cheap).
 
         Keys: requests_served, batches_dispatched, examples_dispatched,
-        rows_padded, errors, queue_depth, per-bucket dispatch counts,
+        rows_padded, errors, requests_expired (deadline shedding),
+        queue_depth, per-bucket dispatch counts,
         mean_batch_occupancy (examples / padded rows actually computed),
         and request latency percentiles over the last 512 requests
         (submit -> result, i.e. including queueing and batching waits).
@@ -244,14 +263,30 @@ class BatchingServer:
         with self._stats_lock:
             self._counters["errors"] += 1
 
+    def _shed_if_expired(self, item) -> bool:
+        """If the item's deadline has passed, fail its future with
+        TimeoutError (shedding the device work) and return True."""
+        _, fut, t0, deadline = item
+        if deadline is None or time.perf_counter() <= deadline:
+            return False
+        with self._stats_lock:
+            self._counters["requests_expired"] += 1
+        fut.set_exception(
+            TimeoutError(
+                f"request expired in queue after"
+                f" {time.perf_counter() - t0:.3f}s (server overloaded?)"
+            )
+        )
+        return True
+
     def _resolve(self, group, rows) -> None:
         """Record latencies and hand each request its output row."""
         now = time.perf_counter()
         with self._stats_lock:
             self._counters["requests_served"] += len(group)
-            for _, _, t0 in group:
+            for _, _, t0, _ in group:
                 self._latencies.append(now - t0)
-        for (_, fut, _), row in zip(group, rows):
+        for (_, fut, _, _), row in zip(group, rows):
             fut.set_result(row)
 
     # -- worker side -------------------------------------------------------
@@ -303,21 +338,23 @@ class BatchingServer:
                 rows = self._finish(out, len(group))
             except BaseException as e:
                 self._count_error()
-                for _, fut, _ in group:
+                for _, fut, _, _ in group:
                     fut.set_exception(e)
                 return
             self._resolve(group, rows)
 
         def handle(group) -> None:
             nonlocal pending
+            if not group:
+                return
             if not self._pipeline:
                 self._serve_group(group)
                 return
             try:
-                out = self._dispatch([ex for ex, _, _ in group])
+                out = self._dispatch([ex for ex, _, _, _ in group])
             except BaseException as e:
                 self._count_error()
-                for _, fut, _ in group:
+                for _, fut, _, _ in group:
                     fut.set_exception(e)
                 out = None
             # resolve the PREVIOUS batch while this one computes: its
@@ -343,6 +380,8 @@ class BatchingServer:
                     settle(pending)
                     return
                 continue
+            if self._shed_if_expired(item):
+                continue
             group = [item]
             t_end = time.perf_counter() + max(self._max_wait, 0.0)
             while len(group) < self._max_batch:
@@ -361,6 +400,8 @@ class BatchingServer:
                         settle(pending)
                         return
                     continue
+                if self._shed_if_expired(nxt):
+                    continue
                 group.append(nxt)
             handle(group)
             if self._stopped.is_set() and self._queue.empty():
@@ -368,12 +409,12 @@ class BatchingServer:
                 return
 
     def _serve_group(self, group) -> None:
-        examples = [ex for ex, _, _ in group]
+        examples = [ex for ex, _, _, _ in group]
         try:
             rows = self._call_batch(examples)
         except BaseException as e:
             self._count_error()
-            for _, fut, _ in group:
+            for _, fut, _, _ in group:
                 fut.set_exception(e)
             return
         self._resolve(group, rows)

@@ -2,6 +2,7 @@
 
 import json
 import threading
+import time
 import urllib.error
 import urllib.request
 
@@ -302,3 +303,118 @@ def test_http_stopped_server_returns_503():
         assert e.value.code == 503
     finally:
         front.stop()
+
+
+def test_http_multi_model_routing():
+    """One frontend, several models: per-model routes, default routing,
+    per-model and aggregate stats, 404 with the model list on a miss."""
+    add = BatchingServer(jax.jit(lambda x: x + 1.0), max_batch=2, max_wait_ms=1.0)
+    mul = BatchingServer(jax.jit(lambda x: x * 10.0), max_batch=2, max_wait_ms=1.0)
+    front = HttpFrontend({"add": add, "mul": mul}, port=0,
+                         default_model="add").start()
+    try:
+        port = front.port
+        st, out = _post(port, {"inputs": [1.0, 2.0]}, path="/v1/models/mul/infer")
+        assert st == 200 and out["outputs"] == [10.0, 20.0]
+        st, out = _post(port, {"inputs": [1.0, 2.0]})  # default -> add
+        assert st == 200 and out["outputs"] == [2.0, 3.0]
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(port, {"inputs": [1.0]}, path="/v1/models/nope/infer")
+        assert e.value.code == 404
+        assert json.loads(e.value.read())["models"] == ["add", "mul"]
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/v1/models", timeout=30
+        ) as resp:
+            listing = json.loads(resp.read())
+        assert listing == {"models": ["add", "mul"], "default": "add"}
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/stats", timeout=30
+        ) as resp:
+            stats = json.loads(resp.read())
+        assert stats["add"]["requests_served"] == 1
+        assert stats["mul"]["requests_served"] == 1
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/v1/models/mul/stats", timeout=30
+        ) as resp:
+            assert json.loads(resp.read())["requests_served"] == 1
+    finally:
+        front.stop()
+        add.stop()
+        mul.stop()
+
+
+def test_http_multi_model_no_default_404s_plain_infer():
+    add = BatchingServer(jax.jit(lambda x: x + 1.0), max_batch=2, max_wait_ms=1.0)
+    mul = BatchingServer(jax.jit(lambda x: x * 10.0), max_batch=2, max_wait_ms=1.0)
+    front = HttpFrontend({"add": add, "mul": mul}, port=0).start()
+    try:
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(front.port, {"inputs": [1.0]})
+        assert e.value.code == 404
+        assert "no default model" in json.loads(e.value.read())["error"]
+    finally:
+        front.stop()
+        add.stop()
+        mul.stop()
+    # a single-entry mapping routes /v1/infer without naming a default
+    solo = BatchingServer(jax.jit(lambda x: x - 1.0), max_batch=2, max_wait_ms=1.0)
+    front = HttpFrontend({"solo": solo}, port=0).start()
+    try:
+        st, out = _post(front.port, {"inputs": [1.0, 2.0]})
+        assert st == 200 and out["outputs"] == [0.0, 1.0]
+    finally:
+        front.stop()
+        solo.stop()
+    with pytest.raises(ValueError, match="default_model"):
+        HttpFrontend({"a": solo}, default_model="b")
+    with pytest.raises(ValueError, match="empty"):
+        HttpFrontend({})
+
+
+def test_http_request_deadline_returns_504():
+    """timeout_ms in the body (or X-Timeout-Ms header) sets a server-side
+    deadline; a request shed in the queue comes back as 504."""
+    import threading
+
+    release = threading.Event()
+
+    def fn(x):
+        release.wait(10)
+        return x + 1
+
+    server = BatchingServer(fn, max_batch=1, max_wait_ms=0.0)
+    front = HttpFrontend(server, port=0).start()
+    try:
+        port = front.port
+        # occupy the device worker, then let a short-deadline request expire
+        blocker = server.submit(np.zeros((1,), np.float32))
+        time.sleep(0.05)
+        results = {}
+
+        def doomed_client():
+            try:
+                results["st"] = _post(
+                    port, {"inputs": [0.0], "timeout_ms": 20})[0]
+            except urllib.error.HTTPError as e:
+                results["st"] = e.code
+                results["body"] = json.loads(e.read())
+
+        t = threading.Thread(target=doomed_client)
+        t.start()
+        time.sleep(0.2)  # deadline passes while the worker is held
+        release.set()
+        t.join(timeout=30)
+        blocker.result(timeout=10)
+        assert results["st"] == 504
+        assert "expired" in results["body"]["error"]
+        # sanity: a fresh request with an ample deadline succeeds
+        st, out = _post(port, {"inputs": [1.0], "timeout_ms": 30000})
+        assert st == 200 and out["outputs"] == [2.0]
+        # malformed timeout -> 400
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(port, {"inputs": [1.0], "timeout_ms": -5})
+        assert e.value.code == 400
+    finally:
+        release.set()
+        front.stop()
+        server.stop()

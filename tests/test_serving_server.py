@@ -326,3 +326,50 @@ def test_batching_server_over_device_mesh():
         server.stop()
     want = np.asarray(ref_fn(variables, jnp.asarray(np.stack(examples))))
     np.testing.assert_allclose(np.stack(rows), want, rtol=1e-5, atol=1e-6)
+
+
+def test_deadline_sheds_expired_requests():
+    """A request whose deadline passes while queued fails with TimeoutError
+    and is never dispatched -- under overload, abandoned requests must not
+    burn device time (reference has no serving story; this is the TPU-side
+    load-shedding contract)."""
+    release = threading.Event()
+    calls = []
+
+    def fn(x):
+        calls.append(x.shape[0])
+        release.wait(10)
+        return x + 1
+
+    server = BatchingServer(fn, max_batch=4, max_wait_ms=0.0)
+    try:
+        blocker = server.submit(np.zeros((2,), np.float32))
+        time.sleep(0.05)  # let the worker enter fn and hold it there
+        doomed = server.submit(np.zeros((2,), np.float32), timeout=0.01)
+        time.sleep(0.05)  # deadline passes while the worker is busy
+        release.set()
+        np.testing.assert_allclose(np.asarray(blocker.result(timeout=10)), 1.0)
+        with pytest.raises(TimeoutError, match="expired"):
+            doomed.result(timeout=10)
+        # a fresh request after the stall still serves normally
+        fresh = server.submit(np.zeros((2,), np.float32))
+        np.testing.assert_allclose(np.asarray(fresh.result(timeout=10)), 1.0)
+        assert server.stats()["requests_expired"] == 1
+        # the doomed request never occupied a device batch
+        assert len(calls) == 2
+    finally:
+        release.set()
+        server.stop()
+
+
+def test_deadline_unexpired_and_validation():
+    fn = jax.jit(lambda x: x * 2.0)
+    server = BatchingServer(fn, max_batch=4, max_wait_ms=1.0)
+    try:
+        fut = server.submit(np.ones((3,), np.float32), timeout=30.0)
+        np.testing.assert_allclose(np.asarray(fut.result(timeout=10)), 2.0)
+        assert server.stats()["requests_expired"] == 0
+        with pytest.raises(ValueError, match="timeout must be positive"):
+            server.submit(np.ones((3,), np.float32), timeout=0)
+    finally:
+        server.stop()
