@@ -242,6 +242,107 @@ def http_demo(out_dir: str, hw: int, clients: int = 12, max_batch: int = 8):
     print(f"http GET /stats: {stats}")
 
 
+def multi_demo(out_dir: str, hw: int):
+    """Several models from one port: the exported classifier plus a tiny
+    byte-MLM, each behind its own BatchingServer (own buckets, own
+    compiles), routed by name — and a live request-deadline shed (504)."""
+    import json
+    import threading
+    import urllib.error
+    import urllib.request
+
+    from perceiverio_pytorch_tpu import BatchingServer, HttpFrontend
+    from perceiverio_pytorch_tpu.models import LanguagePerceiver
+
+    with open(os.path.join(out_dir, "model.stablehlo"), "rb") as f:
+        fn = load_exported(f.read())
+    variables = restore_variables(os.path.join(out_dir, "weights"))
+    cls_call = jax.jit(lambda x: fn(variables, x))
+
+    mlm = LanguagePerceiver(
+        vocab_size=262, max_seq_len=64, embed_dim=16,
+        num_latents=8, num_latent_channels=32,
+        num_self_attends_per_block=1, num_blocks=1,
+    )
+    tok = jnp.zeros((1, 64), jnp.int32)
+    msk = jnp.ones((1, 64), bool)
+    mlm_vars = jax.jit(mlm.init)(jax.random.PRNGKey(1), tok, msk)
+    mlm_call = jax.jit(lambda b: mlm.apply(mlm_vars, b["tokens"], b["mask"]))
+
+    cls_server = BatchingServer(cls_call, max_batch=2, batch_sizes=(1, 2))
+    mlm_server = BatchingServer(mlm_call, max_batch=2, batch_sizes=(1, 2))
+    cls_server.warmup(np.zeros((3, hw, hw), np.float32))
+    mlm_server.warmup({"tokens": np.zeros((64,), np.int32),
+                       "mask": np.ones((64,), bool)})
+    front = HttpFrontend(
+        {"imagenet": cls_server, "mlm": mlm_server},
+        default_model="imagenet", port=0,
+    ).start()
+
+    def post(payload, path="/v1/infer", port=None):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port or front.port}{path}",
+            data=json.dumps(payload).encode(), method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=300) as r:
+            return np.asarray(json.loads(r.read())["outputs"])
+
+    try:
+        img = np.zeros((3, hw, hw), np.float32).tolist()
+        assert post({"inputs": img}, "/v1/models/imagenet/infer").ndim == 1
+        assert post({"inputs": img}).ndim == 1  # default route
+        out = post(
+            {"inputs": {"tokens": np.zeros((64,), np.int32).tolist(),
+                        "mask": np.ones((64,), bool).tolist()}},
+            "/v1/models/mlm/infer",
+        )
+        assert out.shape == (64, 262)
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{front.port}/v1/models", timeout=30
+        ) as r:
+            print(f"multi: GET /v1/models -> {json.loads(r.read())}")
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{front.port}/stats", timeout=30
+        ) as r:
+            stats = json.loads(r.read())
+        served = {n: s["requests_served"] for n, s in stats.items()}
+        print(f"multi: per-model requests_served = {served}")
+    finally:
+        front.stop()
+        cls_server.stop()
+        mlm_server.stop()
+
+    # request deadline: hold a 1-deep server busy, let a 30 ms-deadline
+    # request expire in the queue -> server sheds it, client sees 504
+    release = threading.Event()
+    slow = BatchingServer(lambda x: (release.wait(10), x + 1)[1],
+                          max_batch=1, max_wait_ms=0.0)
+    front2 = HttpFrontend(slow, port=0).start()
+    blocker = slow.submit(np.zeros((1,), np.float32))
+    time.sleep(0.1)
+    status = {}
+
+    def doomed():
+        try:
+            post({"inputs": [0.0], "timeout_ms": 30}, port=front2.port)
+            status["code"] = 200
+        except urllib.error.HTTPError as e:
+            status["code"] = e.code
+
+    t = threading.Thread(target=doomed)
+    t.start()
+    time.sleep(0.3)
+    release.set()
+    t.join(30)
+    blocker.result(10)
+    front2.stop()
+    expired = slow.stats()["requests_expired"]
+    slow.stop()
+    assert status["code"] == 504 and expired == 1, (status, expired)
+    print("multi: 30 ms-deadline request shed server-side -> HTTP 504"
+          f" (requests_expired={expired})")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="/tmp/perceiver_serve")
@@ -252,6 +353,8 @@ def main():
                     help="also demo the micro-batching BatchingServer")
     ap.add_argument("--http", action="store_true",
                     help="also demo the HTTP front-end (JSON protocol)")
+    ap.add_argument("--multi", action="store_true",
+                    help="also demo multi-model routing + request deadlines")
     ap.add_argument("--quant", nargs="?", const="dynamic", default=None,
                     choices=["dynamic", "static"],
                     help="export with int8 projections (bare --quant = "
@@ -278,6 +381,8 @@ def main():
         server_demo(args.out, hw=224 if args.full_scale else 32)
     if args.http:
         http_demo(args.out, hw=224 if args.full_scale else 32)
+    if args.multi:
+        multi_demo(args.out, hw=224 if args.full_scale else 32)
 
 
 if __name__ == "__main__":
