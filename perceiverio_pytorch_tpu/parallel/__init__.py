@@ -18,6 +18,14 @@ from perceiverio_pytorch_tpu.parallel.api import (  # noqa: F401
 from perceiverio_pytorch_tpu.parallel.sequence_parallel import (  # noqa: F401
     sequence_parallel_attention,
 )
+from perceiverio_pytorch_tpu.parallel.pipeline import (  # noqa: F401
+    PIPE_AXIS,
+    make_pipeline_mesh,
+    pipeline_spmd,
+    pipelined_self_attends,
+    stack_layer_params,
+    unstack_layer_params,
+)
 from perceiverio_pytorch_tpu.parallel.multihost import (  # noqa: F401
     initialize_distributed,
     is_multihost,

@@ -1,0 +1,254 @@
+"""GPipe-style pipeline parallelism over the latent self-attention stack.
+
+The reference is strictly single-device (SURVEY.md 2.3: no DP/TP/PP of any
+kind).  DP and TP live in parallel/{sharding,api}; SP in sequence_parallel.
+This module adds the remaining classic axis: PIPELINE parallelism, sharding
+the *depth* of the latent stack across devices.
+
+The natural Perceiver target is a deep non-weight-shared stack -- flow ships
+24 distinct self-attention layers in one block
+(/root/reference/perceiver_io/flow_perceiver.py:34-42: num_blocks=1,
+num_self_attends_per_block=24).  With ``n`` pipeline stages each device
+holds ``24/n`` layers' params (and optimizer state, under a pp-sharded
+train step), and microbatches stream through the stages over ICI.
+
+TPU-native formulation (the "How to Scale Your Model" recipe): one SPMD
+program under ``shard_map`` over a ``pipe`` mesh axis.  Per-stage params are
+stacked on a leading [n_stages] axis and sharded over that axis; activations
+rotate stage-to-stage with a single ``lax.ppermute`` per step inside a
+``lax.scan`` over ``num_microbatches + n_stages - 1`` ticks (the GPipe
+schedule; the ``n_stages - 1`` warm-up/drain ticks are the pipeline bubble).
+Every device runs the identical program -- no data-dependent control flow,
+so XLA compiles one fused step body.
+
+Communication per tick is one [microbatch, N_latents, D] hop over ICI;
+params never move.  The latent array is the Perceiver's SMALL axis (<= 2048
+tokens), so streaming latents while pinning the depth-sharded weights is
+exactly the right bandwidth trade on TPU.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+PIPE_AXIS = "pipe"
+
+
+def make_pipeline_mesh(n_stages: int, *, data: int = 1,
+                       devices=None) -> Mesh:
+    """A (data, pipe) mesh using ``data * n_stages`` devices."""
+    devices = list(devices if devices is not None else jax.devices())
+    need = data * n_stages
+    if need > len(devices):
+        raise ValueError(
+            f"pipeline mesh needs {need} devices, have {len(devices)}"
+        )
+    arr = np.asarray(devices[:need]).reshape(data, n_stages)
+    return Mesh(arr, ("data", PIPE_AXIS))
+
+
+def stack_layer_params(layer_params: dict, n_stages: int):
+    """Stack per-layer param subtrees into a pipeline-shardable pytree.
+
+    Args:
+      layer_params: ``{"0": subtree, "1": subtree, ...}`` -- the children of
+        the encoder's ``self_attends`` collection (one identical-structure
+        subtree per distinct self-attention layer, core/perceiver.py:100-113).
+      n_stages: number of pipeline stages; must divide the layer count.
+
+    Returns:
+      A pytree with leaves of shape [n_stages, layers_per_stage, ...]; dim 0
+      is sharded over the ``pipe`` mesh axis, dim 1 is scanned locally by
+      the stage body.
+    """
+    names = sorted(layer_params, key=int)
+    n_layers = len(names)
+    if n_layers % n_stages:
+        raise ValueError(
+            f"{n_layers} layers do not divide into {n_stages} stages"
+        )
+    per = n_layers // n_stages
+    stacked = jax.tree.map(
+        lambda *leaves: jnp.stack(leaves), *[layer_params[n] for n in names]
+    )
+    return jax.tree.map(
+        lambda a: a.reshape(n_stages, per, *a.shape[1:]), stacked
+    )
+
+
+def unstack_layer_params(stacked, layer_names=None) -> dict:
+    """Inverse of stack_layer_params: [n_stages, per, ...] -> per-layer dict.
+
+    Used to map pipeline-layout gradients/updated params back onto the
+    model's original ``self_attends`` tree (e.g. to checkpoint in the
+    portable layout).
+    """
+    leaves = jax.tree.leaves(stacked)
+    n_layers = leaves[0].shape[0] * leaves[0].shape[1]
+    names = layer_names or [str(i) for i in range(n_layers)]
+    flat = jax.tree.map(
+        lambda a: a.reshape(n_layers, *a.shape[2:]), stacked
+    )
+    return {
+        name: jax.tree.map(lambda a, i=i: a[i], flat)
+        for i, name in enumerate(names)
+    }
+
+
+def _stage_scan_fn(layer_apply: Callable[[Any, jnp.ndarray], jnp.ndarray]):
+    """Stage body: fold the device's [layers_per_stage, ...] params over x."""
+
+    def stage_fn(local_params, x):
+        def body(h, p):
+            return layer_apply(p, h), None
+
+        y, _ = jax.lax.scan(body, x, local_params)
+        return y
+
+    return stage_fn
+
+
+def pipeline_spmd(
+    stage_fn: Callable[[Any, jnp.ndarray], jnp.ndarray],
+    stage_params,
+    x: jnp.ndarray,
+    mesh: Mesh,
+    *,
+    num_microbatches: int,
+    axis_name: str = PIPE_AXIS,
+    batch_axis: Optional[str] = "data",
+    num_blocks: int = 1,
+) -> jnp.ndarray:
+    """Run ``x`` through a depth-sharded stack with the GPipe schedule.
+
+    Args:
+      stage_fn: ``(local_stage_params, x_mb) -> y_mb``; applied by every
+        device to its own stage slice.  Must preserve shape/dtype (residual
+        stacks do).
+      stage_params: pytree with leading [n_stages] axis on every leaf
+        (see stack_layer_params), sharded over ``axis_name``.
+      x: [B, ...] activations; B must divide into ``num_microbatches``.
+      mesh: mesh containing ``axis_name`` (and optionally ``batch_axis``).
+      batch_axis: mesh axis to keep the microbatch's own batch dim sharded
+        over (data parallelism composing with the pipeline); None replicates.
+      num_blocks: weight-shared repetitions of the WHOLE stack
+        (PerceiverEncoder num_blocks): the full pipeline pass is re-entered
+        with shared weights, matching the reference's block loop
+        (perceiver.py:104-106).
+
+    Returns:
+      [B, ...] outputs, microbatch order preserved.
+
+    Differentiable: the schedule is scan + ppermute + masked updates, all
+    with exact AD rules, so this drops into a pp-sharded train step as-is.
+    Dropout is not threaded through stages -- run deterministic stacks (all
+    shipped configs use dropout 0.0).
+    """
+    n_stages = mesh.shape[axis_name]
+    b = x.shape[0]
+    if b % num_microbatches:
+        raise ValueError(
+            f"batch {b} does not divide into {num_microbatches} microbatches"
+        )
+    mb = b // num_microbatches
+    if batch_axis is not None and (
+        batch_axis not in mesh.shape or mb % mesh.shape[batch_axis]
+    ):
+        batch_axis = None
+    xs = x.reshape(num_microbatches, mb, *x.shape[1:])
+
+    x_spec = P(None, batch_axis)
+    param_specs = jax.tree.map(lambda _: P(axis_name), stage_params)
+
+    def body(params_local, xs):
+        params_local = jax.tree.map(lambda a: jnp.squeeze(a, 0), params_local)
+        idx = jax.lax.axis_index(axis_name)
+        n_ticks = num_microbatches + n_stages - 1
+        perm = [(i, (i + 1) % n_stages) for i in range(n_stages)]
+
+        # the carries become device-varying inside the tick body (idx-masked
+        # writes); mark the zero initials as varying so the scan typechecks
+        state = jax.lax.pcast(
+            jnp.zeros_like(xs[0]), (axis_name,), to="varying"
+        )
+        outputs = jax.lax.pcast(jnp.zeros_like(xs), (axis_name,), to="varying")
+
+        def tick(carry, t):
+            state, outputs = carry
+            # stage 0 ingests microbatch t (clamped reads past the end are
+            # discarded by the write mask below -- drain ticks)
+            inject = xs[jnp.minimum(t, num_microbatches - 1)]
+            h = jnp.where(idx == 0, inject, state)
+            y = stage_fn(params_local, h)
+            # the last stage emits microbatch t-(n_stages-1) once the
+            # pipeline is full; earlier ticks are warm-up garbage
+            out_t = jnp.clip(t - (n_stages - 1), 0, num_microbatches - 1)
+            written = jax.lax.dynamic_update_slice(
+                outputs, y[None], (out_t,) + (0,) * y.ndim
+            )
+            outputs = jnp.where(t >= n_stages - 1, written, outputs)
+            # rotate activations one stage forward over ICI
+            state = jax.lax.ppermute(y, axis_name, perm)
+            return (state, outputs), None
+
+        (_, outputs), _ = jax.lax.scan(
+            tick, (state, outputs), jnp.arange(n_ticks)
+        )
+        # only the last stage holds real outputs; psum broadcasts them
+        outputs = jax.lax.psum(
+            jnp.where(idx == n_stages - 1, outputs, 0), axis_name
+        )
+        return outputs
+
+    fn = jax.shard_map(
+        body, mesh=mesh, in_specs=(param_specs, x_spec), out_specs=x_spec
+    )
+    out = xs
+    for _ in range(num_blocks):
+        out = fn(stage_params, out)
+    return out.reshape(b, *x.shape[1:])
+
+
+def pipelined_self_attends(
+    layer,
+    layer_params: dict,
+    latents: jnp.ndarray,
+    mesh: Mesh,
+    *,
+    num_microbatches: int,
+    axis_name: str = PIPE_AXIS,
+    batch_axis: Optional[str] = "data",
+    num_blocks: int = 1,
+    stacked: bool = False,
+) -> jnp.ndarray:
+    """Apply an encoder's distinct-layer self-attend stack as a pipeline.
+
+    Args:
+      layer: a ``core.attention.SelfAttention`` instance configured like the
+        encoder's layers (all layers share one config, perceiver.py:100-113).
+      layer_params: the encoder's ``self_attends`` param children
+        (``{"0": ..., "1": ...}``), or an already-stacked pytree if
+        ``stacked=True`` (pass the stacked form when calling from a jitted
+        train step so stacking cost isn't re-traced).
+      latents: [B, N, D].
+
+    Returns:
+      [B, N, D], numerically equal to applying the layers sequentially.
+    """
+    stage_params = (
+        layer_params if stacked
+        else stack_layer_params(layer_params, mesh.shape[axis_name])
+    )
+    stage_fn = _stage_scan_fn(
+        lambda p, h: layer.apply({"params": p}, h, deterministic=True)
+    )
+    return pipeline_spmd(
+        stage_fn, stage_params, latents, mesh,
+        num_microbatches=num_microbatches, axis_name=axis_name,
+        batch_axis=batch_axis, num_blocks=num_blocks,
+    )

@@ -1,0 +1,207 @@
+"""Pipeline parallelism (parallel/pipeline.py) on the virtual 8-device CPU
+mesh: GPipe schedule over a depth-sharded distinct-layer self-attend stack
+(flow ships 24 such layers -- flow_perceiver.py:34-42)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from perceiverio_pytorch_tpu.core.attention import SelfAttention
+from perceiverio_pytorch_tpu.parallel.pipeline import (
+    make_pipeline_mesh,
+    pipeline_spmd,
+    pipelined_self_attends,
+    stack_layer_params,
+    unstack_layer_params,
+)
+
+B, N, D = 8, 16, 32
+N_LAYERS = 8
+
+
+def _layer():
+    return SelfAttention(in_channels=D, num_heads=4, widening_factor=1)
+
+
+def _make_stack(n_layers=N_LAYERS, seed=0):
+    layer = _layer()
+    x = jnp.zeros((1, N, D), jnp.float32)
+    params = {
+        str(i): jax.jit(layer.init)(jax.random.PRNGKey(seed + i), x)["params"]
+        for i in range(n_layers)
+    }
+    return layer, params
+
+
+def _sequential(layer, params, x, num_blocks=1):
+    for _ in range(num_blocks):
+        for i in range(len(params)):
+            x = layer.apply({"params": params[str(i)]}, x, deterministic=True)
+    return x
+
+
+@pytest.fixture(scope="module")
+def stack():
+    return _make_stack()
+
+
+@pytest.fixture(scope="module")
+def latents():
+    return jnp.asarray(np.random.RandomState(0).randn(B, N, D), jnp.float32)
+
+
+@pytest.mark.parametrize("n_stages,num_microbatches", [(4, 4), (2, 8), (8, 2)])
+def test_pipeline_matches_sequential(stack, latents, n_stages,
+                                     num_microbatches):
+    layer, params = stack
+    mesh = make_pipeline_mesh(n_stages)
+    got = pipelined_self_attends(
+        layer, params, latents, mesh, num_microbatches=num_microbatches
+    )
+    want = _sequential(layer, params, latents)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+
+def test_pipeline_composes_with_data_parallel(stack, latents):
+    layer, params = stack
+    mesh = make_pipeline_mesh(4, data=2)
+    got = pipelined_self_attends(
+        layer, params, latents, mesh, num_microbatches=2
+    )
+    np.testing.assert_allclose(
+        got, _sequential(layer, params, latents), rtol=2e-4, atol=2e-5
+    )
+
+
+def test_pipeline_weight_shared_blocks(stack, latents):
+    """num_blocks > 1 re-enters the pipeline with shared weights, matching
+    the encoder's block loop (reference perceiver.py:104-106)."""
+    layer, params = stack
+    mesh = make_pipeline_mesh(4)
+    got = pipelined_self_attends(
+        layer, params, latents, mesh, num_microbatches=4, num_blocks=2
+    )
+    np.testing.assert_allclose(
+        got, _sequential(layer, params, latents, num_blocks=2),
+        rtol=2e-4, atol=2e-5,
+    )
+
+
+def test_pipeline_under_jit_from_stacked(stack, latents):
+    """The train-step form: params pre-stacked, whole pipeline jitted."""
+    layer, params = stack
+    mesh = make_pipeline_mesh(4)
+    stacked = stack_layer_params(params, 4)
+
+    @jax.jit
+    def fwd(stacked, x):
+        return pipelined_self_attends(
+            layer, stacked, x, mesh, num_microbatches=4, stacked=True
+        )
+
+    np.testing.assert_allclose(
+        fwd(stacked, latents), _sequential(layer, params, latents),
+        rtol=2e-4, atol=2e-5,
+    )
+
+
+def test_pipeline_gradients_match_sequential(stack, latents):
+    """The GPipe schedule is plain scan+ppermute+masked updates -- AD-exact.
+    Gradients wrt every layer's params must equal the sequential stack's."""
+    layer, params = stack
+    mesh = make_pipeline_mesh(4)
+    stacked = stack_layer_params(params, 4)
+
+    def loss_pipe(stacked):
+        out = pipelined_self_attends(
+            layer, stacked, latents, mesh, num_microbatches=4, stacked=True
+        )
+        return jnp.sum(out**2)
+
+    def loss_seq(params):
+        return jnp.sum(_sequential(layer, params, latents) ** 2)
+
+    g_pipe = jax.jit(jax.grad(loss_pipe))(stacked)
+    g_seq = jax.jit(jax.grad(loss_seq))(params)
+    g_seq_stacked = stack_layer_params(g_seq, 4)
+    jax.tree.map(
+        # grads are O(100) here (sum-of-squares loss): scale atol accordingly
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=2e-4, atol=1e-3),
+        g_pipe, g_seq_stacked,
+    )
+
+
+def test_stack_unstack_roundtrip(stack):
+    _, params = stack
+    stacked = stack_layer_params(params, 4)
+    back = unstack_layer_params(stacked)
+    assert set(back) == set(params)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(a, b), back, params
+    )
+
+
+def test_pipeline_from_encoder_params(latents):
+    """Name compatibility with the real encoder tree: the children of
+    encoder ``self_attends`` (core/perceiver.py:100-113) apply verbatim
+    through a standalone SelfAttention."""
+    from perceiverio_pytorch_tpu.core.perceiver import PerceiverEncoder
+
+    enc = PerceiverEncoder(
+        num_input_channels=D,
+        num_self_attends_per_block=4,
+        num_blocks=1,
+        num_latents=N,
+        num_latent_channels=D,
+        num_self_attend_heads=4,
+        num_cross_attend_heads=1,
+    )
+    tokens = jnp.asarray(np.random.RandomState(1).randn(B, 10, D), jnp.float32)
+    variables = jax.jit(enc.init)(
+        jax.random.PRNGKey(0), tokens, jnp.zeros((B, N, D), jnp.float32)
+    )
+    layer_params = variables["params"]["self_attends"]
+
+    layer = SelfAttention(in_channels=D, num_heads=4, widening_factor=1)
+    mesh = make_pipeline_mesh(4)
+    got = pipelined_self_attends(
+        layer, layer_params, latents, mesh, num_microbatches=4
+    )
+    want = latents
+    for i in range(4):
+        want = layer.apply(
+            {"params": layer_params[str(i)]}, want, deterministic=True
+        )
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+
+def test_pipeline_rejects_bad_partitions(stack, latents):
+    layer, params = stack
+    with pytest.raises(ValueError, match="stages"):
+        stack_layer_params(params, 3)
+    mesh = make_pipeline_mesh(4)
+    with pytest.raises(ValueError, match="microbatches"):
+        pipelined_self_attends(
+            layer, params, latents, mesh, num_microbatches=3
+        )
+
+
+def test_generic_pipeline_spmd_stage_fn():
+    """pipeline_spmd is model-agnostic: any shape-preserving stage body."""
+    mesh = make_pipeline_mesh(4)
+    w = jnp.asarray(np.random.RandomState(2).randn(4, 1, D, D), jnp.float32)
+    x = jnp.asarray(np.random.RandomState(3).randn(B, D), jnp.float32)
+
+    def stage_fn(local_w, h):
+        def body(h, wi):
+            return jnp.tanh(h @ wi), None
+
+        y, _ = jax.lax.scan(body, h, local_w)
+        return y
+
+    got = pipeline_spmd(stage_fn, w, x, mesh, num_microbatches=4)
+    want = x
+    for i in range(4):
+        want = jnp.tanh(want @ w[i, 0])
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
