@@ -124,6 +124,21 @@ class Policy:
     # config (set by ``jax.default_device(...)``) first, then the process
     # default backend.  Set explicitly only to force a choice.
     backend: Optional[str] = None
+    # Pipeline parallelism over the DISTINCT-layer latent stack (flow ships
+    # 24 such layers in one block -- flow_perceiver.py:34-42).  When a mesh
+    # is given, every _SelfAttendStack whose layer count divides the
+    # ``pp_axis`` size runs as a GPipe pipeline (parallel/pipeline.py):
+    # per-stage params stacked and sharded over pp_axis, microbatches
+    # streaming stage-to-stage via lax.ppermute inside one SPMD program.
+    # Composes with data parallelism when the mesh also has a "data" axis.
+    # Weight-shared block repeats (num_blocks > 1) re-enter the pipeline
+    # with shared weights.  Numerically exact vs the sequential stack;
+    # differentiable (drops into a jitted train step as-is).  Dropout is
+    # not threaded through stages: training stacks must use dropout 0.0
+    # (all shipped configs do) or run deterministic.
+    pp_mesh: Optional[Mesh] = None
+    pp_axis: str = "pipe"
+    pp_microbatches: int = 2
     # Selective rematerialisation: when a model is built with remat=True,
     # this names a jax.checkpoint_policies entry controlling WHAT the
     # wrapped block stacks save for the backward pass.  None = full remat

@@ -551,6 +551,11 @@ class SelfAttention(nn.Module):
         fast = self.policy.fast_layer_norm
         self.layer_norm1 = _layer_norm("layer_norm1", fast)
         self.layer_norm2 = _layer_norm("layer_norm2", fast)
+        # Post-attention dropout (transformer_primitives.py post-attn drop).
+        # Defined here, not inline in __call__: this module uses setup(), so
+        # submodules may not be created at call time (flax
+        # AssignSubModuleError when dropout_prob > 0 and not deterministic).
+        self.post_attn_dropout = nn.Dropout(rate=self.dropout_prob)
 
     def __call__(
         self,
@@ -580,9 +585,7 @@ class SelfAttention(nn.Module):
         if return_matrix:
             attention_matrix, attention = attention
         if self.dropout_prob > 0.0 and not deterministic:
-            attention = nn.Dropout(rate=self.dropout_prob, deterministic=False)(
-                attention
-            )
+            attention = self.post_attn_dropout(attention, deterministic=False)
         x = x + attention
         x = x + self.mlp(
             self.layer_norm2(x).astype(compute_dtype), deterministic=deterministic
@@ -655,6 +658,8 @@ class CrossAttention(nn.Module):
         self.layer_norm_q = _layer_norm("layer_norm_q", fast)
         self.layer_norm_kv = _layer_norm("layer_norm_kv", fast)
         self.layer_norm2 = _layer_norm("layer_norm2", fast)
+        # Defined in setup (not inline in __call__): see SelfAttention.setup.
+        self.post_attn_dropout = nn.Dropout(rate=self.dropout_prob)
 
     def __call__(
         self,
@@ -704,9 +709,7 @@ class CrossAttention(nn.Module):
         if return_matrix:
             attention_matrix, attention = attention
         if self.dropout_prob > 0.0 and not deterministic:
-            attention = nn.Dropout(rate=self.dropout_prob, deterministic=False)(
-                attention
-            )
+            attention = self.post_attn_dropout(attention, deterministic=False)
 
         # Omit the residual when query and output semantics differ
         # (e.g. queries are positions, outputs are pixels).

@@ -113,9 +113,80 @@ class _SelfAttendStack(nn.Module):
         ]
 
     def __call__(self, latents, deterministic: bool = True):
+        if self._use_pipeline(deterministic):
+            return self._pipelined(latents), ()
         for layer in self.layers:
             latents = layer(latents, deterministic=deterministic)
         return latents, ()
+
+    def _use_pipeline(self, deterministic: bool) -> bool:
+        """Route through the GPipe schedule (Policy.pp_mesh)?
+
+        Structural passes stay sequential: init (params don't exist yet)
+        and mutable quant_stats passes (int8_static calibration folds amax
+        in-place, which cannot stream through shard_map stages).
+        """
+        pol = self.policy
+        if pol.pp_mesh is None:
+            return False
+        if self.is_initializing() or self.is_mutable_collection("quant_stats"):
+            return False
+        if pol.pp_axis not in pol.pp_mesh.shape:
+            raise ValueError(
+                f"Policy.pp_axis {pol.pp_axis!r} is not an axis of pp_mesh"
+                f" {tuple(pol.pp_mesh.shape)}"
+            )
+        n_stages = pol.pp_mesh.shape[pol.pp_axis]
+        if self.num_self_attends % n_stages:
+            raise ValueError(
+                f"{self.num_self_attends} self-attend layers do not divide"
+                f" into {n_stages} pipeline stages"
+            )
+        if not deterministic and self.dropout_prob > 0.0:
+            raise ValueError(
+                "pipeline parallelism does not thread dropout rngs through"
+                " stages; train with dropout_prob=0.0 (all shipped configs"
+                " do) or run deterministic"
+            )
+        return n_stages > 1
+
+    def _pipelined(self, latents):
+        """GPipe over the distinct layers: every variable collection of the
+        per-layer children (params; quant_stats for calibrated int8) is
+        stacked on a [n_stages, layers_per_stage] axis and sharded over
+        Policy.pp_axis; microbatches stream via ppermute
+        (parallel/pipeline.pipeline_spmd)."""
+        from ..parallel.pipeline import pipeline_spmd, stack_layer_params
+
+        pol = self.policy
+        n_stages = pol.pp_mesh.shape[pol.pp_axis]
+        all_vars = self.variables
+        per_layer = {
+            str(i): {
+                coll: tree[str(i)]
+                for coll, tree in all_vars.items()
+                if str(i) in tree
+            }
+            for i in range(self.num_self_attends)
+        }
+        stacked = stack_layer_params(per_layer, n_stages)
+        layer = self.layers[0].clone(parent=None)
+
+        def stage_fn(local_vars, x):
+            def body(h, v):
+                return layer.apply(v, h, deterministic=True), None
+
+            y, _ = jax.lax.scan(body, x, local_vars)
+            return y
+
+        return pipeline_spmd(
+            stage_fn,
+            stacked,
+            latents,
+            pol.pp_mesh,
+            num_microbatches=pol.pp_microbatches,
+            axis_name=pol.pp_axis,
+        )
 
 
 class PerceiverEncoder(nn.Module):

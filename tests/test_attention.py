@@ -267,3 +267,48 @@ def test_attention_in_channel_declarations_enforced():
         jax.eval_shape(
             lambda: att.init(jax.random.PRNGKey(0), q, bad, bad)
         )
+
+
+def test_block_dropout_training_pass():
+    """Regression: SelfAttention/CrossAttention with dropout_prob > 0 must
+    run a non-deterministic pass (both use setup(), so the post-attention
+    dropout must be a setup-defined submodule -- creating it inline in
+    __call__ raised AssignSubModuleError). The reference trains with these
+    probs live (transformer_primitives.py dropout args)."""
+    import pytest
+
+    rng = np.random.RandomState(7)
+    x = jnp.asarray(rng.randn(2, 6, 16), jnp.float32)
+    kv = jnp.asarray(rng.randn(2, 9, 12), jnp.float32)
+
+    sa = SelfAttention(
+        in_channels=16, num_heads=2, dropout_prob=0.5, dropout_attn_prob=0.5
+    )
+    params = jax.jit(sa.init)(jax.random.PRNGKey(0), x)
+    det = sa.apply(params, x, deterministic=True)
+    d1, d2 = (
+        sa.apply(
+            params, x, deterministic=False,
+            rngs={"dropout": jax.random.PRNGKey(k)},
+        )
+        for k in (1, 2)
+    )
+    assert not np.allclose(d1, det)  # dropout actually engaged
+    assert not np.allclose(d1, d2)  # and is rng-driven
+
+    ca = CrossAttention(
+        q_in_channels=16, kv_in_channels=12, num_heads=2,
+        dropout_prob=0.5, dropout_attn_prob=0.5,
+    )
+    cparams = jax.jit(ca.init)(jax.random.PRNGKey(0), x, kv)
+    cdet = ca.apply(cparams, x, kv, deterministic=True)
+    c1 = ca.apply(
+        cparams, x, kv, deterministic=False,
+        rngs={"dropout": jax.random.PRNGKey(1)},
+    )
+    assert not np.allclose(c1, cdet)
+
+    # dropout adds no params: checkpoint compatibility is untouched
+    sa0 = SelfAttention(in_channels=16, num_heads=2)
+    params0 = jax.jit(sa0.init)(jax.random.PRNGKey(0), x)
+    assert jax.tree.structure(params0) == jax.tree.structure(params)

@@ -187,6 +187,90 @@ def test_pipeline_rejects_bad_partitions(stack, latents):
         )
 
 
+def _encoder(policy, n_layers=4, num_blocks=1, dropout_prob=0.0):
+    from perceiverio_pytorch_tpu.core.perceiver import PerceiverEncoder
+
+    return PerceiverEncoder(
+        num_input_channels=D,
+        num_self_attends_per_block=n_layers,
+        num_blocks=num_blocks,
+        num_latents=N,
+        num_latent_channels=D,
+        num_self_attend_heads=4,
+        num_cross_attend_heads=1,
+        dropout_prob=dropout_prob,
+        policy=policy,
+    )
+
+
+@pytest.mark.parametrize("num_blocks", [1, 2])
+def test_policy_pp_mesh_encoder_matches_sequential(latents, num_blocks):
+    """The model-level route: Policy(pp_mesh=...) pipelines the encoder's
+    latent stack transparently; outputs match the sequential stack."""
+    from perceiverio_pytorch_tpu.config import Policy
+
+    tokens = jnp.asarray(np.random.RandomState(4).randn(B, 10, D), jnp.float32)
+    base = _encoder(Policy(), num_blocks=num_blocks)
+    variables = jax.jit(base.init)(jax.random.PRNGKey(0), tokens, latents)
+
+    mesh = make_pipeline_mesh(4)
+    piped = _encoder(
+        Policy(pp_mesh=mesh, pp_microbatches=2), num_blocks=num_blocks
+    )
+    want = jax.jit(base.apply)(variables, tokens, latents)
+    got = jax.jit(piped.apply)(variables, tokens, latents)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+
+def test_policy_pp_mesh_encoder_gradients(latents):
+    """Differentiability of the model-level route: grads wrt ALL encoder
+    params (incl. the pipelined stack's) match the sequential encoder's."""
+    from perceiverio_pytorch_tpu.config import Policy
+
+    tokens = jnp.asarray(np.random.RandomState(5).randn(B, 10, D), jnp.float32)
+    base = _encoder(Policy())
+    variables = jax.jit(base.init)(jax.random.PRNGKey(0), tokens, latents)
+
+    mesh = make_pipeline_mesh(4)
+    piped = _encoder(Policy(pp_mesh=mesh, pp_microbatches=2))
+
+    def loss(model):
+        def f(params):
+            out = model.apply({"params": params}, tokens, latents)
+            return jnp.sum(out**2)
+
+        return f
+
+    g_pipe = jax.jit(jax.grad(loss(piped)))(variables["params"])
+    g_seq = jax.jit(jax.grad(loss(base)))(variables["params"])
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=2e-4, atol=1e-3),
+        g_pipe, g_seq,
+    )
+
+
+def test_policy_pp_mesh_guards(latents):
+    from perceiverio_pytorch_tpu.config import Policy
+
+    tokens = jnp.asarray(np.random.RandomState(6).randn(B, 10, D), jnp.float32)
+    mesh = make_pipeline_mesh(4)
+
+    # layer count must divide the stage count
+    bad = _encoder(Policy(pp_mesh=mesh), n_layers=3)
+    variables = jax.jit(bad.init)(jax.random.PRNGKey(0), tokens, latents)
+    with pytest.raises(ValueError, match="stages"):
+        bad.apply(variables, tokens, latents)
+
+    # dropout rngs are not threaded through stages
+    drop = _encoder(Policy(pp_mesh=mesh), dropout_prob=0.1)
+    dvars = jax.jit(drop.init)(jax.random.PRNGKey(0), tokens, latents)
+    with pytest.raises(ValueError, match="dropout"):
+        drop.apply(
+            dvars, tokens, latents, deterministic=False,
+            rngs={"dropout": jax.random.PRNGKey(1)},
+        )
+
+
 def test_generic_pipeline_spmd_stage_fn():
     """pipeline_spmd is model-agnostic: any shape-preserving stage body."""
     mesh = make_pipeline_mesh(4)
