@@ -23,6 +23,7 @@ from perceiverio_pytorch_tpu.parallel.pipeline import (  # noqa: F401
     make_pipeline_mesh,
     pipeline_spmd,
     pipelined_self_attends,
+    pp_param_shardings,
     stack_layer_params,
     unstack_layer_params,
 )

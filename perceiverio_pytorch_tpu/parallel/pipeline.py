@@ -100,6 +100,25 @@ def unstack_layer_params(stacked, layer_names=None) -> dict:
     }
 
 
+def pp_param_shardings(stacked, mesh: Mesh, axis_name: str = PIPE_AXIS):
+    """NamedSharding pytree placing stacked layer params over the pipe axis.
+
+    Every leaf of a ``stack_layer_params`` tree has leading [n_stages]; the
+    pipe-axis sharding means each device HOLDS only its own stage's layers
+    (1/n_stages of the stack's params) -- the memory-scaling half of
+    pipeline parallelism.  ``jax.jit(tx.init, in_shardings=...)`` on params
+    placed this way propagates the same shardings into the optimizer
+    moments, so adam state is stage-local too.  Training in the stacked
+    layout is numerically identical to per-layer training (adam is
+    elementwise); checkpoint portably via ``unstack_layer_params``.
+    """
+    from jax.sharding import NamedSharding
+
+    return jax.tree.map(
+        lambda _: NamedSharding(mesh, P(axis_name)), stacked
+    )
+
+
 def _stage_scan_fn(layer_apply: Callable[[Any, jnp.ndarray], jnp.ndarray]):
     """Stage body: fold the device's [layers_per_stage, ...] params over x."""
 

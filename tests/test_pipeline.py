@@ -289,3 +289,94 @@ def test_generic_pipeline_spmd_stage_fn():
     for i in range(4):
         want = jnp.tanh(want @ w[i, 0])
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+
+def test_pp_sharded_training_parity(stack, latents):
+    """The memory-scaling training path: stacked params + adam state sharded
+    over the pipe axis (each device holds ONLY its stage's layers), trained
+    through the GPipe schedule -- final params match per-layer sequential
+    training step for step (adam is elementwise, the pipeline is AD-exact)."""
+    import optax
+    from perceiverio_pytorch_tpu.parallel.pipeline import pp_param_shardings
+
+    layer, params = stack
+    mesh = make_pipeline_mesh(4)
+    stacked = stack_layer_params(params, 4)
+    sh = pp_param_shardings(stacked, mesh)
+    stacked = jax.tree.map(jax.device_put, stacked, sh)
+
+    # each device holds exactly its stage slice: 1/4 of the stack
+    leaf = jax.tree.leaves(stacked)[0]
+    shard0 = leaf.addressable_shards[0]
+    assert shard0.data.shape[0] == 1 and leaf.shape[0] == 4
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def opt_shardings(tx):
+        # state leaves shaped like params get the pipe sharding; scalars
+        # (adam's count) replicate
+        return jax.tree.map(
+            lambda l: NamedSharding(
+                mesh, P("pipe") if l.ndim >= 1 and l.shape[0] == 4 else P()
+            ),
+            jax.eval_shape(tx.init, stacked),
+        )
+
+    # adam moments are stage-local: each device holds 1/4 of mu
+    adam = optax.adam(1e-2)
+    adam_state = jax.jit(
+        adam.init, in_shardings=(sh,), out_shardings=opt_shardings(adam)
+    )(stacked)
+    mu_leaf = jax.tree.leaves(adam_state[0].mu)[0]
+    assert mu_leaf.addressable_shards[0].data.shape[0] == 1
+
+    # Parity loop uses an optimizer LINEAR in the grads (sgd+momentum, its
+    # trace pipe-sharded like adam's moments): adam's first step is
+    # lr*sign(g), which amplifies fp-level noise between the pipeline's
+    # per-microbatch GEMMs and the full-batch sequential ones.
+    tx = optax.sgd(1e-2, momentum=0.9)
+    opt = jax.jit(
+        tx.init, in_shardings=(sh,), out_shardings=opt_shardings(tx)
+    )(stacked)
+    assert (
+        jax.tree.leaves(opt[0].trace)[0].addressable_shards[0].data.shape[0]
+        == 1
+    )
+
+    def pipe_loss(stacked):
+        out = pipelined_self_attends(
+            layer, stacked, latents, mesh, num_microbatches=4, stacked=True
+        )
+        return jnp.mean(out**2)
+
+    def _pipe_step(stacked, opt):
+        loss, grads = jax.value_and_grad(pipe_loss)(stacked)
+        updates, opt = tx.update(grads, opt, stacked)
+        return optax.apply_updates(stacked, updates), opt, loss
+
+    pipe_step = jax.jit(_pipe_step)
+
+    def seq_loss(params):
+        return jnp.mean(_sequential(layer, params, latents) ** 2)
+
+    def _seq_step(params, opt):
+        loss, grads = jax.value_and_grad(seq_loss)(params)
+        updates, opt = tx.update(grads, opt, params)
+        return optax.apply_updates(params, updates), opt, loss
+
+    seq_step = jax.jit(_seq_step)
+    seq_params, seq_opt = params, jax.jit(tx.init)(params)
+
+    for _ in range(3):
+        stacked, opt, pipe_l = pipe_step(stacked, opt)
+        seq_params, seq_opt, seq_l = seq_step(seq_params, seq_opt)
+        np.testing.assert_allclose(
+            float(pipe_l), float(seq_l), rtol=2e-4, atol=1e-6
+        )
+
+    # trained params unstack back to the portable per-layer layout and match
+    back = unstack_layer_params(stacked)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-5),
+        back, seq_params,
+    )
