@@ -410,3 +410,37 @@ def test_policy_pp_mesh_flow_model():
     )
     got = jax.jit(piped.apply)(variables, im1, im2)
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+
+def test_policy_pp_mesh_composes_with_remat(latents):
+    """pp_mesh under the encoder's nn.remat wrapper (full-scale flow
+    training uses remat=True): forward matches and grads exist."""
+    from perceiverio_pytorch_tpu.config import Policy
+
+    tokens = jnp.asarray(np.random.RandomState(9).randn(B, 10, D), jnp.float32)
+
+    def enc(policy):
+        from perceiverio_pytorch_tpu.core.perceiver import PerceiverEncoder
+
+        return PerceiverEncoder(
+            num_input_channels=D, num_self_attends_per_block=4, num_blocks=2,
+            num_latents=N, num_latent_channels=D, num_self_attend_heads=4,
+            num_cross_attend_heads=1, policy=policy, remat=True,
+        )
+
+    base = enc(Policy())
+    v = jax.jit(base.init)(jax.random.PRNGKey(0), tokens, latents)
+    want = jax.jit(base.apply)(v, tokens, latents)
+
+    piped = enc(Policy(pp_mesh=make_pipeline_mesh(4), pp_microbatches=2))
+    got = jax.jit(piped.apply)(v, tokens, latents)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+    g = jax.jit(
+        jax.grad(
+            lambda p: jnp.sum(piped.apply(p, tokens, latents) ** 2)
+        )
+    )(v)
+    assert all(
+        bool(np.isfinite(np.asarray(l)).all()) for l in jax.tree.leaves(g)
+    )
