@@ -444,3 +444,31 @@ def test_policy_pp_mesh_composes_with_remat(latents):
     assert all(
         bool(np.isfinite(np.asarray(l)).all()) for l in jax.tree.leaves(g)
     )
+
+
+def test_policy_pp_mesh_with_int8_static(latents):
+    """Calibrated static-int8 + pipeline: the calibration pass (mutable
+    quant_stats) stays sequential by design, and ordinary applies stream
+    the per-layer quant_stats through the GPipe stages alongside params --
+    output matches the sequential int8_static apply exactly."""
+    from perceiverio_pytorch_tpu.config import Policy
+
+    tokens = jnp.asarray(
+        np.random.RandomState(10).randn(B, 10, D), jnp.float32
+    )
+    mesh = make_pipeline_mesh(4)
+    seq_pol = Policy(quant="int8_static")
+    pp_pol = Policy(quant="int8_static", pp_mesh=mesh, pp_microbatches=2)
+
+    base = _encoder(seq_pol)
+    piped = _encoder(pp_pol)
+    v = jax.jit(base.init)(jax.random.PRNGKey(0), tokens, latents)
+    # calibration fills quant_stats (sequential even under pp -- guarded)
+    _, stats = jax.jit(
+        lambda v, t, l: piped.apply(v, t, l, mutable=["quant_stats"])
+    )(v, tokens, latents)
+    v = {**v, **stats}
+
+    want = jax.jit(base.apply)(v, tokens, latents)
+    got = jax.jit(piped.apply)(v, tokens, latents)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
