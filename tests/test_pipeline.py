@@ -446,11 +446,14 @@ def test_policy_pp_mesh_composes_with_remat(latents):
     )
 
 
-def test_policy_pp_mesh_with_int8_static(latents):
+@pytest.mark.parametrize("num_blocks", [1, 2])
+def test_policy_pp_mesh_with_int8_static(latents, num_blocks):
     """Calibrated static-int8 + pipeline: the calibration pass (mutable
     quant_stats) stays sequential by design, and ordinary applies stream
     the per-layer quant_stats through the GPipe stages alongside params --
-    output matches the sequential int8_static apply exactly."""
+    output matches the sequential int8_static apply exactly.  num_blocks=2
+    also covers the call-time fn-lifted block scan (static-quant models
+    cannot class-scan -- core/perceiver.py)."""
     from perceiverio_pytorch_tpu.config import Policy
 
     tokens = jnp.asarray(
@@ -460,8 +463,8 @@ def test_policy_pp_mesh_with_int8_static(latents):
     seq_pol = Policy(quant="int8_static")
     pp_pol = Policy(quant="int8_static", pp_mesh=mesh, pp_microbatches=2)
 
-    base = _encoder(seq_pol)
-    piped = _encoder(pp_pol)
+    base = _encoder(seq_pol, num_blocks=num_blocks)
+    piped = _encoder(pp_pol, num_blocks=num_blocks)
     v = jax.jit(base.init)(jax.random.PRNGKey(0), tokens, latents)
     # calibration fills quant_stats (sequential even under pp -- guarded)
     _, stats = jax.jit(
