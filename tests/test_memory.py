@@ -1,0 +1,58 @@
+"""utils/memory: HBM sizing via XLA's compile-time buffer assignment."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from perceiverio_pytorch_tpu.utils.memory import (
+    compiled_memory_stats,
+    hbm_headroom,
+)
+
+
+def test_compiled_memory_stats_shapes_only():
+    """Abstract ShapeDtypeStructs suffice -- no real data, no execution."""
+    w = jax.ShapeDtypeStruct((256, 256), jnp.float32)
+    x = jax.ShapeDtypeStruct((64, 256), jnp.float32)
+    stats = compiled_memory_stats(lambda w, x: jnp.tanh(x @ w), w, x)
+    assert set(stats) == {
+        "argument_bytes", "output_bytes", "temp_bytes", "code_bytes",
+        "peak_bytes",
+    }
+    assert all(isinstance(v, int) and v >= 0 for v in stats.values())
+    # arguments are at least the two real input buffers
+    assert stats["argument_bytes"] >= (256 * 256 + 64 * 256) * 4
+    assert stats["output_bytes"] >= 64 * 256 * 4
+
+
+def test_memory_scales_with_batch():
+    w = jax.ShapeDtypeStruct((128, 128), jnp.float32)
+
+    def size(b):
+        x = jax.ShapeDtypeStruct((b, 128), jnp.float32)
+        return compiled_memory_stats(lambda w, x: x @ w, w, x)
+
+    small, big = size(8), size(2048)
+    assert big["argument_bytes"] > small["argument_bytes"]
+    assert big["output_bytes"] > small["output_bytes"]
+
+
+def test_hbm_headroom_verdict():
+    x = jax.ShapeDtypeStruct((32, 32), jnp.float32)
+    fit = hbm_headroom(lambda x: x + 1, x)
+    assert fit["fits"] and fit["headroom_bytes"] > 0
+    tight = hbm_headroom(lambda x: x + 1, x, hbm_bytes=1)
+    assert not tight["fits"] and tight["headroom_bytes"] < 0
+
+
+def test_memory_stats_on_model_forward():
+    """Works on a real model's apply (the intended use)."""
+    from perceiverio_pytorch_tpu.core.attention import SelfAttention
+
+    layer = SelfAttention(in_channels=32, num_heads=4)
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 16, 32), jnp.float32)
+    params = jax.jit(layer.init)(jax.random.PRNGKey(0), x)
+    stats = compiled_memory_stats(
+        lambda p, x: layer.apply(p, x), params, x
+    )
+    assert stats["argument_bytes"] > 0
