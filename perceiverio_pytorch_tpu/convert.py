@@ -29,6 +29,23 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+
+def _force_cpu() -> None:
+    """Pin the CLI to the host CPU backend.
+
+    Checkpoint conversion is a host-side operation (torch.load -> layout
+    transforms -> orbax write); routing the hundreds of MB of full-scale
+    params through an accelerator adds nothing and, on remote-transport
+    device plugins, turns a seconds-long job into a transfer-bound one.
+    Both the env var AND the config update are needed: plugins loaded via
+    sitecustomize can override JAX_PLATFORMS at interpreter startup.
+    """
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass  # backend already initialised; device_put below still lands host-side
+
 __all__ = ["build_family_template", "convert", "FAMILIES"]
 
 FAMILIES = ("language", "classification", "flow", "multimodal")
@@ -141,6 +158,7 @@ def main(argv=None) -> int:
     ap.add_argument("--overwrite", action="store_true")
     args = ap.parse_args(argv)
 
+    _force_cpu()
     _, template, overrides, tied = build_family_template(
         args.family, args.prep_type
     )
