@@ -56,3 +56,31 @@ def test_memory_stats_on_model_forward():
         lambda p, x: layer.apply(p, x), params, x
     )
     assert stats["argument_bytes"] > 0
+
+
+def test_hbm_headroom_parses_compiler_oom():
+    """On TPU the compiler REJECTS over-HBM programs; hbm_headroom turns
+    that rejection into fits=False with the reported usage (exercised for
+    real by the classification batch-16 no-remat step: 'Used 28.87G of
+    15.75G'). Simulated here via a matching error raised during lowering."""
+
+    def exploder(x):
+        raise RuntimeError(
+            "XLA:TPU compile permanent error. Ran out of memory in memory"
+            " space hbm. Used 28.87G of 15.75G hbm."
+        )
+
+    x = jax.ShapeDtypeStruct((4,), jnp.float32)
+    r = hbm_headroom(exploder, x)
+    assert not r["fits"]
+    assert abs(r["peak_bytes"] - int(28.87 * 1024**3)) < 1024**2
+    # a non-OOM failure still propagates
+    def broken(x):
+        raise RuntimeError("unrelated lowering failure")
+
+    try:
+        hbm_headroom(broken, x)
+    except RuntimeError as e:
+        assert "unrelated" in str(e)
+    else:  # pragma: no cover
+        raise AssertionError("expected the unrelated error to propagate")
