@@ -229,6 +229,11 @@ class HttpFrontend:
             def do_GET(self):
                 if self.path == "/healthz":
                     self._reply(200, {"status": "ok"})
+                elif self.path == "/metrics":
+                    self._reply_raw(
+                        200, frontend._prometheus_metrics().encode(),
+                        "text/plain; version=0.0.4",
+                    )
                 elif self.path == "/stats":
                     self._reply(*frontend._stats_reply())
                 elif self.path == "/v1/models":
@@ -351,6 +356,51 @@ class HttpFrontend:
         if stats_fn is None:
             return 404, {"error": "server exposes no stats"}
         return 200, stats_fn()
+
+    def _prometheus_metrics(self) -> str:
+        """Flatten every model's stats() into Prometheus exposition text.
+
+        GET /metrics — the standard scrape target, so the BatchingServer's
+        counters land in existing dashboards without a sidecar.  Counter
+        semantics follow stats(): monotonic counts become counters, queue
+        depth / occupancy / latency quantiles become gauges.  Models
+        without a stats() method are skipped.
+        """
+        counters = {
+            "requests_served", "batches_dispatched", "examples_dispatched",
+            "rows_padded", "errors", "requests_expired",
+        }
+        lines = []
+
+        def emit(name, labels, value, mtype):
+            full = f"perceiver_{name}"
+            if not any(l.startswith(f"# TYPE {full} ") for l in lines):
+                lines.append(f"# TYPE {full} {mtype}")
+            label_str = ",".join(f'{k}="{v}"' for k, v in labels.items())
+            lines.append(f"{full}{{{label_str}}} {value}")
+
+        for model, server in sorted(self._models.items()):
+            stats_fn = getattr(server, "stats", None)
+            if stats_fn is None:
+                continue
+            label_model = "default" if self._single else model
+            for key, value in stats_fn().items():
+                if key == "bucket_dispatches":
+                    for bucket, n in value.items():
+                        emit("bucket_dispatches",
+                             {"model": label_model, "bucket": bucket},
+                             n, "counter")
+                elif key == "request_latency_ms":
+                    for q, v in value.items():
+                        if q == "window":
+                            continue
+                        emit("request_latency_ms",
+                             {"model": label_model, "quantile": q},
+                             v, "gauge")
+                elif isinstance(value, (int, float)):
+                    emit(key, {"model": label_model}, value,
+                         "counter" if key in counters else "gauge")
+        return "\n".join(lines) + "\n"
 
     def _stats_reply(self):
         if self._single:

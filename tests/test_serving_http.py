@@ -418,3 +418,51 @@ def test_http_request_deadline_returns_504():
         release.set()
         front.stop()
         server.stop()
+
+
+def test_prometheus_metrics_endpoint():
+    """GET /metrics: Prometheus exposition text for every model's counters,
+    labelled by model; single-server mode labels as model="default"."""
+
+    @jax.jit
+    def double(x):
+        return x * 2
+
+    a = BatchingServer(double, max_batch=2)
+    b = BatchingServer(double, max_batch=2)
+    front = HttpFrontend({"alpha": a, "beta": b}, default_model="alpha",
+                         port=0).start()
+    try:
+        st, _ = _post(front.port, {"inputs": [1.0, 2.0]},
+                      "/v1/models/alpha/infer")
+        assert st == 200
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{front.port}/metrics", timeout=30
+        ) as resp:
+            assert resp.headers["Content-Type"].startswith("text/plain")
+            text = resp.read().decode()
+        assert "# TYPE perceiver_requests_served counter" in text
+        assert 'perceiver_requests_served{model="alpha"} 1' in text
+        assert 'perceiver_requests_served{model="beta"} 0' in text
+        assert 'perceiver_queue_depth{model="alpha"}' in text
+        # the TYPE line appears once per metric, not once per model
+        assert text.count("# TYPE perceiver_requests_served ") == 1
+        # latency gauges appear once a request has been served
+        assert 'perceiver_request_latency_ms{model="alpha",quantile="p50"}' in text
+    finally:
+        front.stop()
+        a.stop()
+        b.stop()
+
+    # single-server mode: model label is "default"
+    c = BatchingServer(double, max_batch=2)
+    front2 = HttpFrontend(c, port=0).start()
+    try:
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{front2.port}/metrics", timeout=30
+        ) as resp:
+            text = resp.read().decode()
+        assert 'perceiver_requests_served{model="default"} 0' in text
+    finally:
+        front2.stop()
+        c.stop()
