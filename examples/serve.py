@@ -234,12 +234,19 @@ def http_demo(out_dir: str, hw: int, clients: int = 12, max_batch: int = 8):
             f"http://127.0.0.1:{front.port}/stats", timeout=30
         ) as resp:
             stats = json.loads(resp.read())
+        with _rq.urlopen(
+            f"http://127.0.0.1:{front.port}/metrics", timeout=30
+        ) as resp:
+            metrics = resp.read().decode()
     finally:
         front.stop()
         server.stop()
     assert all(ok) and len(ok) == clients
+    assert "perceiver_requests_served" in metrics
     print(f"http: {clients} concurrent clients over HTTP: {clients/wall:.1f} req/s")
     print(f"http GET /stats: {stats}")
+    print("http GET /metrics (first lines):")
+    print("\n".join(metrics.splitlines()[:4]))
 
 
 def multi_demo(out_dir: str, hw: int):
