@@ -512,3 +512,36 @@ def test_policy_pp_mesh_full_train_step():
         state, loss = step(state, tokens, mask)
         losses.append(float(loss))
     assert losses[2] < losses[0], losses
+
+
+def test_policy_pp_mesh_composes_with_sequence_parallel(latents):
+    """SP + PP in one model: the encoder cross-attend runs KV-sharded over
+    a ("data","model") mesh while the latent stack pipelines over a
+    separate ("data","pipe") mesh -- the long-input training plan sharded
+    on two axes. Forward exact vs the unsharded encoder; grads finite."""
+    from perceiverio_pytorch_tpu.config import Policy
+    from perceiverio_pytorch_tpu.parallel import make_mesh
+
+    TK = 131  # non-divisible KV -> internal pad path in SP
+    sp_mesh = make_mesh((2, 4))
+    pp_mesh = make_pipeline_mesh(4, data=2)
+    rng = np.random.RandomState(11)
+    tokens = jnp.asarray(rng.randn(B, TK, D), jnp.float32)
+
+    base = _encoder(Policy())
+    v = jax.jit(base.init)(jax.random.PRNGKey(0), tokens, latents)
+    want = jax.jit(base.apply)(v, tokens, latents)
+
+    both = _encoder(Policy(
+        sp_mesh=sp_mesh, sp_axis="model", sp_min_kv=32,
+        pp_mesh=pp_mesh, pp_microbatches=2,
+    ))
+    got = jax.jit(both.apply)(v, tokens, latents)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+    g = jax.jit(
+        jax.grad(lambda p: jnp.sum(both.apply(p, tokens, latents) ** 2))
+    )(v)
+    assert all(
+        bool(np.isfinite(np.asarray(l)).all()) for l in jax.tree.leaves(g)
+    )
