@@ -137,6 +137,8 @@ class _SelfAttendStack(nn.Module):
                 f" {tuple(pol.pp_mesh.shape)}"
             )
         n_stages = pol.pp_mesh.shape[pol.pp_axis]
+        if n_stages <= 1:
+            return False  # sequential path; it handles dropout fine
         if self.num_self_attends % n_stages:
             raise ValueError(
                 f"{self.num_self_attends} self-attend layers do not divide"
@@ -148,7 +150,7 @@ class _SelfAttendStack(nn.Module):
                 " stages; train with dropout_prob=0.0 (all shipped configs"
                 " do) or run deterministic"
             )
-        return n_stages > 1
+        return True
 
     def _pipelined(self, latents):
         """GPipe over the distinct layers: every variable collection of the
@@ -156,7 +158,8 @@ class _SelfAttendStack(nn.Module):
         stacked on a [n_stages, layers_per_stage] axis and sharded over
         Policy.pp_axis; microbatches stream via ppermute
         (parallel/pipeline.pipeline_spmd)."""
-        from ..parallel.pipeline import pipeline_spmd, stack_layer_params
+        from ..parallel.pipeline import (
+            _stage_scan_fn, pipeline_spmd, stack_layer_params)
 
         pol = self.policy
         n_stages = pol.pp_mesh.shape[pol.pp_axis]
@@ -171,13 +174,9 @@ class _SelfAttendStack(nn.Module):
         }
         stacked = stack_layer_params(per_layer, n_stages)
         layer = self.layers[0].clone(parent=None)
-
-        def stage_fn(local_vars, x):
-            def body(h, v):
-                return layer.apply(v, h, deterministic=True), None
-
-            y, _ = jax.lax.scan(body, x, local_vars)
-            return y
+        stage_fn = _stage_scan_fn(
+            lambda v, h: layer.apply(v, h, deterministic=True)
+        )
 
         return pipeline_spmd(
             stage_fn,

@@ -372,11 +372,17 @@ class HttpFrontend:
         }
         lines = []
 
+        def esc(v):
+            # exposition-format label escaping: one malformed label value
+            # would make the scraper reject the WHOLE /metrics response
+            return (str(v).replace("\\", "\\\\").replace('"', '\\"')
+                    .replace("\n", "\\n"))
+
         def emit(name, labels, value, mtype):
             full = f"perceiver_{name}"
             if not any(l.startswith(f"# TYPE {full} ") for l in lines):
                 lines.append(f"# TYPE {full} {mtype}")
-            label_str = ",".join(f'{k}="{v}"' for k, v in labels.items())
+            label_str = ",".join(f'{k}="{esc(v)}"' for k, v in labels.items())
             lines.append(f"{full}{{{label_str}}} {value}")
 
         for model, server in sorted(self._models.items()):

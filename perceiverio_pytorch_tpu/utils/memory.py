@@ -53,11 +53,13 @@ def compiled_memory_stats(
     """
     jitted = jax.jit(fn, donate_argnums=donate_argnums, **jit_kwargs)
     stats = jitted.lower(*example_args).compile().memory_analysis()
-    if stats is None:  # backend exposes no analysis; report zeros
-        return {
-            "argument_bytes": 0, "output_bytes": 0, "temp_bytes": 0,
-            "code_bytes": 0, "peak_bytes": 0,
-        }
+    if stats is None:
+        # "no data" must not masquerade as "uses 0 bytes" -- hbm_headroom
+        # would turn it into a confident (and wrong) fits=True
+        raise RuntimeError(
+            "this backend exposes no compiled memory analysis; cannot size"
+            " the program (TPU and CPU backends here both do)"
+        )
     return {
         "argument_bytes": int(stats.argument_size_in_bytes),
         "output_bytes": int(stats.output_size_in_bytes),

@@ -545,3 +545,23 @@ def test_policy_pp_mesh_composes_with_sequence_parallel(latents):
     assert all(
         bool(np.isfinite(np.asarray(l)).all()) for l in jax.tree.leaves(g)
     )
+
+
+def test_policy_pp_mesh_single_stage_falls_back_sequential():
+    """pipe axis of size 1 = no pipelining: the sequential path must run,
+    including dropout training (regression: the dropout guard used to fire
+    before the n_stages==1 early-return)."""
+    from perceiverio_pytorch_tpu.config import Policy
+
+    mesh = make_pipeline_mesh(1)
+    enc = _encoder(
+        Policy(pp_mesh=mesh, pp_microbatches=2), dropout_prob=0.1
+    )
+    tokens = jnp.asarray(np.random.RandomState(12).randn(2, 10, D), jnp.float32)
+    lat = jnp.asarray(np.random.RandomState(13).randn(2, N, D), jnp.float32)
+    v = jax.jit(enc.init)(jax.random.PRNGKey(0), tokens, lat)
+    out = enc.apply(
+        v, tokens, lat, deterministic=False,
+        rngs={"dropout": jax.random.PRNGKey(1)},
+    )
+    assert np.isfinite(np.asarray(out)).all()

@@ -466,3 +466,24 @@ def test_prometheus_metrics_endpoint():
     finally:
         front2.stop()
         c.stop()
+
+
+def test_prometheus_metrics_escapes_label_values():
+    """Model names are arbitrary dict keys; quotes/backslashes/newlines in
+    them must be escaped or the scraper rejects the whole response."""
+
+    @jax.jit
+    def ident(x):
+        return x
+
+    s = BatchingServer(ident, max_batch=1)
+    front = HttpFrontend({'evil"name\\x': s}, port=0).start()
+    try:
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{front.port}/metrics", timeout=30
+        ) as resp:
+            text = resp.read().decode()
+        assert 'model="evil\\"name\\\\x"' in text
+    finally:
+        front.stop()
+        s.stop()
