@@ -565,3 +565,49 @@ def test_policy_pp_mesh_single_stage_falls_back_sequential():
         rngs={"dropout": jax.random.PRNGKey(1)},
     )
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_policy_pp_mesh_composes_with_tp_sharded_train_step():
+    """TP + PP: the GSPMD-sharded train step (params per the Megatron TP
+    rules over a (data,model) mesh) wrapping a model whose latent stack
+    pipelines over a separate (data,pipe) mesh. GSPMD reshards at the
+    shard_map boundary; loss descends and stays finite."""
+    import optax
+
+    from perceiverio_pytorch_tpu.config import Policy
+    from perceiverio_pytorch_tpu.models import LanguagePerceiver
+    from perceiverio_pytorch_tpu.parallel import make_mesh
+    from perceiverio_pytorch_tpu.parallel.sharding import batch_sharding
+    from perceiverio_pytorch_tpu.training import (
+        create_sharded_train_state, make_sharded_train_step,
+        masked_token_cross_entropy)
+
+    tp_mesh = make_mesh((2, 4))
+    pp_mesh = make_pipeline_mesh(4, data=2)
+    model = LanguagePerceiver(
+        vocab_size=262, max_seq_len=32, embed_dim=16,
+        num_latents=8, num_latent_channels=32,
+        num_self_attends_per_block=4, num_blocks=1,
+        policy=Policy(pp_mesh=pp_mesh, pp_microbatches=2),
+    )
+    rng = np.random.RandomState(0)
+    tokens = jnp.asarray(rng.randint(6, 262, (4, 32)), jnp.int32)
+    mask = jnp.ones((4, 32), bool)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), tokens, mask)
+
+    def loss_fn(params, tokens, mask):
+        logits = model.apply(params, tokens, mask)
+        return masked_token_cross_entropy(logits, tokens, mask)
+
+    tx = optax.adam(1e-3)
+    state = create_sharded_train_state(params, tx, tp_mesh)
+    step = make_sharded_train_step(
+        loss_fn, tx, tp_mesh, state, num_batch_args=2
+    )
+    tokens = jax.device_put(tokens, batch_sharding(tp_mesh))
+    mask = jax.device_put(mask, batch_sharding(tp_mesh))
+    losses = []
+    for _ in range(2):
+        state, loss = step(state, tokens, mask)
+        losses.append(float(loss))
+    assert losses[1] < losses[0] and all(np.isfinite(losses)), losses
