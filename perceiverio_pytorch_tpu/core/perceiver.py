@@ -114,7 +114,7 @@ class _SelfAttendStack(nn.Module):
 
     def __call__(self, latents, deterministic: bool = True):
         if self._use_pipeline(deterministic):
-            return self._pipelined(latents), ()
+            return self._pipelined(latents, deterministic), ()
         for layer in self.layers:
             latents = layer(latents, deterministic=deterministic)
         return latents, ()
@@ -144,20 +144,20 @@ class _SelfAttendStack(nn.Module):
                 f"{self.num_self_attends} self-attend layers do not divide"
                 f" into {n_stages} pipeline stages"
             )
-        if not deterministic and self.dropout_prob > 0.0:
-            raise ValueError(
-                "pipeline parallelism does not thread dropout rngs through"
-                " stages; train with dropout_prob=0.0 (all shipped configs"
-                " do) or run deterministic"
-            )
         return True
 
-    def _pipelined(self, latents):
+    def _pipelined(self, latents, deterministic: bool = True):
         """GPipe over the distinct layers: every variable collection of the
         per-layer children (params; quant_stats for calibrated int8) is
         stacked on a [n_stages, layers_per_stage] axis and sharded over
         Policy.pp_axis; microbatches stream via ppermute
-        (parallel/pipeline.pipeline_spmd)."""
+        (parallel/pipeline.pipeline_spmd).
+
+        Dropout training works through the pipeline: one base "dropout" key
+        is folded per (block, tick, stage, layer) inside the schedule, so
+        every application site draws an independent mask (the masks differ
+        from the sequential path's flax-derived ones, which is fine --
+        dropout only needs independence, not a particular assignment)."""
         from ..parallel.pipeline import (
             _stage_scan_fn, pipeline_spmd, stack_layer_params)
 
@@ -174,9 +174,20 @@ class _SelfAttendStack(nn.Module):
         }
         stacked = stack_layer_params(per_layer, n_stages)
         layer = self.layers[0].clone(parent=None)
-        stage_fn = _stage_scan_fn(
-            lambda v, h: layer.apply(v, h, deterministic=True)
-        )
+        needs_rng = not deterministic and self.dropout_prob > 0.0
+        if needs_rng:
+            rng = self.make_rng("dropout")
+            stage_fn = _stage_scan_fn(
+                lambda v, h, k: layer.apply(
+                    v, h, deterministic=False, rngs={"dropout": k}
+                ),
+                with_rng=True,
+            )
+        else:
+            rng = None
+            stage_fn = _stage_scan_fn(
+                lambda v, h: layer.apply(v, h, deterministic=True)
+            )
 
         return pipeline_spmd(
             stage_fn,
@@ -185,6 +196,7 @@ class _SelfAttendStack(nn.Module):
             pol.pp_mesh,
             num_microbatches=pol.pp_microbatches,
             axis_name=pol.pp_axis,
+            rng=rng,
         )
 
 

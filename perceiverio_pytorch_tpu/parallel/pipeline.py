@@ -119,14 +119,35 @@ def pp_param_shardings(stacked, mesh: Mesh, axis_name: str = PIPE_AXIS):
     )
 
 
-def _stage_scan_fn(layer_apply: Callable[[Any, jnp.ndarray], jnp.ndarray]):
-    """Stage body: fold the device's [layers_per_stage, ...] params over x."""
+def _stage_scan_fn(
+    layer_apply: Callable[..., jnp.ndarray], with_rng: bool = False
+):
+    """Stage body: fold the device's [layers_per_stage, ...] params over x.
 
-    def stage_fn(local_params, x):
-        def body(h, p):
-            return layer_apply(p, h), None
+    With ``with_rng`` the returned stage_fn takes a third argument -- the
+    per-(tick, stage) PRNG key minted by ``pipeline_spmd`` -- and hands each
+    local layer a distinct ``fold_in(key, layer_idx)``, so every dropout
+    application site in the pipelined stack draws an independent mask.
+    """
+    if not with_rng:
 
-        y, _ = jax.lax.scan(body, x, local_params)
+        def stage_fn(local_params, x):
+            def body(h, p):
+                return layer_apply(p, h), None
+
+            y, _ = jax.lax.scan(body, x, local_params)
+            return y
+
+        return stage_fn
+
+    def stage_fn(local_params, x, key):
+        per = jax.tree.leaves(local_params)[0].shape[0]
+
+        def body(h, p_i):
+            p, i = p_i
+            return layer_apply(p, h, jax.random.fold_in(key, i)), None
+
+        y, _ = jax.lax.scan(body, x, (local_params, jnp.arange(per)))
         return y
 
     return stage_fn
@@ -142,13 +163,15 @@ def pipeline_spmd(
     axis_name: str = PIPE_AXIS,
     batch_axis: Optional[str] = "data",
     num_blocks: int = 1,
+    rng: Optional[jax.Array] = None,
 ) -> jnp.ndarray:
     """Run ``x`` through a depth-sharded stack with the GPipe schedule.
 
     Args:
       stage_fn: ``(local_stage_params, x_mb) -> y_mb``; applied by every
         device to its own stage slice.  Must preserve shape/dtype (residual
-        stacks do).
+        stacks do).  When ``rng`` is given the signature becomes
+        ``(local_stage_params, x_mb, key) -> y_mb``.
       stage_params: pytree with leading [n_stages] axis on every leaf
         (see stack_layer_params), sharded over ``axis_name``.
       x: [B, ...] activations; B must divide into ``num_microbatches``.
@@ -159,14 +182,19 @@ def pipeline_spmd(
         (PerceiverEncoder num_blocks): the full pipeline pass is re-entered
         with shared weights, matching the reference's block loop
         (perceiver.py:104-106).
+      rng: optional base PRNG key for stochastic stage bodies (dropout
+        training).  Each schedule tick hands ``stage_fn`` a device-varying
+        ``fold_in(fold_in(fold_in(rng, block), tick), stage_idx)`` key, so
+        every (block, microbatch, stage) application draws independent
+        randomness; warm-up/drain ticks burn keys on garbage that the write
+        mask discards, which is harmless.
 
     Returns:
       [B, ...] outputs, microbatch order preserved.
 
     Differentiable: the schedule is scan + ppermute + masked updates, all
-    with exact AD rules, so this drops into a pp-sharded train step as-is.
-    Dropout is not threaded through stages -- run deterministic stacks (all
-    shipped configs use dropout 0.0).
+    with exact AD rules, so this drops into a pp-sharded train step as-is
+    (dropout masks are data derived from ``rng``; AD flows through them).
     """
     n_stages = mesh.shape[axis_name]
     b = x.shape[0]
@@ -183,8 +211,9 @@ def pipeline_spmd(
 
     x_spec = P(None, batch_axis)
     param_specs = jax.tree.map(lambda _: P(axis_name), stage_params)
+    has_rng = rng is not None
 
-    def body(params_local, xs):
+    def body(params_local, xs, key):
         params_local = jax.tree.map(lambda a: jnp.squeeze(a, 0), params_local)
         idx = jax.lax.axis_index(axis_name)
         n_ticks = num_microbatches + n_stages - 1
@@ -203,7 +232,13 @@ def pipeline_spmd(
             # discarded by the write mask below -- drain ticks)
             inject = xs[jnp.minimum(t, num_microbatches - 1)]
             h = jnp.where(idx == 0, inject, state)
-            y = stage_fn(params_local, h)
+            if has_rng:
+                y = stage_fn(
+                    params_local, h,
+                    jax.random.fold_in(jax.random.fold_in(key, t), idx),
+                )
+            else:
+                y = stage_fn(params_local, h)
             # the last stage emits microbatch t-(n_stages-1) once the
             # pipeline is full; earlier ticks are warm-up garbage
             out_t = jnp.clip(t - (n_stages - 1), 0, num_microbatches - 1)
@@ -225,11 +260,16 @@ def pipeline_spmd(
         return outputs
 
     fn = jax.shard_map(
-        body, mesh=mesh, in_specs=(param_specs, x_spec), out_specs=x_spec
+        body, mesh=mesh, in_specs=(param_specs, x_spec, P()),
+        out_specs=x_spec,
     )
     out = xs
-    for _ in range(num_blocks):
-        out = fn(stage_params, out)
+    for blk in range(num_blocks):
+        key = (
+            jax.random.fold_in(rng, blk) if has_rng
+            else jax.random.PRNGKey(0)
+        )
+        out = fn(stage_params, out, key)
     return out.reshape(b, *x.shape[1:])
 
 
@@ -244,6 +284,7 @@ def pipelined_self_attends(
     batch_axis: Optional[str] = "data",
     num_blocks: int = 1,
     stacked: bool = False,
+    dropout_rng: Optional[jax.Array] = None,
 ) -> jnp.ndarray:
     """Apply an encoder's distinct-layer self-attend stack as a pipeline.
 
@@ -255,19 +296,32 @@ def pipelined_self_attends(
         ``stacked=True`` (pass the stacked form when calling from a jitted
         train step so stacking cost isn't re-traced).
       latents: [B, N, D].
+      dropout_rng: when given, layers run non-deterministic and each
+        (microbatch, stage, layer) application draws an independent dropout
+        key folded from it (training through the pipeline).
 
     Returns:
-      [B, N, D], numerically equal to applying the layers sequentially.
+      [B, N, D], numerically equal to applying the layers sequentially
+      (modulo dropout-mask assignment when ``dropout_rng`` is given: masks
+      are keyed by schedule position, not by the sequential layer order).
     """
     stage_params = (
         layer_params if stacked
         else stack_layer_params(layer_params, mesh.shape[axis_name])
     )
-    stage_fn = _stage_scan_fn(
-        lambda p, h: layer.apply({"params": p}, h, deterministic=True)
-    )
+    if dropout_rng is not None:
+        stage_fn = _stage_scan_fn(
+            lambda p, h, k: layer.apply(
+                {"params": p}, h, deterministic=False, rngs={"dropout": k}
+            ),
+            with_rng=True,
+        )
+    else:
+        stage_fn = _stage_scan_fn(
+            lambda p, h: layer.apply({"params": p}, h, deterministic=True)
+        )
     return pipeline_spmd(
         stage_fn, stage_params, latents, mesh,
         num_microbatches=num_microbatches, axis_name=axis_name,
-        batch_axis=batch_axis, num_blocks=num_blocks,
+        batch_axis=batch_axis, num_blocks=num_blocks, rng=dropout_rng,
     )

@@ -261,14 +261,83 @@ def test_policy_pp_mesh_guards(latents):
     with pytest.raises(ValueError, match="stages"):
         bad.apply(variables, tokens, latents)
 
-    # dropout rngs are not threaded through stages
-    drop = _encoder(Policy(pp_mesh=mesh), dropout_prob=0.1)
+
+def test_policy_pp_mesh_dropout_training(latents):
+    """Dropout trains THROUGH the pipeline: per-(tick, stage, layer) keys are
+    folded from the "dropout" rng inside the GPipe scan.  Reproducible for a
+    fixed rng, different across rngs, and actually dropping (differs from the
+    deterministic pass)."""
+    from perceiverio_pytorch_tpu.config import Policy
+
+    tokens = jnp.asarray(np.random.RandomState(7).randn(B, 10, D), jnp.float32)
+    mesh = make_pipeline_mesh(4)
+    drop = _encoder(Policy(pp_mesh=mesh, pp_microbatches=2), dropout_prob=0.3)
     dvars = jax.jit(drop.init)(jax.random.PRNGKey(0), tokens, latents)
-    with pytest.raises(ValueError, match="dropout"):
-        drop.apply(
+
+    def run(seed):
+        return drop.apply(
             dvars, tokens, latents, deterministic=False,
-            rngs={"dropout": jax.random.PRNGKey(1)},
+            rngs={"dropout": jax.random.PRNGKey(seed)},
         )
+
+    a1, a2, b = run(1), run(1), run(2)
+    det = drop.apply(dvars, tokens, latents)
+    np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
+    assert not np.allclose(np.asarray(a1), np.asarray(b))
+    assert not np.allclose(np.asarray(a1), np.asarray(det))
+    assert np.all(np.isfinite(np.asarray(a1)))
+
+
+def test_policy_pp_mesh_dropout_gradients(latents):
+    """A dropout training step through the pipelined route yields finite
+    grads for every param (the dropout masks are data; AD flows through)."""
+    from perceiverio_pytorch_tpu.config import Policy
+
+    tokens = jnp.asarray(np.random.RandomState(8).randn(B, 10, D), jnp.float32)
+    mesh = make_pipeline_mesh(4)
+    drop = _encoder(Policy(pp_mesh=mesh, pp_microbatches=2), dropout_prob=0.2)
+    dvars = jax.jit(drop.init)(jax.random.PRNGKey(0), tokens, latents)
+
+    def loss(params):
+        out = drop.apply(
+            {"params": params}, tokens, latents, deterministic=False,
+            rngs={"dropout": jax.random.PRNGKey(3)},
+        )
+        return jnp.sum(out**2)
+
+    g = jax.jit(jax.grad(loss))(dvars["params"])
+    leaves = jax.tree.leaves(g)
+    assert leaves and all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
+    # the pipelined stack's params all receive gradient signal
+    stack_g = jax.tree.leaves(g["self_attends"])
+    assert all(np.any(np.asarray(l) != 0) for l in stack_g)
+
+
+def test_pipeline_dropout_masks_independent_per_microbatch(stack):
+    """Two identical rows placed in DIFFERENT microbatches must draw
+    different dropout masks (per-tick key folding), so their outputs differ;
+    the deterministic pass maps them identically."""
+    layer, params = stack
+    mesh = make_pipeline_mesh(4)
+    row = np.random.RandomState(9).randn(1, N, D)
+    x = jnp.asarray(np.tile(row, (B, 1, 1)), jnp.float32)
+
+    det = pipelined_self_attends(layer, params, x, mesh, num_microbatches=4)
+    det = np.asarray(det)
+    np.testing.assert_allclose(det[0], det[-1], rtol=1e-6, atol=1e-6)
+
+    # same param tree, dropout enabled (nn.Dropout holds no params)
+    layer_d = SelfAttention(
+        in_channels=D, num_heads=4, widening_factor=1, dropout_prob=0.4
+    )
+    got = pipelined_self_attends(
+        layer_d, params, x, mesh, num_microbatches=4,
+        dropout_rng=jax.random.PRNGKey(0),
+    )
+    got = np.asarray(got)
+    # rows 0 and 7 sit in microbatches 0 and 3 -> independent masks
+    assert not np.allclose(got[0], got[-1])
+    assert np.all(np.isfinite(got))
 
 
 def test_generic_pipeline_spmd_stage_fn():
@@ -512,6 +581,43 @@ def test_policy_pp_mesh_full_train_step():
         state, loss = step(state, tokens, mask)
         losses.append(float(loss))
     assert losses[2] < losses[0], losses
+
+
+def test_policy_pp_mesh_dropout_train_step(latents):
+    """Dropout training through the PP route in the standard donated train
+    step: the per-step rng rides along as a batch arg and the model draws
+    its pipelined per-site keys from it."""
+    import optax
+
+    from perceiverio_pytorch_tpu.config import Policy
+    from perceiverio_pytorch_tpu.training import (
+        create_train_state, make_train_step)
+
+    tokens = jnp.asarray(np.random.RandomState(12).randn(B, 10, D),
+                         jnp.float32)
+    mesh = make_pipeline_mesh(4)
+    enc = _encoder(Policy(pp_mesh=mesh, pp_microbatches=2), dropout_prob=0.1)
+    variables = jax.jit(enc.init)(jax.random.PRNGKey(0), tokens, latents)
+
+    def loss_fn(params, tokens, latents, rng):
+        out = enc.apply(
+            {"params": params}, tokens, latents, deterministic=False,
+            rngs={"dropout": rng},
+        )
+        return jnp.mean(out**2)
+
+    tx = optax.sgd(1e-2)
+    step = make_train_step(loss_fn, tx)
+    state = create_train_state(variables["params"], tx)
+    p0 = jax.tree.map(np.asarray, state.params)
+    key = jax.random.PRNGKey(7)
+    for i in range(2):
+        state, loss = step(state, tokens, latents, jax.random.fold_in(key, i))
+        assert np.isfinite(float(loss))
+    moved = jax.tree.map(
+        lambda a, b: np.any(np.asarray(a) != b), state.params, p0
+    )
+    assert all(jax.tree.leaves(moved))
 
 
 def test_policy_pp_mesh_composes_with_sequence_parallel(latents):
