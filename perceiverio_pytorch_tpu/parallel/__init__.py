@@ -6,6 +6,7 @@ from perceiverio_pytorch_tpu.parallel.mesh import (  # noqa: F401
 )
 from perceiverio_pytorch_tpu.parallel.sharding import (  # noqa: F401
     batch_sharding,
+    fsdp_param_partition_spec,
     param_partition_spec,
     replicated,
     shard_variables,
@@ -26,6 +27,7 @@ from perceiverio_pytorch_tpu.parallel.pipeline import (  # noqa: F401
     pp_param_shardings,
     stack_layer_params,
     unstack_layer_params,
+    unstack_layer_params_circular,
 )
 from perceiverio_pytorch_tpu.parallel.multihost import (  # noqa: F401
     initialize_distributed,

@@ -46,22 +46,68 @@ def param_partition_spec(path: Tuple[str, ...], value) -> P:
     return P()
 
 
-def shard_variables(variables, mesh: Mesh):
-    """Place a variables pytree on the mesh according to the TP rules."""
+def fsdp_param_partition_spec(
+    path: Tuple[str, ...], value, data_size: int, base: P = None
+) -> P:
+    """Compose ZeRO-3 (FSDP) sharding onto a base TP spec.
+
+    The reference has no distributed training of any kind (SURVEY.md 2.3);
+    FSDP is the TPU-native memory-scaling axis for data-parallel training:
+    every >=2-D parameter gets its largest still-unsharded, divisible dim
+    sharded over the DATA axis, so each replica HOLDS 1/data_size of the
+    weights (and, with the train-state builder's out-sharding constraints,
+    of the optimizer moments).  GSPMD inserts the all-gather before each
+    use and the reduce-scatter on the grads -- no hand-written collectives.
+
+    1-D params (biases, layer-norm scales) stay on their base spec: the
+    per-use all-gather latency outweighs the trivial memory they hold.
+    """
+    base = base if base is not None else param_partition_spec(path, value)
+    if value.ndim < 2 or data_size <= 1:
+        return base
+    spec = list(base) + [None] * (value.ndim - len(base))
+    candidates = [
+        d for d in range(value.ndim)
+        if spec[d] is None
+        and value.shape[d] > 0  # zero-size pads (e.g. pos_embs [1, 0])
+        and value.shape[d] % data_size == 0
+    ]
+    if not candidates:
+        return base
+    best = max(candidates, key=lambda d: value.shape[d])
+    spec[best] = DATA_AXIS
+    return P(*spec)
+
+
+def shard_variables(variables, mesh: Mesh, fsdp: bool = False):
+    """Place a variables pytree on the mesh according to the TP rules
+    (+ ZeRO-3 data-axis weight sharding with ``fsdp=True``)."""
     # single source of truth for the rule walk: variables_shardings
     return jax.tree_util.tree_map(
-        jax.device_put, variables, variables_shardings(variables, mesh)
+        jax.device_put, variables, variables_shardings(variables, mesh, fsdp=fsdp)
     )
 
 
-def variables_shardings(variables, mesh: Mesh):
-    """NamedSharding pytree matching ``variables`` (for jit in_shardings)."""
+def variables_shardings(variables, mesh: Mesh, fsdp: bool = False):
+    """NamedSharding pytree matching ``variables`` (for jit in_shardings).
+
+    ``fsdp=True`` composes ZeRO-3 weight sharding over the data axis onto
+    the TP rules (fsdp_param_partition_spec).
+    """
+    data_size = mesh.shape.get(DATA_AXIS, 1)
     out = {}
     for collection, tree in variables.items():
         flat = flatten_dict(tree)
         new_flat = {}
         for path, value in flat.items():
-            spec = param_partition_spec(path, value) if collection == "params" else P()
+            if collection == "params":
+                spec = param_partition_spec(path, value)
+                if fsdp:
+                    spec = fsdp_param_partition_spec(
+                        path, value, data_size, base=spec
+                    )
+            else:
+                spec = P()
             new_flat[path] = NamedSharding(mesh, spec)
         out[collection] = unflatten_dict(new_flat)
     return out

@@ -11,6 +11,7 @@ from perceiverio_pytorch_tpu.training.trainer import (  # noqa: F401
     make_multi_step,
     make_sharded_train_step,
     make_train_step,
+    opt_state_shardings,
     param_shardings,
 )
 from perceiverio_pytorch_tpu.training.loop import (  # noqa: F401

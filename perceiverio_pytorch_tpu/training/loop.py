@@ -118,6 +118,8 @@ class Trainer:
       tx: optax optimizer (see training.optim.build_optimizer for schedules,
         clipping, and gradient accumulation).
       mesh: optional device mesh; enables DP/TP sharded stepping.
+      fsdp: with a mesh, also shard weights + optimizer moments over the
+        data axis (ZeRO-3; parallel/sharding.fsdp_param_partition_spec).
       num_batch_args: arity of each batch tuple (sharded case only).
       eval_fn: optional ``eval_fn(params, *batch) -> scalar`` (or with
         model_state, mirroring loss_fn's signature minus the aux return);
@@ -162,6 +164,7 @@ class Trainer:
         loss_fn: Callable,
         tx: optax.GradientTransformation,
         mesh: Optional[Mesh] = None,
+        fsdp: bool = False,
         num_batch_args: int = 1,
         metrics_path: Optional[str] = None,
         log_every: int = 10,
@@ -181,6 +184,7 @@ class Trainer:
         self.loss_fn = loss_fn
         self.tx = tx
         self.mesh = mesh
+        self.fsdp = bool(fsdp)
         self.num_batch_args = num_batch_args
         self.with_model_state = with_model_state
         self.logger = MetricsLogger(metrics_path)
@@ -208,7 +212,7 @@ class Trainer:
         if self.mesh is not None:
             return create_sharded_train_state(
                 params, self.tx, self.mesh, model_state=model_state,
-                ema_decay=self.ema_decay,
+                ema_decay=self.ema_decay, fsdp=self.fsdp,
             )
         return create_train_state(
             params, self.tx, model_state=model_state, ema_decay=self.ema_decay

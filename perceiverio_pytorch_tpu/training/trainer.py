@@ -190,12 +190,54 @@ def make_multi_step(
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
-def param_shardings(params, mesh: Mesh):
-    """NamedSharding pytree for a params tree from the TP partition rules."""
+def param_shardings(params, mesh: Mesh, fsdp: bool = False):
+    """NamedSharding pytree for a params tree from the TP partition rules
+    (+ ZeRO-3 data-axis weight sharding with ``fsdp=True``)."""
     from perceiverio_pytorch_tpu.parallel.sharding import variables_shardings
 
     # delegate so the rule walk has one home (parallel/sharding.py)
-    return variables_shardings({"params": params}, mesh)["params"]
+    return variables_shardings({"params": params}, mesh, fsdp=fsdp)["params"]
+
+
+def opt_state_shardings(tx, params, p_sh, mesh: Mesh):
+    """NamedSharding pytree for ``tx.init(params)`` mirroring the params'.
+
+    Optimizer moments (adam mu/nu, momentum trace, MultiSteps accumulators)
+    embed copies of the params tree, so any opt-state leaf whose key path
+    ends with a param's key path (and matches its shape) takes that param's
+    sharding; everything else (step counts, scalars) is replicated.  Needed
+    because GSPMD does NOT propagate input shardings into jit outputs --
+    ``tx.init`` must be constrained with explicit out_shardings or the
+    moments come back replicated, silently forfeiting TP/FSDP memory scaling
+    on the optimizer state (2x the param bytes for adam).
+    """
+    repl = NamedSharding(mesh, P())
+    p_flat, _ = jax.tree_util.tree_flatten_with_path(params)
+    sh_flat = jax.tree_util.tree_leaves(p_sh)
+    by_path = [
+        (tuple(path), leaf.shape, sh)
+        for (path, leaf), sh in zip(p_flat, sh_flat)
+    ]
+    abstract = jax.eval_shape(tx.init, params)
+    q_flat, q_def = jax.tree_util.tree_flatten_with_path(abstract)
+
+    def pick(qpath, leaf):
+        qpath = tuple(qpath)
+        best = None
+        for path, shape, sh in by_path:
+            n = len(path)
+            if (
+                len(qpath) >= n
+                and qpath[-n:] == path
+                and getattr(leaf, "shape", None) == shape
+            ):
+                if best is None or n > best[0]:
+                    best = (n, sh)
+        return best[1] if best else repl
+
+    return jax.tree_util.tree_unflatten(
+        q_def, [pick(p, l) for p, l in q_flat]
+    )
 
 
 def create_sharded_train_state(
@@ -204,30 +246,30 @@ def create_sharded_train_state(
     mesh: Mesh,
     model_state: Any = None,
     ema_decay: Any = None,
+    fsdp: bool = False,
 ) -> TrainState:
     """Place params per the TP rules and build the optimizer state on-mesh.
 
-    ``tx.init`` runs jitted with the params' shardings as inputs; GSPMD
-    propagates them into the same-shaped moment tensors, so adam state is
-    sharded exactly like its params without hand-written rules.
-    ``model_state`` (e.g. BatchNorm batch_stats -- small per-channel
-    vectors) is replicated across the mesh.
+    ``tx.init`` runs jitted with the params' shardings as inputs AND
+    explicit matching out_shardings (opt_state_shardings) -- GSPMD does not
+    propagate input shardings into jit outputs, so without the constraint
+    adam moments would come back replicated.  ``model_state`` (e.g.
+    BatchNorm batch_stats -- small per-channel vectors) is replicated
+    across the mesh.
+
+    ``fsdp=True`` composes ZeRO-3 weight sharding over the data axis onto
+    the TP rules: each replica holds 1/data of every >=2-D param and its
+    optimizer moments (parallel/sharding.fsdp_param_partition_spec); XLA
+    all-gathers weights at use and reduce-scatters grads.
     """
-    p_sh = param_shardings(params, mesh)
+    p_sh = param_shardings(params, mesh, fsdp=fsdp)
     params = jax.tree_util.tree_map(
         lambda v, s: jax.device_put(v, s), params, p_sh
     )
-    opt_state = jax.jit(tx.init, in_shardings=(p_sh,))(params)
-    # Scalar leaves (e.g. adam's step count) come back single-device from the
-    # unconstrained init; replicate anything not already on the full mesh.
-    mesh_devices = set(mesh.devices.flat)
-
-    def _ensure_on_mesh(leaf):
-        if set(leaf.sharding.device_set) != mesh_devices:
-            return jax.device_put(leaf, NamedSharding(mesh, P()))
-        return leaf
-
-    opt_state = jax.tree_util.tree_map(_ensure_on_mesh, opt_state)
+    opt_sh = opt_state_shardings(tx, params, p_sh, mesh)
+    opt_state = jax.jit(
+        tx.init, in_shardings=(p_sh,), out_shardings=opt_sh
+    )(params)
     if model_state is not None:
         model_state = jax.tree_util.tree_map(
             lambda v: jax.device_put(v, NamedSharding(mesh, P())), model_state

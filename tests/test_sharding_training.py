@@ -109,6 +109,120 @@ def test_tp_params_actually_sharded():
     assert (full[0], full[1] // 2) in shard_shapes
 
 
+def _proj_q(tree):
+    return tree["params"]["perceiver"]["encoder"]["self_attends"]["0"][
+        "attention"
+    ]["proj_q"]["kernel"]
+
+
+def test_optimizer_moments_sharded_like_params():
+    """Regression: GSPMD does not propagate input shardings into jit
+    outputs, so tx.init must be constrained with explicit out_shardings
+    (trainer.opt_state_shardings) -- without it adam moments come back
+    replicated, forfeiting TP/FSDP memory scaling on 2x the param bytes."""
+    model = LanguagePerceiver(**TINY)
+    tokens, mask = _make_batch()
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), tokens, mask)
+    mesh = make_mesh((4, 2))
+    state = create_sharded_train_state(params, optax.adam(1e-3), mesh)
+    kernel = _proj_q(state.params)
+    mu = _proj_q(state.opt_state[0].mu)
+    nu = _proj_q(state.opt_state[0].nu)
+    assert mu.sharding == kernel.sharding
+    assert nu.sharding == kernel.sharding
+    # and the sharding is real: column-parallel split over the model axis
+    assert {tuple(s.data.shape) for s in mu.addressable_shards} == {
+        (kernel.shape[0], kernel.shape[1] // 2)
+    }
+
+
+@pytest.mark.parametrize("mesh_shape", [(8, 1), (4, 2)])
+def test_fsdp_train_step_matches_single_device(mesh_shape):
+    """ZeRO-3: params + adam moments sharded over the data axis (composing
+    with TP on (4,2)); one train step matches the unsharded step."""
+    model = LanguagePerceiver(**TINY)
+    tokens, mask = _make_batch()
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), tokens, mask)
+
+    def loss_fn(params, tokens, mask):
+        logits = model.apply(params, tokens, mask)
+        return masked_token_cross_entropy(logits, tokens, mask)
+
+    tx = optax.sgd(1e-2)  # linear in grads: reduction-order noise stays eps
+    mesh = make_mesh(mesh_shape)
+    state = create_sharded_train_state(params, tx, mesh, fsdp=True)
+    step = make_sharded_train_step(
+        loss_fn, tx, mesh, state, num_batch_args=2, donate=False
+    )
+
+    ref_state = create_train_state(params, tx)
+    ref_step = make_train_step(loss_fn, tx, donate=False)
+
+    state, loss = step(state, tokens, mask)
+    ref_state, ref_loss = ref_step(ref_state, tokens, mask)
+    np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-5)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state.params),
+        jax.tree_util.tree_leaves(ref_state.params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
+        )
+
+
+def test_fsdp_params_and_moments_actually_sharded():
+    """Each replica holds 1/data of every >=2-D param AND its moments; 1-D
+    params (biases, LN scales) stay replicated."""
+    from flax.traverse_util import flatten_dict
+
+    model = LanguagePerceiver(**TINY)
+    tokens, mask = _make_batch()
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), tokens, mask)
+    mesh = make_mesh((4, 2))
+    state = create_sharded_train_state(
+        params, optax.adam(1e-3), mesh, fsdp=True
+    )
+    kernel = _proj_q(state.params)
+    # TP column-parallel + FSDP on the in dim: P('data', 'model')
+    assert {tuple(s.data.shape) for s in kernel.addressable_shards} == {
+        (kernel.shape[0] // 4, kernel.shape[1] // 2)
+    }
+    mu = _proj_q(state.opt_state[0].mu)
+    assert mu.sharding == kernel.sharding
+
+    for path, leaf in flatten_dict(state.params["params"]).items():
+        shard_elems = max(
+            int(np.prod(s.data.shape)) for s in leaf.addressable_shards
+        )
+        if (
+            leaf.size > 0
+            and leaf.ndim >= 2
+            and any(d > 0 and d % 4 == 0 for d in leaf.shape)
+        ):
+            assert shard_elems < leaf.size, path  # actually sharded
+        if leaf.ndim < 2:
+            # FSDP adds no data-axis sharding to 1-D params (TP may still
+            # shard column-parallel biases over the model axis)
+            assert "data" not in tuple(leaf.sharding.spec), path
+
+
+def test_fsdp_with_multisteps_accumulators_sharded():
+    """MultiSteps' grad accumulators embed a params-tree copy; the suffix
+    path matching in opt_state_shardings shards them like the params."""
+    model = LanguagePerceiver(**TINY)
+    tokens, mask = _make_batch()
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), tokens, mask)
+    mesh = make_mesh((8, 1))
+    tx = optax.MultiSteps(optax.adam(1e-3), every_k_schedule=2)
+    state = create_sharded_train_state(params, tx, mesh, fsdp=True)
+    acc = _proj_q(state.opt_state.acc_grads)
+    kernel = _proj_q(state.params)
+    assert acc.sharding == kernel.sharding
+    assert {tuple(s.data.shape) for s in acc.addressable_shards} != {
+        tuple(kernel.shape)
+    }
+
+
 def test_default_mesh_shape():
     assert default_mesh_shape(8) == (4, 2)
     assert default_mesh_shape(2) == (2, 1)

@@ -300,6 +300,48 @@ def test_trainer_eval_hook(tmp_path):
     assert len(evals) == 2 and all(np.isfinite(e["eval_loss"]) for e in evals)
 
 
+def test_trainer_fsdp_fit_and_checkpoint_roundtrip(tmp_path):
+    """Trainer(fsdp=True): ZeRO-3-sharded weights + moments train through
+    fit() and survive the Orbax round trip into an equally-sharded
+    template."""
+    import optax
+    from perceiverio_pytorch_tpu.parallel import make_mesh
+    from perceiverio_pytorch_tpu.training.checkpoint import (
+        restore_train_state,
+        save_train_state,
+    )
+
+    def loss_fn(params, x, y):
+        return jnp.mean((x @ params["w"] - y) ** 2)
+
+    mesh = make_mesh((8, 1))
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(16, 4), jnp.float32)
+    y = jnp.asarray(rng.randn(16, 8), jnp.float32)
+    params = {"w": rng.randn(4, 8).astype(np.float32)}
+
+    trainer = Trainer(
+        loss_fn, optax.adam(1e-3), mesh=mesh, fsdp=True, num_batch_args=2,
+        log_every=100,
+    )
+    state = trainer.init_state(params)
+    spec = state.params["w"].sharding.spec
+    assert "data" in tuple(spec), spec
+    assert state.opt_state[0].mu["w"].sharding == state.params["w"].sharding
+
+    state = trainer.fit(state, iter([(x, y)] * 3), num_steps=3)
+    assert int(state.step) == 3
+
+    path = str(tmp_path / "fsdp_ckpt")
+    save_train_state(path, state)
+    template = trainer.init_state(params)
+    restored = restore_train_state(path, template)
+    np.testing.assert_array_equal(
+        np.asarray(restored.params["w"]), np.asarray(state.params["w"])
+    )
+    assert restored.params["w"].sharding == state.params["w"].sharding
+
+
 def test_checkpoint_roundtrip_with_model_state(tmp_path):
     """TrainState.model_state (BatchNorm stats) must survive the Orbax
     round trip; legacy states without model_state still restore."""
