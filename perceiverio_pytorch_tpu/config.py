@@ -133,12 +133,18 @@ class Policy:
     # Composes with data parallelism when the mesh also has a "data" axis.
     # Weight-shared block repeats (num_blocks > 1) re-enter the pipeline
     # with shared weights.  Numerically exact vs the sequential stack;
-    # differentiable (drops into a jitted train step as-is).  Dropout is
-    # not threaded through stages: training stacks must use dropout 0.0
-    # (all shipped configs do) or run deterministic.
+    # differentiable (drops into a jitted train step as-is).  Dropout
+    # training works: per-site keys are folded from the "dropout" rng
+    # inside the schedule.  pp_circ_repeats > 1 switches to the CIRCULAR
+    # (interleaved) schedule -- each device holds that many round-robin
+    # layer groups and microbatches cycle the ring that many times,
+    # shrinking the pipeline bubble v-fold ((S-1)/(v*M+S-1)); requires
+    # pp_microbatches >= the pipe axis size and layer count divisible by
+    # stages * repeats.
     pp_mesh: Optional[Mesh] = None
     pp_axis: str = "pipe"
     pp_microbatches: int = 2
+    pp_circ_repeats: int = 1
     # Selective rematerialisation: when a model is built with remat=True,
     # this names a jax.checkpoint_policies entry controlling WHAT the
     # wrapped block stacks save for the backward pass.  None = full remat

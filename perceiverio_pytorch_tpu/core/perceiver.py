@@ -139,10 +139,14 @@ class _SelfAttendStack(nn.Module):
         n_stages = pol.pp_mesh.shape[pol.pp_axis]
         if n_stages <= 1:
             return False  # sequential path; it handles dropout fine
-        if self.num_self_attends % n_stages:
+        if self.num_self_attends % (n_stages * pol.pp_circ_repeats):
             raise ValueError(
                 f"{self.num_self_attends} self-attend layers do not divide"
                 f" into {n_stages} pipeline stages"
+                + (
+                    f" x {pol.pp_circ_repeats} circular repeats"
+                    if pol.pp_circ_repeats > 1 else ""
+                )
             )
         return True
 
@@ -172,7 +176,9 @@ class _SelfAttendStack(nn.Module):
             }
             for i in range(self.num_self_attends)
         }
-        stacked = stack_layer_params(per_layer, n_stages)
+        stacked = stack_layer_params(
+            per_layer, n_stages, circ_repeats=pol.pp_circ_repeats
+        )
         layer = self.layers[0].clone(parent=None)
         needs_rng = not deterministic and self.dropout_prob > 0.0
         if needs_rng:
@@ -197,6 +203,7 @@ class _SelfAttendStack(nn.Module):
             num_microbatches=pol.pp_microbatches,
             axis_name=pol.pp_axis,
             rng=rng,
+            circ_repeats=pol.pp_circ_repeats,
         )
 
 

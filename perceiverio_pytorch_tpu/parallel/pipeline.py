@@ -52,47 +52,90 @@ def make_pipeline_mesh(n_stages: int, *, data: int = 1,
     return Mesh(arr, ("data", PIPE_AXIS))
 
 
-def stack_layer_params(layer_params: dict, n_stages: int):
+def stack_layer_params(layer_params: dict, n_stages: int,
+                       circ_repeats: int = 1):
     """Stack per-layer param subtrees into a pipeline-shardable pytree.
 
     Args:
       layer_params: ``{"0": subtree, "1": subtree, ...}`` -- the children of
         the encoder's ``self_attends`` collection (one identical-structure
         subtree per distinct self-attention layer, core/perceiver.py:100-113).
-      n_stages: number of pipeline stages; must divide the layer count.
+      n_stages: number of pipeline stages; with ``circ_repeats`` they must
+        jointly divide the layer count.
+      circ_repeats: virtual stages per device for the circular (interleaved)
+        schedule.  Layers are assigned round-robin: virtual stage
+        ``k = g*n_stages + s`` (repeat ``g``, device ``s``) holds layers
+        ``[k*per, (k+1)*per)``, so a microbatch visits the devices in ring
+        order ``circ_repeats`` times and still sees the layers in order.
 
     Returns:
-      A pytree with leaves of shape [n_stages, layers_per_stage, ...]; dim 0
-      is sharded over the ``pipe`` mesh axis, dim 1 is scanned locally by
-      the stage body.
+      ``circ_repeats == 1``: leaves [n_stages, layers_per_stage, ...] (dim 0
+      sharded over the ``pipe`` axis, dim 1 scanned by the stage body).
+      ``circ_repeats > 1``: leaves [n_stages, circ_repeats, per, ...]
+      where [s, g] is device s's g-th layer group.
     """
     names = sorted(layer_params, key=int)
     n_layers = len(names)
-    if n_layers % n_stages:
+    if n_layers % (n_stages * circ_repeats):
         raise ValueError(
             f"{n_layers} layers do not divide into {n_stages} stages"
+            + (f" x {circ_repeats} circular repeats" if circ_repeats > 1
+               else "")
         )
-    per = n_layers // n_stages
+    per = n_layers // (n_stages * circ_repeats)
     stacked = jax.tree.map(
         lambda *leaves: jnp.stack(leaves), *[layer_params[n] for n in names]
     )
+    if circ_repeats == 1:
+        return jax.tree.map(
+            lambda a: a.reshape(n_stages, per, *a.shape[1:]), stacked
+        )
+    # [vstage k, per, ...] -> [g, s, per, ...] -> [s, g, per, ...]
     return jax.tree.map(
-        lambda a: a.reshape(n_stages, per, *a.shape[1:]), stacked
+        lambda a: a.reshape(
+            circ_repeats, n_stages, per, *a.shape[1:]
+        ).swapaxes(0, 1),
+        stacked,
     )
 
 
 def unstack_layer_params(stacked, layer_names=None) -> dict:
-    """Inverse of stack_layer_params: [n_stages, per, ...] -> per-layer dict.
+    """Inverse of stack_layer_params: stacked layout -> per-layer dict.
 
-    Used to map pipeline-layout gradients/updated params back onto the
-    model's original ``self_attends`` tree (e.g. to checkpoint in the
-    portable layout).
+    Handles both layouts: [n_stages, per, ...] (sequential assignment) and
+    [n_stages, circ_repeats, per, ...] (round-robin assignment, leading
+    THREE stacking dims).  Used to map pipeline-layout gradients/updated
+    params back onto the model's original ``self_attends`` tree (e.g. to
+    checkpoint in the portable layout).
+
+    Note: the two layouts are distinguished by the number of stacking dims,
+    which equals ``leaf.ndim - original leaf ndim``; since that is unknown
+    here, pass the circular-stacked tree through
+    ``unstack_layer_params_circular`` instead -- this function assumes the
+    2-dim [n_stages, per] layout.
     """
     leaves = jax.tree.leaves(stacked)
     n_layers = leaves[0].shape[0] * leaves[0].shape[1]
     names = layer_names or [str(i) for i in range(n_layers)]
     flat = jax.tree.map(
         lambda a: a.reshape(n_layers, *a.shape[2:]), stacked
+    )
+    return {
+        name: jax.tree.map(lambda a, i=i: a[i], flat)
+        for i, name in enumerate(names)
+    }
+
+
+def unstack_layer_params_circular(stacked, layer_names=None) -> dict:
+    """Inverse of ``stack_layer_params(..., circ_repeats=v)`` for v > 1:
+    [n_stages, v, per, ...] -> per-layer dict in original layer order."""
+    leaves = jax.tree.leaves(stacked)
+    s, v = leaves[0].shape[0], leaves[0].shape[1]
+    n_layers = s * v * leaves[0].shape[2]
+    names = layer_names or [str(i) for i in range(n_layers)]
+    # [s, g, per, ...] -> [g, s, per, ...] -> [vstage*per, ...]
+    flat = jax.tree.map(
+        lambda a: a.swapaxes(0, 1).reshape(n_layers, *a.shape[3:]), stacked
     )
     return {
         name: jax.tree.map(lambda a, i=i: a[i], flat)
@@ -164,6 +207,7 @@ def pipeline_spmd(
     batch_axis: Optional[str] = "data",
     num_blocks: int = 1,
     rng: Optional[jax.Array] = None,
+    circ_repeats: int = 1,
 ) -> jnp.ndarray:
     """Run ``x`` through a depth-sharded stack with the GPipe schedule.
 
@@ -188,6 +232,16 @@ def pipeline_spmd(
         every (block, microbatch, stage) application draws independent
         randomness; warm-up/drain ticks burn keys on garbage that the write
         mask discards, which is harmless.
+      circ_repeats: > 1 runs the CIRCULAR (interleaved) schedule: each
+        device holds ``circ_repeats`` round-robin layer groups
+        (``stack_layer_params(..., circ_repeats=v)``, leaves
+        [n_stages, v, per, ...]) and every microbatch cycles the ring v
+        times, recirculating from the last stage back into stage 0.  The
+        pipeline bubble shrinks from ``(S-1)/(M+S-1)`` ticks to
+        ``(S-1)/(vM+S-1)`` -- v times less idle ICI/MXU time for the same
+        per-device memory.  Requires ``num_microbatches >= n_stages`` (a
+        recirculating microbatch re-enters stage 0 exactly M ticks after
+        it left it, so the ring must be at least as long as the hop back).
 
     Returns:
       [B, ...] outputs, microbatch order preserved.
@@ -212,6 +266,84 @@ def pipeline_spmd(
     x_spec = P(None, batch_axis)
     param_specs = jax.tree.map(lambda _: P(axis_name), stage_params)
     has_rng = rng is not None
+    if circ_repeats > 1 and num_microbatches < n_stages:
+        raise ValueError(
+            f"the circular schedule needs num_microbatches"
+            f" ({num_microbatches}) >= n_stages ({n_stages}): a microbatch"
+            " re-enters stage 0 exactly num_microbatches ticks after"
+            " leaving it"
+        )
+
+    def body_circular(params_local, xs, key):
+        # local layout [v, per, ...]: the device's circ_repeats layer groups
+        params_local = jax.tree.map(lambda a: jnp.squeeze(a, 0), params_local)
+        idx = jax.lax.axis_index(axis_name)
+        v, total = circ_repeats, circ_repeats * num_microbatches
+        n_ticks = total + n_stages - 1
+        perm = [(i, (i + 1) % n_stages) for i in range(n_stages)]
+
+        state = jax.lax.pcast(
+            jnp.zeros_like(xs[0]), (axis_name,), to="varying"
+        )
+        outputs = jax.lax.pcast(jnp.zeros_like(xs), (axis_name,), to="varying")
+        # stage 0's recirculation buffer: slot m holds microbatch m's
+        # activations between leaving the last stage on repeat g and
+        # re-entering stage 0 on repeat g+1 (single slot per microbatch is
+        # enough: re-entry is exactly M ticks after exit, see docstring)
+        buf = jax.lax.pcast(jnp.zeros_like(xs), (axis_name,), to="varying")
+
+        def tick(carry, t):
+            state, outputs, buf = carry
+            # this device works on stream item u = t - idx (microbatch
+            # u % M on its repeat u // M); out-of-range u is warm-up/drain
+            # garbage discarded by the masks below
+            u = jnp.clip(t - idx, 0, total - 1)
+            m = u % num_microbatches
+            g = u // num_microbatches
+            # stage 0 input: fresh microbatch on repeat 0, recirculated
+            # from the buffer on later repeats
+            first_in = jnp.where(g == 0, xs[m], buf[m])
+            h = jnp.where(idx == 0, first_in, state)
+            p_g = jax.tree.map(
+                lambda a: jax.lax.dynamic_index_in_dim(
+                    a, g, 0, keepdims=False
+                ),
+                params_local,
+            )
+            if has_rng:
+                y = stage_fn(
+                    p_g, h,
+                    jax.random.fold_in(jax.random.fold_in(key, t), idx),
+                )
+            else:
+                y = stage_fn(p_g, h)
+            # the last stage emits microbatch m when it finishes repeat v-1
+            valid = (t - idx >= 0) & (t - idx < total)
+            is_out = valid & (idx == n_stages - 1) & (g == v - 1)
+            written = jax.lax.dynamic_update_slice(
+                outputs, y[None], (m,) + (0,) * y.ndim
+            )
+            outputs = jnp.where(is_out, written, outputs)
+            # ring hop; what stage 0 receives from the last stage was
+            # stream item u_prev = t - (n_stages - 1) -- if it has repeats
+            # left, park it in the buffer for re-entry at tick u_prev + M
+            state = jax.lax.ppermute(y, axis_name, perm)
+            u_prev = t - (n_stages - 1)
+            recirc = (u_prev >= 0) & (u_prev < total - num_microbatches)
+            m_in = jnp.clip(u_prev, 0, total - 1) % num_microbatches
+            buf_written = jax.lax.dynamic_update_slice(
+                buf, state[None], (m_in,) + (0,) * state.ndim
+            )
+            buf = jnp.where(recirc, buf_written, buf)
+            return (state, outputs, buf), None
+
+        (_, outputs, _), _ = jax.lax.scan(
+            tick, (state, outputs, buf), jnp.arange(n_ticks)
+        )
+        outputs = jax.lax.psum(
+            jnp.where(idx == n_stages - 1, outputs, 0), axis_name
+        )
+        return outputs
 
     def body(params_local, xs, key):
         params_local = jax.tree.map(lambda a: jnp.squeeze(a, 0), params_local)
@@ -260,7 +392,8 @@ def pipeline_spmd(
         return outputs
 
     fn = jax.shard_map(
-        body, mesh=mesh, in_specs=(param_specs, x_spec, P()),
+        body_circular if circ_repeats > 1 else body, mesh=mesh,
+        in_specs=(param_specs, x_spec, P()),
         out_specs=x_spec,
     )
     out = xs
@@ -285,6 +418,7 @@ def pipelined_self_attends(
     num_blocks: int = 1,
     stacked: bool = False,
     dropout_rng: Optional[jax.Array] = None,
+    circ_repeats: int = 1,
 ) -> jnp.ndarray:
     """Apply an encoder's distinct-layer self-attend stack as a pipeline.
 
@@ -299,6 +433,9 @@ def pipelined_self_attends(
       dropout_rng: when given, layers run non-deterministic and each
         (microbatch, stage, layer) application draws an independent dropout
         key folded from it (training through the pipeline).
+      circ_repeats: > 1 runs the circular (interleaved) schedule with this
+        many round-robin layer groups per device (see pipeline_spmd) --
+        same outputs, (S-1)/(v*M+S-1) bubble instead of (S-1)/(M+S-1).
 
     Returns:
       [B, N, D], numerically equal to applying the layers sequentially
@@ -307,7 +444,9 @@ def pipelined_self_attends(
     """
     stage_params = (
         layer_params if stacked
-        else stack_layer_params(layer_params, mesh.shape[axis_name])
+        else stack_layer_params(
+            layer_params, mesh.shape[axis_name], circ_repeats=circ_repeats
+        )
     )
     if dropout_rng is not None:
         stage_fn = _stage_scan_fn(
@@ -324,4 +463,5 @@ def pipelined_self_attends(
         stage_fn, stage_params, latents, mesh,
         num_microbatches=num_microbatches, axis_name=axis_name,
         batch_axis=batch_axis, num_blocks=num_blocks, rng=dropout_rng,
+        circ_repeats=circ_repeats,
     )

@@ -176,6 +176,119 @@ def test_pipeline_from_encoder_params(latents):
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
 
 
+@pytest.mark.parametrize(
+    "n_stages,circ,num_mb", [(4, 2, 4), (2, 2, 4), (2, 4, 2), (4, 2, 8)]
+)
+def test_circular_pipeline_matches_sequential(stack, latents, n_stages,
+                                              circ, num_mb):
+    """Interleaved schedule: round-robin layer groups, v ring cycles per
+    microbatch, recirculation buffer on stage 0 -- outputs exactly equal
+    the sequential stack."""
+    layer, params = stack
+    mesh = make_pipeline_mesh(n_stages)
+    got = pipelined_self_attends(
+        layer, params, latents, mesh, num_microbatches=num_mb,
+        circ_repeats=circ,
+    )
+    want = _sequential(layer, params, latents)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+
+def test_circular_stack_unstack_roundtrip(stack):
+    from perceiverio_pytorch_tpu.parallel.pipeline import (
+        unstack_layer_params_circular)
+
+    _, params = stack
+    stacked = stack_layer_params(params, 2, circ_repeats=2)
+    leaves = jax.tree.leaves(stacked)
+    assert leaves[0].shape[:3] == (2, 2, 2)  # [stages, repeats, per]
+    back = unstack_layer_params_circular(stacked)
+    assert sorted(back) == sorted(params)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), b),
+        back, params,
+    )
+
+
+def test_circular_pipeline_gradients_match_sequential(stack, latents):
+    layer, params = stack
+    mesh = make_pipeline_mesh(4)
+
+    def loss_pipe(params):
+        out = pipelined_self_attends(
+            layer, params, latents, mesh, num_microbatches=4,
+            circ_repeats=2,
+        )
+        return jnp.sum(out**2)
+
+    def loss_seq(params):
+        return jnp.sum(_sequential(layer, params, latents) ** 2)
+
+    g_pipe = jax.jit(jax.grad(loss_pipe))(params)
+    g_seq = jax.jit(jax.grad(loss_seq))(params)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-3
+        ),
+        g_pipe, g_seq,
+    )
+
+
+def test_circular_pipeline_dropout_reproducible(stack, latents):
+    layer, params = stack
+    layer_d = SelfAttention(
+        in_channels=D, num_heads=4, widening_factor=1, dropout_prob=0.3
+    )
+    mesh = make_pipeline_mesh(4)
+
+    def run(seed):
+        return np.asarray(pipelined_self_attends(
+            layer_d, params, latents, mesh, num_microbatches=4,
+            circ_repeats=2, dropout_rng=jax.random.PRNGKey(seed),
+        ))
+
+    a1, a2, b = run(1), run(1), run(2)
+    det = np.asarray(pipelined_self_attends(
+        layer, params, latents, mesh, num_microbatches=4, circ_repeats=2,
+    ))
+    np.testing.assert_array_equal(a1, a2)
+    assert not np.allclose(a1, b)
+    assert not np.allclose(a1, det)
+    assert np.all(np.isfinite(a1))
+
+
+def test_circular_pipeline_rejects_short_ring(stack, latents):
+    """The recirculation slot frees exactly M ticks after fill; M < S would
+    need the item before it arrives."""
+    layer, params = stack
+    mesh = make_pipeline_mesh(4)
+    with pytest.raises(ValueError, match="circular"):
+        pipelined_self_attends(
+            layer, params, latents, mesh, num_microbatches=2,
+            circ_repeats=2,
+        )
+
+
+def test_policy_pp_circ_repeats_encoder_matches_sequential(latents):
+    """Model route: Policy(pp_circ_repeats=2) runs the interleaved schedule
+    inside _SelfAttendStack; outputs match the sequential encoder."""
+    from perceiverio_pytorch_tpu.config import Policy
+
+    tokens = jnp.asarray(np.random.RandomState(13).randn(B, 10, D),
+                         jnp.float32)
+    base = _encoder(Policy(), n_layers=8)
+    variables = jax.jit(base.init)(jax.random.PRNGKey(0), tokens, latents)
+
+    mesh = make_pipeline_mesh(2)
+    piped = _encoder(
+        Policy(pp_mesh=mesh, pp_microbatches=4, pp_circ_repeats=2),
+        n_layers=8,
+    )
+    want = jax.jit(base.apply)(variables, tokens, latents)
+    got = jax.jit(piped.apply)(variables, tokens, latents)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+
 def test_pipeline_rejects_bad_partitions(stack, latents):
     layer, params = stack
     with pytest.raises(ValueError, match="stages"):
