@@ -47,7 +47,8 @@ def synthetic_corpus(n: int, seq_len: int, vocab: int, seed: int = 0):
 
 def main(steps: int = 50, batch_size: int = 8, seq_len: int = None,
          mesh_shape=None, checkpoint_dir=None, steps_per_call: int = 1,
-         full_scale: bool = False, resume=False, quant=None):
+         full_scale: bool = False, resume=False, quant=None,
+         async_checkpoint: bool = False):
     import dataclasses
 
     from perceiverio_pytorch_tpu import DEFAULT, PERFORMANCE
@@ -116,6 +117,8 @@ def main(steps: int = 50, batch_size: int = 8, seq_len: int = None,
         log_every=10,
         checkpoint_dir=checkpoint_dir,
         checkpoint_every=0 if checkpoint_dir is None else max(steps // 2, 1),
+        # background checkpoint writes overlapping the following steps
+        checkpoint_async=async_checkpoint,
         eval_fn=eval_fn,
         eval_every=max(steps // 2, 1),
         # >1 scans several optimizer updates per device dispatch
@@ -155,6 +158,8 @@ if __name__ == "__main__":
                              " training matches an int8_dynamic deployment")
     parser.add_argument("--resume", action="store_true",
                         help="continue from the newest checkpoint in --checkpoint-dir")
+    parser.add_argument("--async-checkpoint", action="store_true",
+                        help="write checkpoints in the background (Trainer(checkpoint_async=True))")
     from perceiverio_pytorch_tpu.utils.compilation_cache import (
         add_cache_arg,
         enable_cache_if_requested,
@@ -166,4 +171,5 @@ if __name__ == "__main__":
     main(args.steps, args.batch_size, mesh_shape=args.mesh,
          checkpoint_dir=args.checkpoint_dir,
          steps_per_call=args.steps_per_call,
-         full_scale=args.full_scale, resume=args.resume, quant=args.quant)
+         full_scale=args.full_scale, resume=args.resume, quant=args.quant,
+         async_checkpoint=args.async_checkpoint)

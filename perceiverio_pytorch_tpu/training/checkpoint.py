@@ -50,6 +50,40 @@ def _path_keys(path) -> list:
     return keys
 
 
+def _zero_entries(variables) -> list:
+    """Sidecar records for zero-size leaves (see _mask_zero_size)."""
+    flat, _ = jax.tree_util.tree_flatten_with_path(variables)
+    return [
+        {"path": _path_keys(p), "shape": list(x.shape), "dtype": str(x.dtype)}
+        for p, x in flat
+        if _is_zero_size(x)
+    ]
+
+
+def _write_sidecar(path: str, zero: list) -> None:
+    # one writer for the host-side sidecar (N processes racing the same
+    # file on shared storage can interleave to garbled JSON)
+    if not zero or jax.process_index() != 0:
+        return
+    import json
+
+    with open(os.path.join(path, _ZERO_META), "w") as f:
+        json.dump(zero, f)
+
+
+def _clear_for_overwrite(path: str) -> None:
+    # one process clears the shared directory; the rest wait for it
+    # (N concurrent rmtrees of the same tree race to FileNotFoundError)
+    if jax.process_index() == 0:
+        import shutil
+
+        shutil.rmtree(path)
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(f"ckpt_overwrite:{path}")
+
+
 def save_variables(path: str, variables: Any, overwrite: bool = False) -> None:
     """Save a flax variables pytree to ``path`` (an empty/new directory).
 
@@ -64,33 +98,66 @@ def save_variables(path: str, variables: Any, overwrite: bool = False) -> None:
     """
     path = os.path.abspath(path)
     if overwrite and os.path.isdir(path):
-        # one process clears the shared directory; the rest wait for it
-        # (N concurrent rmtrees of the same tree race to FileNotFoundError)
-        if jax.process_index() == 0:
-            import shutil
-
-            shutil.rmtree(path)
-        if jax.process_count() > 1:
-            from jax.experimental import multihost_utils
-
-            multihost_utils.sync_global_devices(f"ckpt_overwrite:{path}")
+        _clear_for_overwrite(path)
     with ocp.StandardCheckpointer() as ckptr:
         ckptr.save(path, _mask_zero_size(variables))
-    if jax.process_index() != 0:
-        # one writer for the host-side sidecar (N processes racing the same
-        # file on shared storage can interleave to garbled JSON)
-        return
-    import json
+    _write_sidecar(path, _zero_entries(variables))
 
-    flat, _ = jax.tree_util.tree_flatten_with_path(variables)
-    zero = [
-        {"path": _path_keys(p), "shape": list(x.shape), "dtype": str(x.dtype)}
-        for p, x in flat
-        if _is_zero_size(x)
-    ]
-    if zero:
-        with open(os.path.join(path, _ZERO_META), "w") as f:
-            json.dump(zero, f)
+
+class AsyncCheckpointWriter:
+    """Background checkpoint saves: training keeps stepping while the
+    previous state writes to disk.
+
+    ``save`` snapshots device arrays synchronously (orbax copies to host
+    before returning) and streams the disk write in a background thread;
+    a following donated train step therefore cannot corrupt the save.  At
+    most one save is in flight -- a new ``save`` first waits for the
+    previous one, and the zero-size sidecar (see save_variables) is written
+    at finalisation.  ``latest_checkpoint`` already ignores unfinalised
+    saves, so a crash mid-background-write resumes from the previous good
+    checkpoint.  Multihost: orbax's async save is itself collective; the
+    sidecar stays process-0-only.
+
+    Use as a context manager or call ``close()`` so the last save
+    finalises before the process exits.
+    """
+
+    def __init__(self):
+        self._ckptr = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+        self._pending: Optional[tuple] = None
+
+    def save(self, path: str, variables: Any, overwrite: bool = False) -> None:
+        self.wait()  # one save in flight; also flushes the prior sidecar
+        path = os.path.abspath(path)
+        if overwrite and os.path.isdir(path):
+            _clear_for_overwrite(path)
+        self._ckptr.save(
+            path, args=ocp.args.StandardSave(_mask_zero_size(variables))
+        )
+        self._pending = (path, _zero_entries(variables))
+
+    def save_train_state(
+        self, path: str, state: TrainState, overwrite: bool = False
+    ) -> None:
+        self.save(path, _train_state_tree(state), overwrite=overwrite)
+
+    def wait(self) -> None:
+        """Block until the in-flight save (if any) is finalised on disk."""
+        self._ckptr.wait_until_finished()
+        if self._pending is not None:
+            path, zero = self._pending
+            self._pending = None
+            _write_sidecar(path, zero)
+
+    def close(self) -> None:
+        self.wait()
+        self._ckptr.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
 
 
 def _unmask_from_sidecar(path: str, restored: Any) -> Any:
@@ -236,7 +303,7 @@ def _checkpoint_top_keys(path: str) -> Optional[set]:
         return None
 
 
-def save_train_state(path: str, state: TrainState, overwrite: bool = False) -> None:
+def _train_state_tree(state: TrainState) -> dict:
     tree = {
         "step": state.step,
         "params": state.params,
@@ -246,7 +313,11 @@ def save_train_state(path: str, state: TrainState, overwrite: bool = False) -> N
         tree["model_state"] = state.model_state
     if state.ema_params is not None:
         tree["ema_params"] = state.ema_params
-    save_variables(path, tree, overwrite=overwrite)
+    return tree
+
+
+def save_train_state(path: str, state: TrainState, overwrite: bool = False) -> None:
+    save_variables(path, _train_state_tree(state), overwrite=overwrite)
 
 
 def restore_train_state(path: str, template: TrainState) -> TrainState:

@@ -132,6 +132,12 @@ class Trainer:
         ends for any reason other than an exactly-at-a-save-point stop
         (budget reached, stream exhausted) so the end of the run is never
         lost to the ``checkpoint_every`` grid.
+      checkpoint_async: write periodic checkpoints in the background
+        (checkpoint.AsyncCheckpointWriter): the device->host snapshot is
+        synchronous but the disk write overlaps the following train steps.
+        At most one save is in flight; fit() finalises the last one before
+        returning, and resume safety is unchanged (unfinalised saves are
+        ignored by latest_checkpoint).
       ema_decay: maintain an exponential moving average of params in
         ``state.ema_params`` (evaluate/export with those for the usual
         late-training stability win).  Fused into the train step.
@@ -172,6 +178,7 @@ class Trainer:
         checkpoint_every: int = 0,
         checkpoint_keep: int = 0,
         checkpoint_final: bool = False,
+        checkpoint_async: bool = False,
         with_model_state: bool = False,
         eval_fn: Optional[Callable] = None,
         eval_every: int = 0,
@@ -193,6 +200,8 @@ class Trainer:
         self.checkpoint_every = checkpoint_every
         self.checkpoint_keep = int(checkpoint_keep)
         self.checkpoint_final = checkpoint_final
+        self.checkpoint_async = bool(checkpoint_async)
+        self._async_writer = None
         self.eval_fn = eval_fn
         self.eval_every = eval_every
         self.steps_per_call = max(int(steps_per_call), 1)
@@ -470,6 +479,10 @@ class Trainer:
             and step_num > start_step
         ):
             self._save_checkpoint(state, step_num)
+        if self._async_writer is not None:
+            # finalize the in-flight background save before returning --
+            # the caller may exit (or restore) immediately after fit()
+            self._async_writer.wait()
         return state
 
     def _stop_requested(self, guard) -> bool:
@@ -498,16 +511,22 @@ class Trainer:
         import jax
 
         from perceiverio_pytorch_tpu.training.checkpoint import (
+            AsyncCheckpointWriter,
             prune_checkpoints,
             save_train_state,
         )
 
-        save_train_state(
-            os.path.join(self.checkpoint_dir, f"step_{step_num:08d}"),
-            state,
-            overwrite=True,  # a resumed run may reach this step again
-        )
+        path = os.path.join(self.checkpoint_dir, f"step_{step_num:08d}")
+        if self.checkpoint_async:
+            if self._async_writer is None:
+                self._async_writer = AsyncCheckpointWriter()
+            # overwrite=True: a resumed run may reach this step again
+            self._async_writer.save_train_state(path, state, overwrite=True)
+        else:
+            save_train_state(path, state, overwrite=True)
         # the save itself is collective (orbax, all processes); pruning is
-        # host filesystem work -- one process only, or N racing rmtrees
+        # host filesystem work -- one process only, or N racing rmtrees.
+        # With async saves the in-flight directory is unfinalised and newer
+        # than every finalised one, so pruning never touches it.
         if self.checkpoint_keep > 0 and jax.process_index() == 0:
             prune_checkpoints(self.checkpoint_dir, self.checkpoint_keep)

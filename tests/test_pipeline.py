@@ -564,6 +564,69 @@ def test_pp_sharded_training_parity(stack, latents):
     )
 
 
+def test_pp_sharded_training_circular(stack, latents):
+    """Stage-local training state with the circular layout [S, v, per]:
+    pp_param_shardings shards dim 0 (the stage dim) unchanged, sgd+momentum
+    steps through the interleaved schedule track sequential training, and
+    unstack_layer_params_circular recovers the trained per-layer tree."""
+    import optax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from perceiverio_pytorch_tpu.parallel.pipeline import (
+        pp_param_shardings, unstack_layer_params_circular)
+
+    layer, params = stack
+    mesh = make_pipeline_mesh(2)
+    stacked = stack_layer_params(params, 2, circ_repeats=2)
+    sh = pp_param_shardings(stacked, mesh)
+    stacked = jax.tree.map(jax.device_put, stacked, sh)
+    leaf = jax.tree.leaves(stacked)[0]
+    assert leaf.addressable_shards[0].data.shape[0] == 1  # stage-local
+
+    tx = optax.sgd(1e-2, momentum=0.9)
+    opt_sh = jax.tree.map(
+        lambda l: NamedSharding(
+            mesh, P("pipe") if l.ndim >= 1 and l.shape[0] == 2 else P()
+        ),
+        jax.eval_shape(tx.init, stacked),
+    )
+    opt = jax.jit(tx.init, in_shardings=(sh,), out_shardings=opt_sh)(stacked)
+
+    def pipe_loss(stacked):
+        out = pipelined_self_attends(
+            layer, stacked, latents, mesh, num_microbatches=4,
+            stacked=True, circ_repeats=2,
+        )
+        return jnp.mean(out**2)
+
+    @jax.jit
+    def pipe_step(stacked, opt):
+        loss, grads = jax.value_and_grad(pipe_loss)(stacked)
+        updates, opt = tx.update(grads, opt, stacked)
+        return optax.apply_updates(stacked, updates), opt, loss
+
+    def seq_loss(params):
+        return jnp.mean(_sequential(layer, params, latents) ** 2)
+
+    @jax.jit
+    def seq_step(params, opt):
+        loss, grads = jax.value_and_grad(seq_loss)(params)
+        updates, opt = tx.update(grads, opt, params)
+        return optax.apply_updates(params, updates), opt, loss
+
+    seq_params, seq_opt = params, jax.jit(tx.init)(params)
+    for _ in range(2):
+        stacked, opt, pipe_l = pipe_step(stacked, opt)
+        seq_params, seq_opt, seq_l = seq_step(seq_params, seq_opt)
+        np.testing.assert_allclose(
+            float(pipe_l), float(seq_l), rtol=2e-4, atol=1e-6
+        )
+    back = unstack_layer_params_circular(stacked)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-5),
+        back, seq_params,
+    )
+
+
 def test_policy_pp_mesh_flow_model():
     """The flagship pp use case end-to-end: FlowPerceiver is THE deep
     distinct-layer stack (24 layers, num_blocks=1 at full scale --

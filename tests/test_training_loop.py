@@ -699,6 +699,72 @@ def test_trainer_log_grad_norm(tmp_path):
         Trainer(loss_fn, optax.sgd(0.1), steps_per_call=4, log_grad_norm=True)
 
 
+def test_async_checkpoint_writer_roundtrip(tmp_path):
+    """AsyncCheckpointWriter finalises on wait(): the tree (including
+    masked zero-size leaves + sidecar) restores template-free, and a second
+    save to the same path overwrites."""
+    from perceiverio_pytorch_tpu.training.checkpoint import (
+        AsyncCheckpointWriter,
+        restore_variables,
+    )
+
+    tree = {
+        "w": jnp.arange(6, dtype=jnp.float32).reshape(2, 3),
+        "pad": jnp.zeros((1, 0), jnp.float32),  # zero-size sidecar path
+    }
+    path = str(tmp_path / "async_ckpt")
+    with AsyncCheckpointWriter() as w:
+        w.save(path, tree)
+        w.wait()
+        got = restore_variables(path)
+        np.testing.assert_array_equal(np.asarray(got["w"]), np.asarray(tree["w"]))
+        assert got["pad"].shape == (1, 0)
+
+        w.save(path, {**tree, "w": tree["w"] + 1}, overwrite=True)
+    got2 = restore_variables(path)
+    np.testing.assert_array_equal(
+        np.asarray(got2["w"]), np.asarray(tree["w"]) + 1
+    )
+
+
+def test_trainer_async_checkpoint_matches_sync_and_resumes(tmp_path):
+    """checkpoint_async=True: saves overlap stepping, the in-flight save is
+    finalised by fit() before returning, latest_checkpoint sees it, and a
+    resumed run matches the uninterrupted control exactly."""
+    from perceiverio_pytorch_tpu.training.checkpoint import latest_checkpoint
+
+    def loss_fn(params, x, y):
+        return jnp.mean((x @ params["w"] - y) ** 2)
+
+    rng = np.random.RandomState(6)
+    batch = (rng.randn(8, 4).astype(np.float32),
+             rng.randn(8, 2).astype(np.float32))
+    ckpt_dir = str(tmp_path / "ckpts")
+
+    def make_trainer():
+        return Trainer(
+            loss_fn, optax.sgd(0.1), checkpoint_dir=ckpt_dir,
+            checkpoint_every=2, checkpoint_async=True, log_every=100,
+        )
+
+    t1 = make_trainer()
+    s1 = t1.init_state({"w": jnp.zeros((4, 2))})
+    s1 = t1.fit(s1, iter([batch] * 4), num_steps=4)
+    assert latest_checkpoint(ckpt_dir).endswith("step_00000004")
+
+    t2 = make_trainer()
+    s2 = t2.init_state({"w": jnp.zeros((4, 2))})
+    s2 = t2.fit(s2, iter([batch] * 10), num_steps=6, resume=True)
+    assert int(s2.step) == 6
+
+    t3 = Trainer(loss_fn, optax.sgd(0.1), log_every=100)
+    s3 = t3.init_state({"w": jnp.zeros((4, 2))})
+    s3 = t3.fit(s3, iter([batch] * 6), num_steps=6)
+    np.testing.assert_allclose(
+        np.asarray(s2.params["w"]), np.asarray(s3.params["w"]), rtol=1e-6
+    )
+
+
 def test_trainer_resume_from_latest_checkpoint(tmp_path):
     """fit(resume=True) restores the newest step_XXXXXXXX checkpoint,
     continues counting from it (num_steps = total budget), and matches an
