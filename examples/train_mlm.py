@@ -129,13 +129,16 @@ def main(steps: int = 50, batch_size: int = 8, seq_len: int = None,
     eval_batches = list(epoch_batches((eval_c, eval_t, eval_m), batch_size))
 
     # epochs=None reshuffles every epoch (a fresh epoch_batches() per
-    # loop iteration would replay the same seed-0 permutation)
-    def batches():
+    # loop iteration would replay the same seed-0 permutation);
+    # start_batch fast-forwards a resumed run to the exact data position
+    # an uninterrupted run would be at (fit passes the restored step)
+    def batches(start_step=0):
         return batch_iterator((corrupted, targets, mlm_mask), batch_size,
-                              shuffle=True, epochs=None)
+                              shuffle=True, epochs=None,
+                              start_batch=start_step)
 
     state = trainer.fit(
-        state, prefetch_to_device(batches(), 2), num_steps=steps,
+        state, lambda s: prefetch_to_device(batches(s), 2), num_steps=steps,
         eval_batches=eval_batches, resume=resume,
     )
     print(f"finished at step {int(state.step)}")

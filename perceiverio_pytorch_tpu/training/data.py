@@ -36,6 +36,7 @@ def batch_iterator(
     epochs: Optional[int] = 1,
     drop_remainder: bool = True,
     shard_by_process: bool = False,
+    start_batch: int = 0,
 ) -> Iterator[tuple]:
     """Yield tuples of aligned ``batch_size`` slices from host arrays.
 
@@ -59,6 +60,11 @@ def batch_iterator(
         ``parallel.shard_host_batch`` / ``Trainer(prefetch=...)`` to
         assemble global arrays.  Contiguous-slice order matches the
         default mesh construction over ``jax.devices()`` (process-major).
+      start_batch: skip this many leading batches, reproducing the exact
+        per-epoch shuffles along the way -- a resumed run
+        (``fit(resume=True)``) that passes the restored step here sees the
+        identical data order an uninterrupted run would have (the skip is
+        index arithmetic, no array slicing; epoch boundaries handled).
     """
     arrays = tuple(np.asarray(a) for a in arrays)
     n = len(arrays[0])
@@ -85,12 +91,18 @@ def batch_iterator(
         local = batch_size // n_proc
         lo = jax.process_index() * local
         hi = lo + local
+    if start_batch < 0:
+        raise ValueError(f"start_batch must be >= 0; got {start_batch}")
     rng = np.random.default_rng(seed)
     epoch = 0
+    to_skip = start_batch
     while epochs is None or epoch < epochs:
         idx = rng.permutation(n) if shuffle else np.arange(n)
         stop = n - (n % batch_size) if drop_remainder else n
         for start in range(0, stop, batch_size):
+            if to_skip > 0:
+                to_skip -= 1
+                continue
             take = idx[start + lo : min(start + hi, stop)]
             yield tuple(a[take] for a in arrays)
         epoch += 1

@@ -292,6 +292,11 @@ class Trainer:
         iterator is consumed from its current position (use a stateless
         shuffled stream, e.g. ``batch_iterator(..., epochs=None)``).
 
+        ``batches`` may also be a CALLABLE ``batches(start_step) -> iter``,
+        invoked after the (possible) restore with the restored step count;
+        pair with ``batch_iterator(..., start_batch=start_step)`` for a
+        resumed run that sees the exact data order of an uninterrupted one.
+
         Preemption: while the loop runs, SIGTERM (what spot/preemptible TPU
         VMs receive before eviction) requests a graceful stop -- the
         in-flight step completes, a checkpoint is written (when
@@ -323,6 +328,11 @@ class Trainer:
                     step=int(state.step),
                     resumed_from=os.path.basename(latest),
                 )
+
+        if callable(batches):
+            # stream factory: hand it the (restored) step so it can
+            # fast-forward (batch_iterator(..., start_batch=step))
+            batches = batches(int(state.step))
 
         group = 1
         if self.mesh is not None:
