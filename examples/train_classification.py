@@ -52,7 +52,7 @@ def synthetic_quadrants(n: int, hw, num_classes: int, seed: int = 0):
     return img, labels.astype(np.int32)
 
 
-def main(steps=30, batch_size=8, full_scale=False, mesh_shape=None,
+def main(steps=30, batch_size=8, full_scale=False, mesh_shape=None, fsdp=False,
          checkpoint_dir=None, resume=False, quant=None):
     import dataclasses
 
@@ -107,6 +107,7 @@ def main(steps=30, batch_size=8, full_scale=False, mesh_shape=None,
             clip_norm=1.0,
         ),
         mesh=mesh,
+        fsdp=fsdp,  # ZeRO-3: weights + moments 1/data per replica
         num_batch_args=2,
         with_model_state=True,
         metrics_path="./classification_metrics.jsonl",
@@ -118,12 +119,14 @@ def main(steps=30, batch_size=8, full_scale=False, mesh_shape=None,
 
     # epochs=None reshuffles every epoch (a fresh epoch_batches() per
     # loop iteration would replay the same seed-0 permutation)
-    def batches():
+    def batches(start_step=0):
         return batch_iterator((img, labels), batch_size,
-                              shuffle=True, epochs=None)
+                              shuffle=True, epochs=None,
+                              start_batch=start_step)
 
     state = trainer.fit(
-        state, prefetch_to_device(batches(), 2), num_steps=steps, resume=resume,
+        state, lambda s: prefetch_to_device(batches(s), 2),
+        num_steps=steps, resume=resume,
     )
     print(f"finished at step {int(state.step)}")
     return state
@@ -137,6 +140,8 @@ if __name__ == "__main__":
                         help="exact shipped ImageNet conv-prep config")
     parser.add_argument("--mesh", type=int, nargs=2, default=None,
                         help="(data, model) mesh shape")
+    parser.add_argument("--fsdp", action="store_true",
+                        help="ZeRO-3: shard weights + optimizer moments over the data axis")
     parser.add_argument("--checkpoint-dir", default=None)
     parser.add_argument("--resume", action="store_true",
                         help="continue from the newest checkpoint in --checkpoint-dir")
@@ -153,5 +158,6 @@ if __name__ == "__main__":
     args = parser.parse_args()
     enable_cache_if_requested(args)
     main(args.steps, args.batch_size, full_scale=args.full_scale,
-         mesh_shape=args.mesh, checkpoint_dir=args.checkpoint_dir,
+         mesh_shape=args.mesh, fsdp=args.fsdp,
+         checkpoint_dir=args.checkpoint_dir,
          resume=args.resume, quant=args.quant)

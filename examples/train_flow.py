@@ -61,7 +61,7 @@ def synthetic_flow_pairs(n: int, hw, max_shift: int = 3, seed: int = 0):
     return img1, img2, flow
 
 
-def main(steps=30, batch_size=None, full_scale=False, mesh_shape=None,
+def main(steps=30, batch_size=None, full_scale=False, mesh_shape=None, fsdp=False,
          checkpoint_dir=None, resume=False):
     if full_scale:
         model = FlowPerceiver(policy=PERFORMANCE, remat=True)
@@ -103,6 +103,7 @@ def main(steps=30, batch_size=None, full_scale=False, mesh_shape=None,
             clip_norm=1.0,
         ),
         mesh=mesh,
+        fsdp=fsdp,  # ZeRO-3: weights + moments 1/data per replica
         num_batch_args=3,
         with_model_state=True,
         metrics_path="./flow_metrics.jsonl",
@@ -114,12 +115,14 @@ def main(steps=30, batch_size=None, full_scale=False, mesh_shape=None,
 
     # epochs=None reshuffles every epoch (a fresh epoch_batches() per
     # loop iteration would replay the same seed-0 permutation)
-    def batches():
+    def batches(start_step=0):
         return batch_iterator((img1, img2, flow), batch_size,
-                              shuffle=True, epochs=None)
+                              shuffle=True, epochs=None,
+                              start_batch=start_step)
 
     state = trainer.fit(
-        state, prefetch_to_device(batches(), 2), num_steps=steps, resume=resume,
+        state, lambda s: prefetch_to_device(batches(s), 2),
+        num_steps=steps, resume=resume,
     )
     print(f"finished at step {int(state.step)}")
     return state
@@ -134,6 +137,8 @@ if __name__ == "__main__":
                         help="exact shipped 368x496 config, remat + bf16")
     parser.add_argument("--mesh", type=int, nargs=2, default=None,
                         help="(data, model) mesh shape")
+    parser.add_argument("--fsdp", action="store_true",
+                        help="ZeRO-3: shard weights + optimizer moments over the data axis")
     parser.add_argument("--checkpoint-dir", default=None)
     parser.add_argument("--resume", action="store_true",
                         help="continue from the newest checkpoint in --checkpoint-dir")
@@ -146,4 +151,5 @@ if __name__ == "__main__":
     args = parser.parse_args()
     enable_cache_if_requested(args)
     main(args.steps, args.batch_size, full_scale=args.full_scale,
-         mesh_shape=args.mesh, checkpoint_dir=args.checkpoint_dir, resume=args.resume)
+         mesh_shape=args.mesh, fsdp=args.fsdp,
+         checkpoint_dir=args.checkpoint_dir, resume=args.resume)

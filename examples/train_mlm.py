@@ -48,7 +48,7 @@ def synthetic_corpus(n: int, seq_len: int, vocab: int, seed: int = 0):
 def main(steps: int = 50, batch_size: int = 8, seq_len: int = None,
          mesh_shape=None, checkpoint_dir=None, steps_per_call: int = 1,
          full_scale: bool = False, resume=False, quant=None,
-         async_checkpoint: bool = False):
+         async_checkpoint: bool = False, fsdp: bool = False):
     import dataclasses
 
     from perceiverio_pytorch_tpu import DEFAULT, PERFORMANCE
@@ -112,6 +112,7 @@ def main(steps: int = 50, batch_size: int = 8, seq_len: int = None,
             warmup_steps=max(steps // 10, 1), clip_norm=1.0,
         ),
         mesh=mesh,
+        fsdp=fsdp,  # ZeRO-3: weights + moments 1/data per replica
         num_batch_args=3,
         metrics_path="./mlm_metrics.jsonl",
         log_every=10,
@@ -151,6 +152,8 @@ if __name__ == "__main__":
     parser.add_argument("--batch-size", type=int, default=8)
     parser.add_argument("--mesh", type=int, nargs=2, default=None,
                         help="(data, model) mesh shape")
+    parser.add_argument("--fsdp", action="store_true",
+                        help="ZeRO-3: shard weights + optimizer moments over the data axis")
     parser.add_argument("--checkpoint-dir", default=None)
     parser.add_argument("--steps-per-call", type=int, default=1)
     parser.add_argument("--full-scale", action="store_true",
@@ -175,4 +178,4 @@ if __name__ == "__main__":
          checkpoint_dir=args.checkpoint_dir,
          steps_per_call=args.steps_per_call,
          full_scale=args.full_scale, resume=args.resume, quant=args.quant,
-         async_checkpoint=args.async_checkpoint)
+         async_checkpoint=args.async_checkpoint, fsdp=args.fsdp)

@@ -117,12 +117,14 @@ def main(steps=20, batch_size=1, n_chunks=None, full_scale=False,
 
     # epochs=None reshuffles every epoch (a fresh epoch_batches() per
     # loop iteration would replay the same seed-0 permutation)
-    def batches():
+    def batches(start_step=0):
         return batch_iterator((video, audio, labels), batch_size,
-                              shuffle=True, epochs=None)
+                              shuffle=True, epochs=None,
+                              start_batch=start_step)
 
     state = trainer.fit(
-        state, prefetch_to_device(batches(), 2), num_steps=steps, resume=resume,
+        state, lambda s: prefetch_to_device(batches(s), 2),
+        num_steps=steps, resume=resume,
     )
     print(f"finished at step {int(state.step)}")
     return state
