@@ -113,13 +113,13 @@ class _SelfAttendStack(nn.Module):
         ]
 
     def __call__(self, latents, deterministic: bool = True):
-        if self._use_pipeline(deterministic):
+        if self._use_pipeline():
             return self._pipelined(latents, deterministic), ()
         for layer in self.layers:
             latents = layer(latents, deterministic=deterministic)
         return latents, ()
 
-    def _use_pipeline(self, deterministic: bool) -> bool:
+    def _use_pipeline(self) -> bool:
         """Route through the GPipe schedule (Policy.pp_mesh)?
 
         Structural passes stay sequential: init (params don't exist yet)
@@ -136,9 +136,14 @@ class _SelfAttendStack(nn.Module):
                 f"Policy.pp_axis {pol.pp_axis!r} is not an axis of pp_mesh"
                 f" {tuple(pol.pp_mesh.shape)}"
             )
+        if pol.pp_circ_repeats < 1:
+            raise ValueError(
+                f"Policy.pp_circ_repeats must be >= 1; got"
+                f" {pol.pp_circ_repeats}"
+            )
         n_stages = pol.pp_mesh.shape[pol.pp_axis]
         if n_stages <= 1:
-            return False  # sequential path; it handles dropout fine
+            return False  # sequential path
         if self.num_self_attends % (n_stages * pol.pp_circ_repeats):
             raise ValueError(
                 f"{self.num_self_attends} self-attend layers do not divide"

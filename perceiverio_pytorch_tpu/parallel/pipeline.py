@@ -76,6 +76,8 @@ def stack_layer_params(layer_params: dict, n_stages: int,
     """
     names = sorted(layer_params, key=int)
     n_layers = len(names)
+    if circ_repeats < 1:
+        raise ValueError(f"circ_repeats must be >= 1; got {circ_repeats}")
     if n_layers % (n_stages * circ_repeats):
         raise ValueError(
             f"{n_layers} layers do not divide into {n_stages} stages"
@@ -99,21 +101,22 @@ def stack_layer_params(layer_params: dict, n_stages: int,
     )
 
 
-def unstack_layer_params(stacked, layer_names=None) -> dict:
+def unstack_layer_params(stacked, layer_names=None,
+                         circ_repeats: int = 1) -> dict:
     """Inverse of stack_layer_params: stacked layout -> per-layer dict.
 
-    Handles both layouts: [n_stages, per, ...] (sequential assignment) and
-    [n_stages, circ_repeats, per, ...] (round-robin assignment, leading
-    THREE stacking dims).  Used to map pipeline-layout gradients/updated
-    params back onto the model's original ``self_attends`` tree (e.g. to
-    checkpoint in the portable layout).
-
-    Note: the two layouts are distinguished by the number of stacking dims,
-    which equals ``leaf.ndim - original leaf ndim``; since that is unknown
-    here, pass the circular-stacked tree through
-    ``unstack_layer_params_circular`` instead -- this function assumes the
-    2-dim [n_stages, per] layout.
+    Used to map pipeline-layout gradients/updated params back onto the
+    model's original ``self_attends`` tree (e.g. to checkpoint in the
+    portable layout).  Pass the SAME ``circ_repeats`` the tree was stacked
+    with: the circular layout carries three leading stacking dims
+    ([n_stages, v, per, ...]) instead of two, which cannot be told apart
+    from a single tree without knowing the original param ranks -- a
+    mismatched call would silently produce a wrong-shaped tree.
     """
+    if circ_repeats < 1:
+        raise ValueError(f"circ_repeats must be >= 1; got {circ_repeats}")
+    if circ_repeats > 1:
+        return unstack_layer_params_circular(stacked, layer_names)
     leaves = jax.tree.leaves(stacked)
     n_layers = leaves[0].shape[0] * leaves[0].shape[1]
     names = layer_names or [str(i) for i in range(n_layers)]
@@ -153,7 +156,8 @@ def pp_param_shardings(stacked, mesh: Mesh, axis_name: str = PIPE_AXIS):
     placed this way propagates the same shardings into the optimizer
     moments, so adam state is stage-local too.  Training in the stacked
     layout is numerically identical to per-layer training (adam is
-    elementwise); checkpoint portably via ``unstack_layer_params``.
+    elementwise); checkpoint portably via ``unstack_layer_params`` (pass
+    the tree's ``circ_repeats`` for the circular layout).
     """
     from jax.sharding import NamedSharding
 
@@ -266,6 +270,8 @@ def pipeline_spmd(
     x_spec = P(None, batch_axis)
     param_specs = jax.tree.map(lambda _: P(axis_name), stage_params)
     has_rng = rng is not None
+    if circ_repeats < 1:
+        raise ValueError(f"circ_repeats must be >= 1; got {circ_repeats}")
     if circ_repeats > 1 and num_microbatches < n_stages:
         raise ValueError(
             f"the circular schedule needs num_microbatches"

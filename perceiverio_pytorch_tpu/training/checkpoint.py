@@ -124,17 +124,34 @@ class AsyncCheckpointWriter:
 
     def __init__(self):
         self._ckptr = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
-        self._pending: Optional[tuple] = None
+        self._sidecar_thread = None
 
     def save(self, path: str, variables: Any, overwrite: bool = False) -> None:
-        self.wait()  # one save in flight; also flushes the prior sidecar
+        self.wait()  # one save in flight; also joins the prior sidecar write
         path = os.path.abspath(path)
         if overwrite and os.path.isdir(path):
             _clear_for_overwrite(path)
         self._ckptr.save(
             path, args=ocp.args.StandardSave(_mask_zero_size(variables))
         )
-        self._pending = (path, _zero_entries(variables))
+        zero = _zero_entries(variables)
+        if zero:
+            # Chase orbax's background finalisation and write the sidecar
+            # IMMEDIATELY after it, not at the next wait(): otherwise a
+            # hard crash (SIGKILL/OOM) between finalisation and the next
+            # save leaves a checkpoint that latest_checkpoint() accepts but
+            # whose template-free restore would silently return masked
+            # placeholders for the zero-size leaves.
+            import threading
+
+            def _finalize():
+                self._ckptr.wait_until_finished()
+                _write_sidecar(path, zero)
+
+            self._sidecar_thread = threading.Thread(
+                target=_finalize, daemon=True
+            )
+            self._sidecar_thread.start()
 
     def save_train_state(
         self, path: str, state: TrainState, overwrite: bool = False
@@ -142,12 +159,12 @@ class AsyncCheckpointWriter:
         self.save(path, _train_state_tree(state), overwrite=overwrite)
 
     def wait(self) -> None:
-        """Block until the in-flight save (if any) is finalised on disk."""
+        """Block until the in-flight save (if any) is finalised on disk,
+        sidecar included."""
         self._ckptr.wait_until_finished()
-        if self._pending is not None:
-            path, zero = self._pending
-            self._pending = None
-            _write_sidecar(path, zero)
+        if self._sidecar_thread is not None:
+            self._sidecar_thread.join()
+            self._sidecar_thread = None
 
     def close(self) -> None:
         self.wait()

@@ -192,6 +192,12 @@ class Trainer:
         self.tx = tx
         self.mesh = mesh
         self.fsdp = bool(fsdp)
+        if self.fsdp and mesh is None:
+            raise ValueError(
+                "Trainer(fsdp=True) needs a mesh -- without one there is no"
+                " data axis to shard the weights over and training would"
+                " silently run fully replicated"
+            )
         self.num_batch_args = num_batch_args
         self.with_model_state = with_model_state
         self.logger = MetricsLogger(metrics_path)
@@ -490,9 +496,12 @@ class Trainer:
         ):
             self._save_checkpoint(state, step_num)
         if self._async_writer is not None:
-            # finalize the in-flight background save before returning --
-            # the caller may exit (or restore) immediately after fit()
-            self._async_writer.wait()
+            # finalize the in-flight background save AND release the orbax
+            # async machinery before returning -- the caller may exit (or
+            # restore) immediately after fit(); a later fit() lazily
+            # creates a fresh writer
+            self._async_writer.close()
+            self._async_writer = None
         return state
 
     def _stop_requested(self, guard) -> bool:

@@ -699,6 +699,11 @@ def test_trainer_log_grad_norm(tmp_path):
         Trainer(loss_fn, optax.sgd(0.1), steps_per_call=4, log_grad_norm=True)
 
 
+def test_trainer_fsdp_without_mesh_rejected():
+    with pytest.raises(ValueError, match="mesh"):
+        Trainer(lambda p, x: jnp.sum(x), optax.sgd(0.1), fsdp=True)
+
+
 def test_async_checkpoint_writer_roundtrip(tmp_path):
     """AsyncCheckpointWriter finalises on wait(): the tree (including
     masked zero-size leaves + sidecar) restores template-free, and a second
