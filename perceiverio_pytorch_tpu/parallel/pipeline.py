@@ -448,6 +448,17 @@ def pipelined_self_attends(
       (modulo dropout-mask assignment when ``dropout_rng`` is given: masks
       are keyed by schedule position, not by the sequential layer order).
     """
+    if stacked and circ_repeats > 1:
+        # a [S, per, ...] tree fed to the circular schedule would silently
+        # index layers as groups; the circular layout is [S, v, per, ...]
+        lead = jax.tree.leaves(layer_params)[0].shape
+        if len(lead) < 3 or lead[1] != circ_repeats:
+            raise ValueError(
+                f"stacked=True with circ_repeats={circ_repeats} expects the"
+                f" [n_stages, {circ_repeats}, per, ...] layout from"
+                f" stack_layer_params(..., circ_repeats={circ_repeats});"
+                f" got leading dims {tuple(lead[:3])}"
+            )
     stage_params = (
         layer_params if stacked
         else stack_layer_params(

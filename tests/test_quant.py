@@ -358,12 +358,15 @@ def test_quant_static_data_parallel_apply_matches_single_device():
                                rtol=1e-5, atol=1e-6)
 
 
-def test_quant_dynamic_sharded_train_step_matches_single_device():
+@pytest.mark.parametrize("fsdp", [False, True])
+def test_quant_dynamic_sharded_train_step_matches_single_device(fsdp):
     """QAT train step (int8 forward, STE backward) through the DP+TP GSPMD
     partitioner: TP column-parallel splits the projection kernels' output
     dim, which leaves both the per-output-channel weight scales and the
     per-token activation scales shard-local-exact, so the sharded step must
-    reproduce the single-device step."""
+    reproduce the single-device step.  fsdp=True additionally shards the
+    weights + moments over the data axis (XLA all-gathers before the int8
+    quantize, so the quantization sees full kernels -- still exact)."""
     import optax
 
     from perceiverio_pytorch_tpu.models import LanguagePerceiver
@@ -394,7 +397,7 @@ def test_quant_dynamic_sharded_train_step_matches_single_device():
 
     tx = optax.sgd(1e-2)
     mesh = make_mesh((4, 2))
-    state = create_sharded_train_state(params, tx, mesh)
+    state = create_sharded_train_state(params, tx, mesh, fsdp=fsdp)
     step = make_sharded_train_step(
         loss_fn, tx, mesh, state, num_batch_args=2, donate=False
     )
