@@ -62,17 +62,37 @@ def synthetic_flow_pairs(n: int, hw, max_shift: int = 3, seed: int = 0):
 
 
 def main(steps=30, batch_size=None, full_scale=False, mesh_shape=None, fsdp=False,
-         checkpoint_dir=None, resume=False):
+         checkpoint_dir=None, resume=False, pp_stages=0, pp_microbatches=2,
+         pp_circ_repeats=1):
+    import dataclasses
+
+    # --pp-stages: pipeline the 24-layer latent stack over a "pipe" mesh
+    # axis (flow is THE deep distinct-layer pp target --
+    # flow_perceiver.py:34-42); --pp-circ-repeats > 1 uses the circular
+    # (interleaved) schedule for a v-fold smaller pipeline bubble.
+    policy = PERFORMANCE if full_scale else None
+    if pp_stages > 1:
+        from perceiverio_pytorch_tpu import DEFAULT
+        from perceiverio_pytorch_tpu.parallel import make_pipeline_mesh
+
+        pp_mesh = make_pipeline_mesh(pp_stages)
+        policy = dataclasses.replace(
+            policy or DEFAULT, pp_mesh=pp_mesh,
+            pp_microbatches=pp_microbatches,
+            pp_circ_repeats=pp_circ_repeats,
+        )
     if full_scale:
-        model = FlowPerceiver(policy=PERFORMANCE, remat=True)
+        model = FlowPerceiver(policy=policy, remat=True)
         if batch_size not in (None, 1):
             print(f"--full-scale forces batch_size=1 (requested {batch_size})")
         hw, batch_size = (368, 496), 1
     else:
         batch_size = 2 if batch_size is None else batch_size
+        kwargs = {} if policy is None else {"policy": policy}
         model = FlowPerceiver(
             img_size=(32, 48), num_latents=64, num_latent_channels=128,
-            num_self_attends_per_block=2,
+            num_self_attends_per_block=2 if pp_stages <= 1 else 2 * pp_stages,
+            **kwargs,
         )
         hw = (32, 48)
 
@@ -139,6 +159,15 @@ if __name__ == "__main__":
                         help="(data, model) mesh shape")
     parser.add_argument("--fsdp", action="store_true",
                         help="ZeRO-3: shard weights + optimizer moments over the data axis")
+    parser.add_argument("--pp-stages", type=int, default=0,
+                        help="pipeline the latent stack over this many"
+                             " devices (Policy.pp_mesh; needs that many"
+                             " devices; batch must divide"
+                             " --pp-microbatches)")
+    parser.add_argument("--pp-microbatches", type=int, default=2)
+    parser.add_argument("--pp-circ-repeats", type=int, default=1,
+                        help="> 1: circular (interleaved) schedule with"
+                             " this many layer groups per device")
     parser.add_argument("--checkpoint-dir", default=None)
     parser.add_argument("--resume", action="store_true",
                         help="continue from the newest checkpoint in --checkpoint-dir")
@@ -152,4 +181,6 @@ if __name__ == "__main__":
     enable_cache_if_requested(args)
     main(args.steps, args.batch_size, full_scale=args.full_scale,
          mesh_shape=args.mesh, fsdp=args.fsdp,
-         checkpoint_dir=args.checkpoint_dir, resume=args.resume)
+         checkpoint_dir=args.checkpoint_dir, resume=args.resume,
+         pp_stages=args.pp_stages, pp_microbatches=args.pp_microbatches,
+         pp_circ_repeats=args.pp_circ_repeats)
