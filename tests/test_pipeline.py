@@ -657,9 +657,11 @@ def test_policy_pp_mesh_flow_model():
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
 
 
-def test_policy_pp_mesh_composes_with_remat(latents):
+@pytest.mark.parametrize("circ", [1, 2])
+def test_policy_pp_mesh_composes_with_remat(latents, circ):
     """pp_mesh under the encoder's nn.remat wrapper (full-scale flow
-    training uses remat=True): forward matches and grads exist."""
+    training uses remat=True): forward matches and grads exist.  circ=2
+    additionally runs the circular (interleaved) schedule inside remat."""
     from perceiverio_pytorch_tpu.config import Policy
 
     tokens = jnp.asarray(np.random.RandomState(9).randn(B, 10, D), jnp.float32)
@@ -677,7 +679,8 @@ def test_policy_pp_mesh_composes_with_remat(latents):
     v = jax.jit(base.init)(jax.random.PRNGKey(0), tokens, latents)
     want = jax.jit(base.apply)(v, tokens, latents)
 
-    piped = enc(Policy(pp_mesh=make_pipeline_mesh(4), pp_microbatches=2))
+    piped = enc(Policy(pp_mesh=make_pipeline_mesh(2 if circ > 1 else 4),
+                       pp_microbatches=2, pp_circ_repeats=circ))
     got = jax.jit(piped.apply)(v, tokens, latents)
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
 
@@ -691,8 +694,8 @@ def test_policy_pp_mesh_composes_with_remat(latents):
     )
 
 
-@pytest.mark.parametrize("num_blocks", [1, 2])
-def test_policy_pp_mesh_with_int8_static(latents, num_blocks):
+@pytest.mark.parametrize("num_blocks,circ", [(1, 1), (2, 1), (1, 2)])
+def test_policy_pp_mesh_with_int8_static(latents, num_blocks, circ):
     """Calibrated static-int8 + pipeline: the calibration pass (mutable
     quant_stats) stays sequential by design, and ordinary applies stream
     the per-layer quant_stats through the GPipe stages alongside params --
@@ -704,9 +707,10 @@ def test_policy_pp_mesh_with_int8_static(latents, num_blocks):
     tokens = jnp.asarray(
         np.random.RandomState(10).randn(B, 10, D), jnp.float32
     )
-    mesh = make_pipeline_mesh(4)
+    mesh = make_pipeline_mesh(2 if circ > 1 else 4)
     seq_pol = Policy(quant="int8_static")
-    pp_pol = Policy(quant="int8_static", pp_mesh=mesh, pp_microbatches=2)
+    pp_pol = Policy(quant="int8_static", pp_mesh=mesh, pp_microbatches=2,
+                    pp_circ_repeats=circ)
 
     base = _encoder(seq_pol, num_blocks=num_blocks)
     piped = _encoder(pp_pol, num_blocks=num_blocks)
