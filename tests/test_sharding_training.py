@@ -206,6 +206,43 @@ def test_fsdp_params_and_moments_actually_sharded():
             assert "data" not in tuple(leaf.sharding.spec), path
 
 
+def test_fsdp_production_optimizer_chain_moments_sharded():
+    """opt_state_shardings must survive the full build_optimizer chain
+    (global-norm clip + adamw with weight-decay mask + MultiSteps
+    accumulation + apply_if_finite): every params-shaped leaf anywhere in
+    the nested state takes its param's FSDP sharding."""
+    from perceiverio_pytorch_tpu.training import build_optimizer
+
+    model = LanguagePerceiver(**TINY)
+    tokens, mask = _make_batch()
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), tokens, mask)
+    mesh = make_mesh((8, 1))
+    tx = build_optimizer(
+        3e-4, schedule="cosine", total_steps=10, warmup_steps=2,
+        clip_norm=1.0, accum_steps=2, weight_decay_mask="non_1d",
+        skip_nonfinite_updates=3,
+    )
+    state = create_sharded_train_state(params, tx, mesh, fsdp=True)
+    kernel = _proj_q(state.params)
+    assert "data" in tuple(kernel.sharding.spec)
+
+    flat, _ = jax.tree_util.tree_flatten_with_path(state.opt_state)
+    k_path, _ = [
+        (tuple(p), l)
+        for p, l in jax.tree_util.tree_flatten_with_path(state.params)[0]
+        if getattr(p[-2], "key", None) == "proj_q"
+        and getattr(p[-1], "key", None) == "kernel"
+    ][0]
+    matches = [
+        leaf for p, leaf in flat
+        if len(p) >= len(k_path) and tuple(p)[-len(k_path):] == k_path
+    ]
+    # MultiSteps acc_grads + adam mu/nu at minimum
+    assert len(matches) >= 3, len(matches)
+    for leaf in matches:
+        assert leaf.sharding == kernel.sharding
+
+
 def test_fsdp_with_multisteps_accumulators_sharded():
     """MultiSteps' grad accumulators embed a params-tree copy; the suffix
     path matching in opt_state_shardings shards them like the params."""
