@@ -853,11 +853,13 @@ def test_policy_pp_mesh_single_stage_falls_back_sequential():
     assert np.isfinite(np.asarray(out)).all()
 
 
-def test_policy_pp_mesh_composes_with_tp_sharded_train_step():
-    """TP + PP: the GSPMD-sharded train step (params per the Megatron TP
-    rules over a (data,model) mesh) wrapping a model whose latent stack
-    pipelines over a separate (data,pipe) mesh. GSPMD reshards at the
-    shard_map boundary; loss descends and stays finite."""
+@pytest.mark.parametrize("fsdp", [False, True])
+def test_policy_pp_mesh_composes_with_tp_sharded_train_step(fsdp):
+    """TP + PP (and FSDP + TP + PP): the GSPMD-sharded train step (params
+    per the Megatron TP rules over a (data,model) mesh, ZeRO-3 over its
+    data axis when fsdp) wrapping a model whose latent stack pipelines
+    over a separate (data,pipe) mesh. GSPMD reshards at the shard_map
+    boundary; loss descends and stays finite."""
     import optax
 
     from perceiverio_pytorch_tpu.config import Policy
@@ -886,7 +888,7 @@ def test_policy_pp_mesh_composes_with_tp_sharded_train_step():
         return masked_token_cross_entropy(logits, tokens, mask)
 
     tx = optax.adam(1e-3)
-    state = create_sharded_train_state(params, tx, tp_mesh)
+    state = create_sharded_train_state(params, tx, tp_mesh, fsdp=fsdp)
     step = make_sharded_train_step(
         loss_fn, tx, tp_mesh, state, num_batch_args=2
     )
