@@ -48,7 +48,8 @@ def synthetic_corpus(n: int, seq_len: int, vocab: int, seed: int = 0):
 def main(steps: int = 50, batch_size: int = 8, seq_len: int = None,
          mesh_shape=None, checkpoint_dir=None, steps_per_call: int = 1,
          full_scale: bool = False, resume=False, quant=None,
-         async_checkpoint: bool = False, fsdp: bool = False):
+         async_checkpoint: bool = False, fsdp: bool = False,
+         lora_rank: int = 0):
     import dataclasses
 
     from perceiverio_pytorch_tpu import DEFAULT, PERFORMANCE
@@ -97,6 +98,35 @@ def main(steps: int = 50, batch_size: int = 8, seq_len: int = None,
     def eval_fn(params, corrupted, targets, mlm_mask):
         logits = model.apply(params, corrupted, jnp.ones_like(corrupted, bool))
         return masked_token_cross_entropy(logits, targets, mlm_mask)
+
+    if lora_rank:
+        # Parameter-efficient fine-tuning: freeze the (here: freshly
+        # initialised; in production: pretrained .pth-converted) weights and
+        # train rank-r adapters on the attention/MLP kernels only.  The
+        # adapter tree becomes the TrainState params; optimizer state is
+        # adapter-sized.
+        from perceiverio_pytorch_tpu.training import init_lora, wrap_loss
+
+        base_vars = params
+        lora = init_lora(jax.random.PRNGKey(1), base_vars["params"],
+                         rank=lora_rank)
+
+        def _with_merged(fn):
+            from perceiverio_pytorch_tpu.training import merge_lora
+
+            def lifted(lora_tree, *batch):
+                merged = dict(base_vars)
+                merged["params"] = merge_lora(base_vars["params"], lora_tree)
+                return fn(merged, *batch)
+
+            return lifted
+
+        loss_fn, eval_fn = _with_merged(loss_fn), _with_merged(eval_fn)
+        params = lora
+        n = sum(x.size for x in jax.tree_util.tree_leaves(lora))
+        n_base = sum(x.size for x in jax.tree_util.tree_leaves(base_vars))
+        print(f"LoRA rank {lora_rank}: training {n:,} adapter params"
+              f" ({100.0 * n / n_base:.2f}% of {n_base:,})")
 
     mesh = None
     if mesh_shape is not None:
@@ -162,6 +192,9 @@ if __name__ == "__main__":
                         choices=["dynamic"],
                         help="QAT: int8 forward + exact (STE) backward, so"
                              " training matches an int8_dynamic deployment")
+    parser.add_argument("--lora", type=int, default=0, metavar="RANK",
+                        help="freeze the model; train rank-R LoRA adapters"
+                             " on the attention/MLP kernels instead")
     parser.add_argument("--resume", action="store_true",
                         help="continue from the newest checkpoint in --checkpoint-dir")
     parser.add_argument("--async-checkpoint", action="store_true",
@@ -178,4 +211,5 @@ if __name__ == "__main__":
          checkpoint_dir=args.checkpoint_dir,
          steps_per_call=args.steps_per_call,
          full_scale=args.full_scale, resume=args.resume, quant=args.quant,
-         async_checkpoint=args.async_checkpoint, fsdp=args.fsdp)
+         async_checkpoint=args.async_checkpoint, fsdp=args.fsdp,
+         lora_rank=args.lora)

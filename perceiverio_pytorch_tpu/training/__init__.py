@@ -27,3 +27,9 @@ from perceiverio_pytorch_tpu.training.data import (  # noqa: F401
     batch_iterator,
     prefetch_to_device,
 )
+from perceiverio_pytorch_tpu.training.lora import (  # noqa: F401
+    init_lora,
+    lora_paths,
+    merge_lora,
+    wrap_loss,
+)
