@@ -92,7 +92,22 @@ class BasicQuery(nn.Module):
         batch_size = inputs.shape[0]
 
         if self.position_enc is not None:
-            if subsampled_points is not None:
+            if (
+                subsampled_points is not None
+                and self.position_encoding_type == PosEncodingType.TRAINABLE
+            ):
+                # Deliberate divergence: the reference maps the indices to
+                # [-1, 1] coords that TrainablePositionEncoding then silently
+                # IGNORES (position_encoding.py:104-124 drops `pos`), so
+                # subsampling a trainable query is a latent no-op there (never
+                # hit by a shipped config).  Here the indices select rows of
+                # the (optionally projected) table -- the semantics the
+                # Fourier path has, and what chunked/partial decoding needs.
+                table = self.position_enc(batch_size)
+                table = table.reshape(batch_size, -1, table.shape[-1])
+                flat = jnp.asarray(subsampled_points) % table.shape[1]
+                pos_emb = table[:, flat, :]
+            elif subsampled_points is not None:
                 dims = _as_tuple(self.output_index_dims)
                 indices = jnp.asarray(subsampled_points) % int(np.prod(dims))
                 coords = jnp.stack(jnp.unravel_index(indices, dims), axis=-1)

@@ -12,6 +12,7 @@ import enum
 from typing import Sequence
 
 import flax.linen as nn
+import jax.numpy as jnp
 
 from perceiverio_pytorch_tpu.config import DEFAULT, Policy
 from perceiverio_pytorch_tpu.core.perceiver import PerceiverIO
@@ -42,6 +43,14 @@ class ClassificationPerceiver(nn.Module):
     num_latent_channels: int = 1024
     policy: Policy = DEFAULT
     remat: bool = False
+    # The reference decodes all 1000 trainable queries and then keeps only
+    # row 0 (classification_perceiver.py:103-125 + postprocessors.py:187).
+    # Attention/LayerNorm/Dense are row-independent, so decoding only query
+    # row 0 is mathematically exact and deletes the dead 999-row decode
+    # (~2% of total FLOPs at the shipped config).  Param shapes (the full
+    # [1000, 1024] query table) are unchanged -- checkpoints stay
+    # compatible; unused rows get zero gradients either way.
+    single_query_decode: bool = True
 
     def setup(self):
         if self.prep_type == PrepType.FOURIER_POS_CONVNET:
@@ -126,4 +135,11 @@ class ClassificationPerceiver(nn.Module):
 
     def __call__(self, img, *, deterministic: bool = True):
         """img: [B, 3, H, W] (reference channel-first convention)."""
-        return self.perceiver(img, deterministic=deterministic)
+        subsampled = None
+        if self.single_query_decode:
+            subsampled = {"__default": jnp.arange(1)}
+        return self.perceiver(
+            img,
+            subsampled_output_points=subsampled,
+            deterministic=deterministic,
+        )
