@@ -9,6 +9,7 @@ tied input/output embedding.
 from __future__ import annotations
 
 import flax.linen as nn
+import jax.numpy as jnp
 
 from perceiverio_pytorch_tpu.config import DEFAULT, Policy
 from perceiverio_pytorch_tpu.core.perceiver import PerceiverIO
@@ -77,11 +78,35 @@ class LanguagePerceiver(nn.Module):
             remat=self.remat,
         )
 
-    def __call__(self, inputs, input_masks=None, *, deterministic: bool = True):
-        """inputs: [B, max_seq_len] int tokens; input_masks: [B, max_seq_len]."""
+    def __call__(
+        self,
+        inputs,
+        input_masks=None,
+        *,
+        predict_positions=None,
+        deterministic: bool = True,
+    ):
+        """inputs: [B, max_seq_len] int tokens; input_masks: [B, max_seq_len].
+
+        ``predict_positions``: optional [P] int array of sequence positions;
+        the decoder then runs only those P query rows and returns
+        [B, P, vocab] instead of [B, max_seq_len, vocab].  Exact: attention
+        rows are independent, so the selected rows match a full decode
+        bit-for-bit (MLM inference only needs logits at the masked
+        positions -- the reference always pays the full 2048-row decode).
+        P must be static under jit; the positions themselves may be traced.
+        """
+        subsampled = None
+        query_mask = input_masks
+        if predict_positions is not None:
+            positions = jnp.asarray(predict_positions)
+            subsampled = {"__default": positions}
+            if input_masks is not None:
+                query_mask = jnp.take(input_masks, positions, axis=1)
         return self.perceiver(
             inputs,
             input_mask=input_masks,
-            query_mask=input_masks,
+            query_mask=query_mask,
+            subsampled_output_points=subsampled,
             deterministic=deterministic,
         )

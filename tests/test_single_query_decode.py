@@ -78,6 +78,33 @@ def test_single_query_decode_param_tree_unchanged():
     )
 
 
+def test_language_predict_positions_matches_full_decode():
+    """LanguagePerceiver(predict_positions=...) returns exactly the selected
+    rows of the full [B, T, vocab] logits, including under a padding mask."""
+    from perceiverio_pytorch_tpu.models import LanguagePerceiver
+
+    model = LanguagePerceiver(
+        vocab_size=262, max_seq_len=32, embed_dim=16,
+        num_self_attends_per_block=1, num_blocks=1,
+        num_latents=8, num_latent_channels=64,
+    )
+    rng = np.random.RandomState(0)
+    tokens = jnp.asarray(rng.randint(0, 262, (2, 32)), jnp.int32)
+    mask = jnp.asarray(rng.rand(2, 32) > 0.2)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), tokens, mask)
+
+    full = jax.jit(model.apply)(params, tokens, mask)
+    positions = jnp.asarray([5, 0, 31, 17])
+    sub = jax.jit(
+        lambda p, t, m: model.apply(p, t, m, predict_positions=positions)
+    )(params, tokens, mask)
+    assert sub.shape == (2, 4, 262)
+    np.testing.assert_allclose(
+        np.asarray(sub), np.asarray(full[:, np.asarray(positions), :]),
+        rtol=1e-5, atol=1e-6,
+    )
+
+
 def test_single_query_decode_gradients_match_full_decode():
     """Training through the 1-row decode gives the same gradients: rows
     1..N-1 of the query table receive zero grad either way."""
