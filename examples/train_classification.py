@@ -23,6 +23,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import argparse
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from perceiverio_pytorch_tpu import PERFORMANCE
@@ -53,7 +54,7 @@ def synthetic_quadrants(n: int, hw, num_classes: int, seed: int = 0):
 
 
 def main(steps=30, batch_size=8, full_scale=False, mesh_shape=None, fsdp=False,
-         checkpoint_dir=None, resume=False, quant=None):
+         checkpoint_dir=None, resume=False, quant=None, data_dir=None):
     import dataclasses
 
     from perceiverio_pytorch_tpu import DEFAULT
@@ -65,20 +66,48 @@ def main(steps=30, batch_size=8, full_scale=False, mesh_shape=None, fsdp=False,
         return (dataclasses.replace(policy, quant=f"int8_{quant}")
                 if quant else policy)
 
+    hw = (224, 224) if full_scale else (32, 32)
+    dataset = None
+    if data_dir is not None:
+        # real data: root/<class>/*.png, decoded by a thread pool, shipped
+        # uint8 and normalized on device (4x less host->device traffic)
+        from perceiverio_pytorch_tpu.training import ImageFolderDataset
+
+        dataset = ImageFolderDataset(data_dir, image_size=hw)
+        num_classes = len(dataset.class_names)
+        print(f"{len(dataset)} images, {num_classes} classes from {data_dir}")
+    else:
+        num_classes = 1000 if full_scale else 4
+
     if full_scale:
-        model = ClassificationPerceiver(policy=_q(PERFORMANCE), remat=True)
-        hw, num_classes = (224, 224), 1000
+        model = ClassificationPerceiver(
+            num_classes=num_classes, policy=_q(PERFORMANCE), remat=True)
     else:
         model = ClassificationPerceiver(
-            num_classes=4, img_size=(32, 32), num_latents=32,
+            num_classes=num_classes, img_size=hw, num_latents=32,
             num_latent_channels=128, num_self_attends_per_block=2,
             num_blocks=1, prep_type=PrepType.FOURIER_POS_CONVNET,
             policy=_q(DEFAULT),
         )
-        hw, num_classes = (32, 32), 4
 
-    img, labels = synthetic_quadrants(8 * batch_size, hw, num_classes)
-    variables = jax.jit(model.init)(jax.random.PRNGKey(0), img[:batch_size])
+    def _prep(img):
+        """uint8 [B,C,H,W] -> normalized float (on device, inside the jit)."""
+        img = img.astype(jnp.float32)
+        if dataset is not None:
+            from perceiverio_pytorch_tpu.utils.image import normalize_imagenet
+
+            img = normalize_imagenet(img)
+        return img
+
+    if dataset is not None:
+        from perceiverio_pytorch_tpu.training import dataset_iterator
+
+        img = next(dataset_iterator(dataset, batch_size, num_workers=0))[0]
+        labels = None
+    else:
+        img, labels = synthetic_quadrants(8 * batch_size, hw, num_classes)
+    variables = jax.jit(lambda k, x: model.init(k, _prep(x)))(
+        jax.random.PRNGKey(0), img[:batch_size])
     # Non-param collections (batch_stats EMA + immutable "consts" Fourier
     # tables) ride in TrainState.model_state; the loss threads them through
     # a mutable apply and merges the mutated subset back.
@@ -86,7 +115,7 @@ def main(steps=30, batch_size=8, full_scale=False, mesh_shape=None, fsdp=False,
 
     def loss_fn(params, model_state, img, labels):
         logits, mutated = model.apply(
-            {"params": params, **model_state}, img,
+            {"params": params, **model_state}, _prep(img),
             deterministic=False, mutable=["batch_stats"],
         )
         return classification_cross_entropy(logits, labels), {
@@ -120,6 +149,12 @@ def main(steps=30, batch_size=8, full_scale=False, mesh_shape=None, fsdp=False,
     # epochs=None reshuffles every epoch (a fresh epoch_batches() per
     # loop iteration would replay the same seed-0 permutation)
     def batches(start_step=0):
+        if dataset is not None:
+            from perceiverio_pytorch_tpu.training import dataset_iterator
+
+            return dataset_iterator(dataset, batch_size, shuffle=True,
+                                    epochs=None, start_batch=start_step,
+                                    num_workers=4)
         return batch_iterator((img, labels), batch_size,
                               shuffle=True, epochs=None,
                               start_batch=start_step)
@@ -149,6 +184,10 @@ if __name__ == "__main__":
                         choices=["dynamic"],
                         help="QAT: int8 forward + exact (STE) backward, so"
                              " training matches an int8_dynamic deployment")
+    parser.add_argument("--data-dir", default=None,
+                        help="train on a real root/<class>/*.png image tree"
+                             " (threaded decode, uint8 to device, normalize"
+                             " on device) instead of the synthetic set")
     from perceiverio_pytorch_tpu.utils.compilation_cache import (
         add_cache_arg,
         enable_cache_if_requested,
@@ -160,4 +199,4 @@ if __name__ == "__main__":
     main(args.steps, args.batch_size, full_scale=args.full_scale,
          mesh_shape=args.mesh, fsdp=args.fsdp,
          checkpoint_dir=args.checkpoint_dir,
-         resume=args.resume, quant=args.quant)
+         resume=args.resume, quant=args.quant, data_dir=args.data_dir)

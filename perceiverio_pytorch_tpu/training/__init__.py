@@ -27,6 +27,10 @@ from perceiverio_pytorch_tpu.training.data import (  # noqa: F401
     batch_iterator,
     prefetch_to_device,
 )
+from perceiverio_pytorch_tpu.training.datasets import (  # noqa: F401
+    ImageFolderDataset,
+    dataset_iterator,
+)
 from perceiverio_pytorch_tpu.training.lora import (  # noqa: F401
     init_lora,
     lora_paths,

@@ -27,6 +27,35 @@ import numpy as np
 __all__ = ["batch_iterator", "prefetch_to_device"]
 
 
+def _index_batches(
+    n: int,
+    batch_size: int,
+    *,
+    shuffle: bool,
+    seed: int,
+    epochs: Optional[int],
+    drop_remainder: bool,
+    start_batch: int,
+) -> Iterator[np.ndarray]:
+    """The shared epoch/shuffle/resume index stream: yields the GLOBAL index
+    array of every batch.  ``batch_iterator`` (in-memory arrays) and
+    ``training.datasets.dataset_iterator`` (file-backed) both consume this,
+    so their data order, reshuffling and ``start_batch`` fast-forward
+    semantics are identical by construction."""
+    rng = np.random.default_rng(seed)
+    epoch = 0
+    to_skip = start_batch
+    while epochs is None or epoch < epochs:
+        idx = rng.permutation(n) if shuffle else np.arange(n)
+        stop = n - (n % batch_size) if drop_remainder else n
+        for start in range(0, stop, batch_size):
+            if to_skip > 0:
+                to_skip -= 1
+                continue
+            yield idx[start : min(start + batch_size, stop)]
+        epoch += 1
+
+
 def batch_iterator(
     arrays: Sequence[np.ndarray],
     batch_size: int,
@@ -93,19 +122,16 @@ def batch_iterator(
         hi = lo + local
     if start_batch < 0:
         raise ValueError(f"start_batch must be >= 0; got {start_batch}")
-    rng = np.random.default_rng(seed)
-    epoch = 0
-    to_skip = start_batch
-    while epochs is None or epoch < epochs:
-        idx = rng.permutation(n) if shuffle else np.arange(n)
-        stop = n - (n % batch_size) if drop_remainder else n
-        for start in range(0, stop, batch_size):
-            if to_skip > 0:
-                to_skip -= 1
-                continue
-            take = idx[start + lo : min(start + hi, stop)]
-            yield tuple(a[take] for a in arrays)
-        epoch += 1
+    for take in _index_batches(
+        n,
+        batch_size,
+        shuffle=shuffle,
+        seed=seed,
+        epochs=epochs,
+        drop_remainder=drop_remainder,
+        start_batch=start_batch,
+    ):
+        yield tuple(a[take[lo : min(hi, len(take))]] for a in arrays)
 
 
 class _Stop:
