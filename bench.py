@@ -473,7 +473,10 @@ def main(quant=None):
             base_ips = None
     if base_ips is None:
         base_model = ClassificationPerceiver(
-            prep_type=PrepType.FOURIER_POS_CONVNET, policy=PARITY
+            prep_type=PrepType.FOURIER_POS_CONVNET, policy=PARITY,
+            # the baseline is the reference-faithful computation: the
+            # reference decodes all 1000 query rows (and discards 999)
+            single_query_decode=False,
         )
         base_ips = _throughput(base_model, params, img, iters=10)
         with open(cache_path, "w") as f:
@@ -512,7 +515,17 @@ if __name__ == "__main__":
              " dynamic. flow/multimodal use quant_scope='latent' (the"
              " measured-safe setting).",
     )
+    parser.add_argument(
+        "--profile", default=None, metavar="DIR",
+        help="trace the whole run with jax.profiler into DIR and print the"
+             " top-20 per-op device table (op, self-time, FLOP rate,"
+             " bandwidth, bound-by) after the metric line -- the same table"
+             " that drove the round-2/3 optimizations"
+             " (utils.profiling.op_stats)",
+    )
     args = parser.parse_args()
+    if args.profile:
+        jax.profiler.start_trace(args.profile)
     task = args.task
     if task == "flow":
         bench_flow(quant=args.quant)
@@ -531,3 +544,16 @@ if __name__ == "__main__":
         bench_multimodal(quant=args.quant)
     else:
         main(quant=args.quant)
+    if args.profile:
+        jax.profiler.stop_trace()
+        from perceiverio_pytorch_tpu.utils.profiling import op_stats
+
+        rows = op_stats(args.profile, top=20)
+        width = max((len(r["op"] or "?") for r in rows), default=4)
+        print(f"\n{'op':<{width}}  {'total us':>10}  {'avg us':>8}  "
+              f"{'n':>5}  {'flop rate':>12}  {'bandwidth':>12}  bound by")
+        for r in rows:
+            print(f"{(r['op'] or '?'):<{width}}  {r['total_self_us']:>10.1f}"
+                  f"  {r['avg_self_us']:>8.2f}  {r['occurrences'] or 0:>5}"
+                  f"  {str(r['flop_rate'] or '-'):>12}"
+                  f"  {str(r['bandwidth'] or '-'):>12}  {r['bound_by'] or '-'}")
