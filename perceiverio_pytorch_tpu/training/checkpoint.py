@@ -194,6 +194,11 @@ def _unmask_from_sidecar(path: str, restored: Any) -> Any:
             return node[int(k)]
         if isinstance(k, int) and k not in node:
             return node[str(k)]
+        # namedtuple fields (optax ScaleByAdamState.mu etc.) are recorded
+        # as ".mu" by the save-time keypath formatting, but orbax's
+        # template-free layout uses the bare field name
+        if isinstance(k, str) and k.startswith(".") and k not in node:
+            return node[k[1:]]
         return node[k]
 
     for entry in entries:
@@ -205,6 +210,8 @@ def _unmask_from_sidecar(path: str, restored: Any) -> Any:
             last = int(last)
         elif isinstance(last, int) and last not in node:
             last = str(last)
+        elif isinstance(last, str) and last.startswith(".") and last not in node:
+            last = last[1:]
         node[last] = jnp.zeros(
             tuple(entry["shape"]), jnp.dtype(entry["dtype"])
         )

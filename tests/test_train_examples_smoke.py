@@ -60,3 +60,34 @@ def test_train_multimodal_smoke(tmp_path, monkeypatch):
     state = mod.main(steps=2, batch_size=1, n_chunks=2)
     assert int(state.step) == 2
     _read_metrics("multimodal_metrics.jsonl")
+
+
+def test_evaluate_classification_smoke(tmp_path, monkeypatch):
+    """The eval harness end to end on a real (tmp) image tree: train a few
+    steps via --data-dir, checkpoint, evaluate the checkpoint -- accuracy on
+    the trivially separable color classes must beat chance."""
+    import numpy as np
+    from PIL import Image
+
+    rng = np.random.RandomState(0)
+    for ci, cls in enumerate(["r", "g", "b"]):
+        d = tmp_path / "data" / cls
+        d.mkdir(parents=True)
+        for i in range(12):
+            arr = (rng.rand(36, 36, 3) * 60).astype(np.uint8)
+            arr[..., ci] = np.clip(arr[..., ci].astype(np.int32) + 160, 0, 255)
+            Image.fromarray(arr).save(d / f"i{i}.png")
+
+    monkeypatch.chdir(tmp_path)
+    train = _load("train_classification")
+    train.main(steps=40, batch_size=8, data_dir=str(tmp_path / "data"),
+               checkpoint_dir=str(tmp_path / "ck"))
+    from perceiverio_pytorch_tpu.training.checkpoint import latest_checkpoint
+
+    ck = latest_checkpoint(str(tmp_path / "ck"))
+    assert ck is not None
+    ev = _load("evaluate_classification")
+    result = ev.main(data_dir=str(tmp_path / "data"), batch_size=8,
+                     checkpoint=ck)
+    assert result["images"] == 32
+    assert result["top1"] > 0.6

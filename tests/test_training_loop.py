@@ -1261,3 +1261,30 @@ def test_multimodal_loss_partial_weights():
     )
     img_term = float(jnp.mean((outputs["image"] - targets["image"]) ** 2))
     np.testing.assert_allclose(only_label - base, base - img_term, rtol=1e-5)
+
+
+def test_template_free_train_state_restore_unmasks_namedtuple_paths(tmp_path):
+    """Template-free restore of a Trainer checkpoint whose zero-size leaves
+    sit inside optax namedtuple state (recorded as '.mu'/'.nu' by the
+    save-time keypath formatting, plain 'mu'/'nu' in orbax's layout) --
+    regression for the evaluate-from-checkpoint path."""
+    import jax.numpy as jnp
+    import optax as _optax
+
+    from perceiverio_pytorch_tpu.training import create_train_state
+    from perceiverio_pytorch_tpu.training.checkpoint import (
+        restore_variables,
+        save_train_state,
+    )
+
+    params = {"w": jnp.ones((2, 3)), "pad": jnp.zeros((1, 0))}
+    state = create_train_state(params, _optax.adam(1e-3))
+    save_train_state(str(tmp_path / "ck"), state)
+    tree = restore_variables(str(tmp_path / "ck"))  # NO template
+    assert tree["params"]["pad"].shape == (1, 0)
+    zero_leaves = [
+        l for l in jax.tree_util.tree_leaves(tree)
+        if hasattr(l, "shape") and l.shape == (1, 0)
+    ]
+    # params + adam mu + adam nu
+    assert len(zero_leaves) == 3
