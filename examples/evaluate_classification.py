@@ -79,27 +79,11 @@ def main(data_dir=None, checkpoint=None, torch_checkpoint=None,
         lambda k, x: model.init(k, normalize_imagenet(x.astype(jnp.float32)))
     )(jax.random.PRNGKey(0), example)
 
-    if checkpoint:
-        from perceiverio_pytorch_tpu.training.checkpoint import restore_variables
+    from perceiverio_pytorch_tpu.training.checkpoint import (
+        restore_eval_variables,
+    )
 
-        tree = restore_variables(checkpoint)  # template-free (sidecar-aware)
-        if isinstance(tree, dict) and "step" in tree and "params" in tree:
-            # a Trainer checkpoint (TrainState): prefer the EMA params when
-            # present; non-param collections ride in model_state
-            params = tree.get("ema_params") or tree["params"]
-            aux = tree.get("model_state") or {}
-            variables = {**variables, "params": params, **aux}
-        else:
-            variables = restore_variables(checkpoint, variables)
-    elif torch_checkpoint:
-        from perceiverio_pytorch_tpu.utils.torch_checkpoint import (
-            convert_state_dict,
-            load_torch_checkpoint,
-        )
-
-        variables = convert_state_dict(
-            load_torch_checkpoint(torch_checkpoint), variables
-        )
+    variables = restore_eval_variables(variables, checkpoint, torch_checkpoint)
     if full_scale and not quant:
         variables = cast_variables_for_inference(variables)
 

@@ -61,25 +61,11 @@ def main(data_dir, checkpoint=None, torch_checkpoint=None, small=False,
         jnp.zeros((1, 3) + model.img_size, jnp.float32),
         jnp.zeros((1, 3) + model.img_size, jnp.float32),
     )
-    if checkpoint:
-        from perceiverio_pytorch_tpu.training.checkpoint import restore_variables
+    from perceiverio_pytorch_tpu.training.checkpoint import (
+        restore_eval_variables,
+    )
 
-        tree = restore_variables(checkpoint)
-        if isinstance(tree, dict) and "step" in tree and "params" in tree:
-            params = tree.get("ema_params") or tree["params"]
-            variables = {**variables, "params": params,
-                         **(tree.get("model_state") or {})}
-        else:
-            variables = restore_variables(checkpoint, variables)
-    elif torch_checkpoint:
-        from perceiverio_pytorch_tpu.utils.torch_checkpoint import (
-            convert_state_dict,
-            load_torch_checkpoint,
-        )
-
-        variables = convert_state_dict(
-            load_torch_checkpoint(torch_checkpoint), variables
-        )
+    variables = restore_eval_variables(variables, checkpoint, torch_checkpoint)
 
     infer = FlowInference(model, variables, min_overlap=min_overlap,
                           wave_size=wave_size)

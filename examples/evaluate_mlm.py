@@ -70,25 +70,11 @@ def main(text_file=None, checkpoint=None, torch_checkpoint=None,
     variables = jax.jit(model.init)(
         jax.random.PRNGKey(0), example, jnp.ones_like(example, bool)
     )
-    if checkpoint:
-        from perceiverio_pytorch_tpu.training.checkpoint import restore_variables
+    from perceiverio_pytorch_tpu.training.checkpoint import (
+        restore_eval_variables,
+    )
 
-        tree = restore_variables(checkpoint)
-        if isinstance(tree, dict) and "step" in tree and "params" in tree:
-            params = tree.get("ema_params") or tree["params"]
-            variables = {**variables, "params": params,
-                         **(tree.get("model_state") or {})}
-        else:
-            variables = restore_variables(checkpoint, variables)
-    elif torch_checkpoint:
-        from perceiverio_pytorch_tpu.utils.torch_checkpoint import (
-            convert_state_dict,
-            load_torch_checkpoint,
-        )
-
-        variables = convert_state_dict(
-            load_torch_checkpoint(torch_checkpoint), variables
-        )
+    variables = restore_eval_variables(variables, checkpoint, torch_checkpoint)
 
     n_masked = max(1, int(round(mask_rate * seq_len)))
 

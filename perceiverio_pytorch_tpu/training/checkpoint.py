@@ -240,6 +240,39 @@ def restore_variables(path: str, template: Optional[Any] = None) -> Any:
         return _unmask_from_sidecar(path, ckptr.restore(path))
 
 
+def restore_eval_variables(
+    variables, checkpoint: Optional[str] = None,
+    torch_checkpoint: Optional[str] = None,
+):
+    """Load weights into an initialised variables tree for evaluation.
+
+    ``checkpoint`` is an orbax directory -- either a raw variables tree or a
+    Trainer checkpoint (TrainState layout).  Trainer checkpoints prefer the
+    EMA params when present and merge the non-param collections riding in
+    ``model_state`` (batch_stats, quant_stats).  ``torch_checkpoint`` is a
+    reference-convention ``.pth`` (``{"model_state_dict": ...}``,
+    /root/reference/example_language.py:36-41) mapped through the
+    name/layout adapter.  With neither, ``variables`` is returned unchanged.
+    """
+    if checkpoint:
+        tree = restore_variables(checkpoint)  # template-free (sidecar-aware)
+        if isinstance(tree, dict) and "step" in tree and "params" in tree:
+            params = tree.get("ema_params") or tree["params"]
+            return {**variables, "params": params,
+                    **(tree.get("model_state") or {})}
+        return restore_variables(checkpoint, variables)
+    if torch_checkpoint:
+        from perceiverio_pytorch_tpu.utils.torch_checkpoint import (
+            convert_state_dict,
+            load_torch_checkpoint,
+        )
+
+        variables, _ = convert_state_dict(
+            load_torch_checkpoint(torch_checkpoint), variables
+        )
+    return variables
+
+
 def latest_checkpoint(checkpoint_dir: str) -> Optional[str]:
     """Path of the highest-step ``step_XXXXXXXX`` checkpoint, or None.
 
