@@ -23,6 +23,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import argparse
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from perceiverio_pytorch_tpu import PERFORMANCE
@@ -63,7 +64,7 @@ def synthetic_flow_pairs(n: int, hw, max_shift: int = 3, seed: int = 0):
 
 def main(steps=30, batch_size=None, full_scale=False, mesh_shape=None, fsdp=False,
          checkpoint_dir=None, resume=False, pp_stages=0, pp_microbatches=2,
-         pp_circ_repeats=1):
+         pp_circ_repeats=1, data_dir=None, augment=True):
     import dataclasses
 
     # --pp-stages: pipeline the 24-layer latent stack over a "pipe" mesh
@@ -96,8 +97,29 @@ def main(steps=30, batch_size=None, full_scale=False, mesh_shape=None, fsdp=Fals
         )
         hw = (32, 48)
 
-    img1, img2, flow = synthetic_flow_pairs(8 * batch_size, hw)
-    variables = jax.jit(model.init)(
+    dataset = None
+    if data_dir is not None:
+        # real data: Sintel-style frames/ + flow/ scene tree(s), cropped to
+        # the model grid (crops preserve flow values; resizes would not),
+        # frames shipped uint8 and normalized on device
+        from perceiverio_pytorch_tpu.training import FlowPairDataset
+
+        dataset = FlowPairDataset(data_dir, crop_size=hw, augment=augment)
+        print(f"{len(dataset)} frame pairs from {data_dir}")
+        from perceiverio_pytorch_tpu.training import dataset_iterator
+
+        img1, img2, flow = next(dataset_iterator(dataset, batch_size,
+                                                 num_workers=0))
+    else:
+        img1, img2, flow = synthetic_flow_pairs(8 * batch_size, hw)
+
+    def _prep(img):
+        """uint8 [B,3,H,W] -> [-1, 1] float (on device, inside the jit)."""
+        if img.dtype == jnp.uint8:
+            return 2.0 * (img.astype(jnp.float32) / 255.0) - 1.0
+        return img
+
+    variables = jax.jit(lambda k, a, b: model.init(k, _prep(a), _prep(b)))(
         jax.random.PRNGKey(0), img1[:batch_size], img2[:batch_size]
     )
     # Split the derived Fourier tables ("consts") out of the trainable
@@ -106,7 +128,8 @@ def main(steps=30, batch_size=None, full_scale=False, mesh_shape=None, fsdp=Fals
     consts = {k: v for k, v in variables.items() if k != "params"}
 
     def loss_fn(params, model_state, a, b, gt):
-        out = model.apply({"params": params, **model_state}, a, b)
+        out = model.apply({"params": params, **model_state}, _prep(a),
+                          _prep(b))
         return flow_endpoint_error(out, gt), model_state
 
     mesh = None
@@ -136,6 +159,12 @@ def main(steps=30, batch_size=None, full_scale=False, mesh_shape=None, fsdp=Fals
     # epochs=None reshuffles every epoch (a fresh epoch_batches() per
     # loop iteration would replay the same seed-0 permutation)
     def batches(start_step=0):
+        if dataset is not None:
+            from perceiverio_pytorch_tpu.training import dataset_iterator
+
+            return dataset_iterator(dataset, batch_size, shuffle=True,
+                                    epochs=None, start_batch=start_step,
+                                    num_workers=4)
         return batch_iterator((img1, img2, flow), batch_size,
                               shuffle=True, epochs=None,
                               start_batch=start_step)
@@ -171,6 +200,12 @@ if __name__ == "__main__":
     parser.add_argument("--checkpoint-dir", default=None)
     parser.add_argument("--resume", action="store_true",
                         help="continue from the newest checkpoint in --checkpoint-dir")
+    parser.add_argument("--data-dir", default=None,
+                        help="Sintel-style scene tree (frames/ + flow/);"
+                             " default: synthetic roll pairs")
+    parser.add_argument("--no-augment", action="store_true",
+                        help="center-crop instead of random-crop --data-dir"
+                             " frames")
     from perceiverio_pytorch_tpu.utils.compilation_cache import (
         add_cache_arg,
         enable_cache_if_requested,
@@ -183,4 +218,5 @@ if __name__ == "__main__":
          mesh_shape=args.mesh, fsdp=args.fsdp,
          checkpoint_dir=args.checkpoint_dir, resume=args.resume,
          pp_stages=args.pp_stages, pp_microbatches=args.pp_microbatches,
-         pp_circ_repeats=args.pp_circ_repeats)
+         pp_circ_repeats=args.pp_circ_repeats, data_dir=args.data_dir,
+         augment=not args.no_augment)

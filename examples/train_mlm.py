@@ -49,7 +49,7 @@ def main(steps: int = 50, batch_size: int = 8, seq_len: int = None,
          mesh_shape=None, checkpoint_dir=None, steps_per_call: int = 1,
          full_scale: bool = False, resume=False, quant=None,
          async_checkpoint: bool = False, fsdp: bool = False,
-         lora_rank: int = 0):
+         lora_rank: int = 0, text_file=None, mask_rate: float = 0.15):
     import dataclasses
 
     from perceiverio_pytorch_tpu import DEFAULT, PERFORMANCE
@@ -79,8 +79,45 @@ def main(steps: int = 50, batch_size: int = 8, seq_len: int = None,
             max_seq_len=seq_len, embed_dim=64, num_self_attends_per_block=4,
             num_latents=64, num_latent_channels=256, policy=policy,
         )
-    corrupted, targets, mlm_mask = synthetic_corpus(1024, seq_len, 262)
-    eval_c, eval_t, eval_m = synthetic_corpus(2 * batch_size, seq_len, 262, seed=1)
+    dataset = None
+    if text_file is not None:
+        # real corpus: byte-token windows (a path or a glob) with static
+        # MLM corruption -- the reference example's masking protocol at
+        # dataset scale.  The last 2*batch_size windows are held out for
+        # eval (corrupted with a different seed).
+        from perceiverio_pytorch_tpu.training import (
+            MLMDataset,
+            Subset,
+            TextFileDataset,
+            dataset_iterator,
+        )
+
+        windows = TextFileDataset(text_file, seq_len=seq_len)
+        n_eval = min(2 * batch_size, max(len(windows) - batch_size, 0))
+        dataset = MLMDataset(Subset(windows, range(len(windows) - n_eval)),
+                             mask_rate=mask_rate)
+        print(f"{len(windows)} windows of {seq_len} tokens from {text_file}"
+              f" ({len(dataset)} train / {n_eval} eval)")
+        corrupted, targets, mlm_mask = next(
+            dataset_iterator(dataset, batch_size, num_workers=0)
+        )
+        if n_eval:
+            eval_ds = MLMDataset(
+                Subset(windows,
+                       range(len(windows) - n_eval, len(windows))),
+                mask_rate=mask_rate, seed=1,
+            )
+            eval_c, eval_t, eval_m = (
+                np.stack(f)
+                for f in zip(*[eval_ds[i] for i in range(n_eval)])
+            )
+        else:
+            eval_c, eval_t, eval_m = corrupted, targets, mlm_mask
+    else:
+        corrupted, targets, mlm_mask = synthetic_corpus(1024, seq_len, 262)
+        eval_c, eval_t, eval_m = synthetic_corpus(
+            2 * batch_size, seq_len, 262, seed=1
+        )
     params = jax.jit(model.init)(
         jax.random.PRNGKey(0), jnp.asarray(corrupted[:batch_size]),
         jnp.ones((batch_size, seq_len), bool),
@@ -164,6 +201,12 @@ def main(steps: int = 50, batch_size: int = 8, seq_len: int = None,
     # start_batch fast-forwards a resumed run to the exact data position
     # an uninterrupted run would be at (fit passes the restored step)
     def batches(start_step=0):
+        if dataset is not None:
+            from perceiverio_pytorch_tpu.training import dataset_iterator
+
+            return dataset_iterator(dataset, batch_size, shuffle=True,
+                                    epochs=None, start_batch=start_step,
+                                    num_workers=4)
         return batch_iterator((corrupted, targets, mlm_mask), batch_size,
                               shuffle=True, epochs=None,
                               start_batch=start_step)
@@ -197,6 +240,11 @@ if __name__ == "__main__":
                              " on the attention/MLP kernels instead")
     parser.add_argument("--resume", action="store_true",
                         help="continue from the newest checkpoint in --checkpoint-dir")
+    parser.add_argument("--text-file", default=None,
+                        help="UTF-8 corpus path or glob (byte-token"
+                             " windows); default: synthetic corpus")
+    parser.add_argument("--mask-rate", type=float, default=0.15,
+                        help="--text-file MLM corruption rate")
     parser.add_argument("--async-checkpoint", action="store_true",
                         help="write checkpoints in the background (Trainer(checkpoint_async=True))")
     from perceiverio_pytorch_tpu.utils.compilation_cache import (
@@ -212,4 +260,5 @@ if __name__ == "__main__":
          steps_per_call=args.steps_per_call,
          full_scale=args.full_scale, resume=args.resume, quant=args.quant,
          async_checkpoint=args.async_checkpoint, fsdp=args.fsdp,
-         lora_rank=args.lora)
+         lora_rank=args.lora, text_file=args.text_file,
+         mask_rate=args.mask_rate)

@@ -27,6 +27,7 @@ import argparse
 import dataclasses
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from perceiverio_pytorch_tpu import PERFORMANCE
@@ -61,7 +62,7 @@ def synthetic_clips(n: int, num_frames, hw, n_audio, num_classes, seed=0):
 
 
 def main(steps=20, batch_size=1, n_chunks=None, full_scale=False,
-         checkpoint_dir=None, resume=False):
+         checkpoint_dir=None, resume=False, data_dir=None, labels_file=None):
     if full_scale:
         # dots_saveable measured 214.3 vs 227.1 ms/step full-remat here
         # (PERFORMANCE.md item 12); the other model families keep full remat.
@@ -82,19 +83,49 @@ def main(steps=20, batch_size=1, n_chunks=None, full_scale=False,
         num_frames, hw, num_classes = 2, (16, 16), 11
         n_audio = 2 * 128
 
-    video, audio, labels = synthetic_clips(
-        4 * batch_size, num_frames, hw, n_audio, num_classes
-    )
-    variables = jax.jit(lambda k, i, a: model.init(k, i, a, n_chunks))(
-        jax.random.PRNGKey(0), video[:batch_size], audio[:batch_size]
-    )
+    dataset = None
+    if data_dir is not None:
+        # real clips: .avi/.mp4 + .wav sidecars (the evaluate_multimodal
+        # layout); labels from directory names or --labels-file, -1 when
+        # unresolvable (excluded from the label loss).  Video ships uint8.
+        from perceiverio_pytorch_tpu.training import (
+            VideoClipDataset,
+            dataset_iterator,
+        )
+        from perceiverio_pytorch_tpu.utils.labels import kinetics700_labels
+
+        dataset = VideoClipDataset(
+            data_dir, num_frames=num_frames, image_size=hw,
+            audio_samples_per_frame=n_audio // num_frames,
+            labels_file=labels_file,
+            class_names=kinetics700_labels() if num_classes == 700 else None,
+        )
+        print(f"{len(dataset)} clips from {data_dir}")
+        video, audio, labels = next(
+            dataset_iterator(dataset, batch_size, num_workers=0)
+        )
+    else:
+        video, audio, labels = synthetic_clips(
+            4 * batch_size, num_frames, hw, n_audio, num_classes
+        )
+
+    def _prep(video):
+        """uint8 [B,T,3,H,W] -> [0, 1] float (on device, inside the jit)."""
+        if video.dtype == jnp.uint8:
+            return video.astype(jnp.float32) / 255.0
+        return video
+
+    variables = jax.jit(
+        lambda k, i, a: model.init(k, _prep(i), a, n_chunks)
+    )(jax.random.PRNGKey(0), video[:batch_size], audio[:batch_size])
     consts = {k: v for k, v in variables.items() if k != "params"}
 
     def loss_fn(params, model_state, video, audio, labels):
-        out = model.apply({"params": params, **model_state}, video, audio,
+        v = _prep(video)
+        out = model.apply({"params": params, **model_state}, v, audio,
                           n_chunks, deterministic=False)
         loss = multimodal_autoencode_loss(
-            out, {"image": video, "audio": audio, "label": labels},
+            out, {"image": v, "audio": audio, "label": labels},
             weights={"image": 1.0, "audio": 1.0, "label": 0.01},
         )
         return loss, model_state
@@ -118,6 +149,12 @@ def main(steps=20, batch_size=1, n_chunks=None, full_scale=False,
     # epochs=None reshuffles every epoch (a fresh epoch_batches() per
     # loop iteration would replay the same seed-0 permutation)
     def batches(start_step=0):
+        if dataset is not None:
+            from perceiverio_pytorch_tpu.training import dataset_iterator
+
+            return dataset_iterator(dataset, batch_size, shuffle=True,
+                                    epochs=None, start_batch=start_step,
+                                    num_workers=4)
         return batch_iterator((video, audio, labels), batch_size,
                               shuffle=True, epochs=None,
                               start_batch=start_step)
@@ -141,6 +178,11 @@ if __name__ == "__main__":
     parser.add_argument("--checkpoint-dir", default=None)
     parser.add_argument("--resume", action="store_true",
                         help="continue from the newest checkpoint in --checkpoint-dir")
+    parser.add_argument("--data-dir", default=None,
+                        help="clip directory (.avi/.mp4 + .wav sidecars);"
+                             " default: synthetic clips")
+    parser.add_argument("--labels-file", default=None,
+                        help="JSON: clip stem -> class index or name")
     from perceiverio_pytorch_tpu.utils.compilation_cache import (
         add_cache_arg,
         enable_cache_if_requested,
@@ -150,4 +192,6 @@ if __name__ == "__main__":
     args = parser.parse_args()
     enable_cache_if_requested(args)
     main(args.steps, args.batch_size, n_chunks=args.n_chunks,
-         full_scale=args.full_scale, checkpoint_dir=args.checkpoint_dir, resume=args.resume)
+         full_scale=args.full_scale, checkpoint_dir=args.checkpoint_dir,
+         resume=args.resume, data_dir=args.data_dir,
+         labels_file=args.labels_file)

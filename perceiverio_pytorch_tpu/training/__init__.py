@@ -28,7 +28,12 @@ from perceiverio_pytorch_tpu.training.data import (  # noqa: F401
     prefetch_to_device,
 )
 from perceiverio_pytorch_tpu.training.datasets import (  # noqa: F401
+    FlowPairDataset,
     ImageFolderDataset,
+    MLMDataset,
+    Subset,
+    TextFileDataset,
+    VideoClipDataset,
     dataset_iterator,
 )
 from perceiverio_pytorch_tpu.training.lora import (  # noqa: F401

@@ -7,8 +7,12 @@ live on disk, decoded on demand by a thread pool while the TPU runs the
 previous steps.
 
 Design: a minimal map-style protocol (``__len__`` + ``__getitem__(i) ->
-tuple of numpy fields``), one concrete dataset (``ImageFolderDataset``:
-the standard ``root/<class>/*.png`` layout), and ``dataset_iterator`` which
+tuple of numpy fields``), one concrete dataset per task family
+(``ImageFolderDataset``: the standard ``root/<class>/*.png`` layout;
+``TextFileDataset`` + ``MLMDataset``: byte-token windows with static MLM
+corruption; ``FlowPairDataset``: Sintel-style frames/flow scenes;
+``VideoClipDataset``: clip directories with wav sidecars), and
+``dataset_iterator`` which
 shares ``batch_iterator``'s exact epoch/shuffle/``start_batch`` resume
 semantics (same index stream, ``training.data._index_batches``) but fetches
 items through a ``ThreadPoolExecutor`` with a bounded batch lookahead.
@@ -37,7 +41,32 @@ import numpy as np
 
 from perceiverio_pytorch_tpu.training.data import _index_batches
 
-__all__ = ["ImageFolderDataset", "dataset_iterator"]
+__all__ = [
+    "FlowPairDataset",
+    "ImageFolderDataset",
+    "MLMDataset",
+    "Subset",
+    "TextFileDataset",
+    "VideoClipDataset",
+    "dataset_iterator",
+]
+
+
+class Subset:
+    """View of a map-style dataset at a fixed index list (train/eval
+    splits: ``Subset(ds, range(n_train))`` / ``Subset(ds, range(n_train,
+    len(ds)))``).  Indices may repeat or reorder; determinism follows the
+    underlying dataset's."""
+
+    def __init__(self, dataset, indices):
+        self.dataset = dataset
+        self.indices = list(indices)
+
+    def __len__(self) -> int:
+        return len(self.indices)
+
+    def __getitem__(self, i: int):
+        return self.dataset[self.indices[i]]
 
 _IMAGE_EXTENSIONS = (".png", ".jpg", ".jpeg", ".bmp", ".gif")
 
@@ -111,6 +140,323 @@ class ImageFolderDataset:
                 )
             img = np.transpose(img, (2, 0, 1))  # HWC -> CHW, ref convention
         return np.asarray(img), np.asarray(label, np.int32)
+
+
+class TextFileDataset:
+    """UTF-8/byte text file(s) -> fixed-length byte-token windows.
+
+    Tokenization is the reference's byte vocabulary
+    (``utils.bytes_tokenizer.BytesTokenizer``, 6 reserved ids + 256 bytes —
+    /root/reference/utils/bytes_tokenizer.py semantics).  Windows never
+    straddle file boundaries; files are enumerated in the given (or sorted
+    glob) order so index -> window is deterministic across processes.
+
+    Args:
+      paths: one path, a sequence of paths, or a glob pattern.
+      seq_len: tokens per window.
+      stride: window step (default ``seq_len``: disjoint windows; smaller
+        overlaps windows for more examples from a small corpus).
+    """
+
+    def __init__(self, paths, seq_len: int, *, stride: Optional[int] = None,
+                 tokenizer=None):
+        import glob as _glob
+
+        if isinstance(paths, str):
+            expanded = sorted(_glob.glob(paths)) if any(
+                c in paths for c in "*?[") else [paths]
+        else:
+            expanded = list(paths)
+        if not expanded:
+            raise ValueError(f"no text files match {paths!r}")
+        if seq_len <= 0:
+            raise ValueError(f"seq_len must be positive; got {seq_len}")
+        stride = seq_len if stride is None else stride
+        if stride <= 0:
+            raise ValueError(f"stride must be positive; got {stride}")
+        if tokenizer is None:
+            from perceiverio_pytorch_tpu.utils.bytes_tokenizer import (
+                BytesTokenizer,
+            )
+
+            tokenizer = BytesTokenizer()
+        self.tokenizer = tokenizer
+        self.seq_len = seq_len
+        chunks, starts = [], []
+        offset = 0
+        for path in expanded:
+            with open(path, "rb") as f:
+                ids = np.asarray(tokenizer.to_int(f.read()), np.int32)
+            chunks.append(ids)
+            starts.extend(
+                range(offset, offset + len(ids) - seq_len + 1, stride)
+            )
+            offset += len(ids)
+        self._tokens = (np.concatenate(chunks) if chunks
+                        else np.zeros((0,), np.int32))
+        self._starts = np.asarray(starts, np.int64)
+        if len(self._starts) == 0:
+            raise ValueError(
+                f"no window of {seq_len} tokens fits in {paths!r} "
+                f"({offset} tokens total)"
+            )
+
+    def __len__(self) -> int:
+        return len(self._starts)
+
+    def __getitem__(self, i: int) -> Tuple[np.ndarray]:
+        s = self._starts[i]
+        return (self._tokens[s : s + self.seq_len],)
+
+
+class MLMDataset:
+    """Masked-LM corruption over any token dataset.
+
+    Wraps a dataset whose items start with an int token array and yields
+    ``(corrupted, targets, mlm_mask)`` — the reference example's protocol
+    (/root/reference/example_language.py:44-57: masked positions replaced
+    by the MASK byte, predictions scored at exactly those positions).
+    Corruption is static per example index (deterministic in ``seed``), so
+    the exact-resume guarantee of the shared index stream extends to the
+    masks; re-instantiate with a new ``seed`` per training phase if fresh
+    masks are wanted.
+
+    Args:
+      dataset: map-style dataset; item field 0 is a [seq_len] token array.
+      mask_rate: fraction of positions masked (at least 1 per sequence).
+      mask_token: replacement id (3 = BytesTokenizer.mask_token).
+    """
+
+    def __init__(self, dataset, *, mask_rate: float = 0.15, seed: int = 0,
+                 mask_token: int = 3):
+        if not 0.0 < mask_rate <= 1.0:
+            raise ValueError(f"mask_rate must be in (0, 1]; got {mask_rate}")
+        self.dataset = dataset
+        self.mask_rate = mask_rate
+        self.seed = seed
+        self.mask_token = mask_token
+
+    def __len__(self) -> int:
+        return len(self.dataset)
+
+    def __getitem__(self, i: int):
+        item = self.dataset[i]
+        tokens = np.asarray(item[0] if isinstance(item, tuple) else item)
+        rng = np.random.default_rng(np.random.SeedSequence([self.seed, i]))
+        mask = rng.random(tokens.shape[-1]) < self.mask_rate
+        if not mask.any():
+            mask[rng.integers(tokens.shape[-1])] = True
+        corrupted = np.where(mask, self.mask_token, tokens).astype(np.int32)
+        return corrupted, tokens.astype(np.int32), mask
+
+
+class FlowPairDataset:
+    """Sintel-style frame/flow tree(s) -> consecutive frame pairs.
+
+    Layout per scene (the same layout ``examples/evaluate_flow.py`` reads):
+
+        scene/frames/frame_0001.png frame_0002.png ...
+        scene/flow/frame_0001.flo   (ground truth for pair i -> i+1)
+
+    ``root`` is either one scene (``root/frames`` exists) or a tree scanned
+    recursively for scene directories.  Items:
+    ``(img1 uint8 [3,H,W], img2 uint8 [3,H,W], flow float32 [2,H,W])`` —
+    frames ship uint8 (normalize on device; fp32 payloads cost 4x the
+    host->device bandwidth for nothing), flow follows the reference
+    convention (channel 0 horizontal, matching FlowPostprocessor).
+
+    Args:
+      crop_size: (H, W) crop applied identically to both frames and the
+        flow (cropping preserves flow values; resizing would not).  None:
+        native size (all scenes must match).
+      augment: True picks the crop origin pseudo-randomly per example index
+        (deterministic in ``seed`` for exact resume); False center-crops.
+      missing_flow: "error" (default: training needs ground truth) or
+        "zeros" (timing/self-supervised runs).
+    """
+
+    def __init__(self, root: str, *, crop_size: Optional[Tuple[int, int]] = None,
+                 augment: bool = False, seed: int = 0,
+                 missing_flow: str = "error"):
+        if missing_flow not in ("error", "zeros"):
+            raise ValueError(
+                f"missing_flow must be 'error' or 'zeros'; got {missing_flow!r}"
+            )
+        scenes = []
+        if os.path.isdir(os.path.join(root, "frames")):
+            scenes.append(root)
+        else:
+            for dirpath, dirnames, _ in os.walk(root):
+                dirnames.sort()
+                if "frames" in dirnames:
+                    scenes.append(dirpath)
+        self._pairs = []
+        for scene in scenes:
+            frames = sorted(
+                f for f in os.listdir(os.path.join(scene, "frames"))
+                if f.lower().endswith((".png", ".jpg", ".jpeg"))
+            )
+            for a, b in zip(frames, frames[1:]):
+                stem = os.path.splitext(a)[0]
+                flo = os.path.join(scene, "flow", stem + ".flo")
+                if not os.path.exists(flo):
+                    if missing_flow == "error":
+                        raise ValueError(
+                            f"missing ground truth {flo} (pass"
+                            " missing_flow='zeros' to train without it)"
+                        )
+                    flo = None
+                self._pairs.append(
+                    (os.path.join(scene, "frames", a),
+                     os.path.join(scene, "frames", b), flo)
+                )
+        if not self._pairs:
+            raise ValueError(f"no frame pairs under {root!r}")
+        self.crop_size = crop_size
+        self.augment = augment
+        self.seed = seed
+
+    def __len__(self) -> int:
+        return len(self._pairs)
+
+    def __getitem__(self, i: int):
+        from PIL import Image
+
+        from perceiverio_pytorch_tpu.utils.flow_io import read_flo
+
+        f1, f2, flo = self._pairs[i]
+        img1 = np.asarray(Image.open(f1).convert("RGB"), np.uint8)
+        img2 = np.asarray(Image.open(f2).convert("RGB"), np.uint8)
+        flow = (read_flo(flo).astype(np.float32) if flo is not None
+                else np.zeros((2,) + img1.shape[:2], np.float32))  # [2,H,W]
+        if img2.shape != img1.shape or flow.shape[1:] != img1.shape[:2]:
+            raise ValueError(
+                f"shape mismatch in pair {f1}: frames {img1.shape} vs"
+                f" {img2.shape}, flow {flow.shape}"
+            )
+        if self.crop_size is not None:
+            ch, cw = self.crop_size
+            h, w = img1.shape[:2]
+            if h < ch or w < cw:
+                raise ValueError(
+                    f"frame {h}x{w} smaller than crop {ch}x{cw} ({f1})"
+                )
+            if self.augment:
+                rng = np.random.default_rng(
+                    np.random.SeedSequence([self.seed, i])
+                )
+                top = int(rng.integers(h - ch + 1))
+                left = int(rng.integers(w - cw + 1))
+            else:
+                top, left = (h - ch) // 2, (w - cw) // 2
+            img1 = img1[top : top + ch, left : left + cw]
+            img2 = img2[top : top + ch, left : left + cw]
+            flow = flow[:, top : top + ch, left : left + cw]
+        return (
+            np.transpose(img1, (2, 0, 1)),
+            np.transpose(img2, (2, 0, 1)),
+            np.ascontiguousarray(flow, np.float32),
+        )
+
+
+class VideoClipDataset:
+    """Clip directory -> (video, audio, label) for multimodal training.
+
+    Scans ``root`` recursively for ``.avi``/``.mp4`` clips (the layout
+    ``examples/evaluate_multimodal.py`` evaluates); a same-stem ``.wav``
+    sidecar supplies audio (silence otherwise).  Labels resolve from
+    ``labels_file`` (JSON: clip stem -> class index or name), else the
+    parent directory name (an integer, or a name looked up in
+    ``class_names``); unresolvable labels are -1 (mask them out of the
+    label loss).  Items:
+    ``(video uint8 [T,3,H,W], audio float32 [n_audio,1], label int32)``.
+
+    Args:
+      num_frames / image_size / audio_samples_per_frame: clip geometry —
+        pass the model's values (MultiModalPerceiver defaults 16 / (224,
+        224) / 1920, multimodal_perceiver.py:30-41).  Short clips repeat
+        their last frame; audio is truncated/zero-padded.
+    """
+
+    def __init__(self, root: str, *, num_frames: int = 16,
+                 image_size: Tuple[int, int] = (224, 224),
+                 audio_samples_per_frame: int = 1920,
+                 labels_file: Optional[str] = None,
+                 class_names: Optional[Sequence[str]] = None):
+        import glob as _glob
+        import json
+
+        self.num_frames = num_frames
+        self.image_size = tuple(image_size)
+        self.n_audio = num_frames * audio_samples_per_frame
+        self._label_map = (json.load(open(labels_file))
+                           if labels_file else None)
+        self._name_to_idx = {
+            n.lower(): i for i, n in enumerate(class_names or [])
+        }
+        paths = sorted(
+            _glob.glob(os.path.join(root, "**", "*.avi"), recursive=True)
+            + _glob.glob(os.path.join(root, "**", "*.mp4"), recursive=True)
+        )
+        if not paths:
+            raise ValueError(f"no .avi/.mp4 clips under {root!r}")
+        self._items = []
+        for path in paths:
+            stem = os.path.splitext(os.path.basename(path))[0]
+            wav = os.path.splitext(path)[0] + ".wav"
+            self._items.append(
+                (path, wav if os.path.exists(wav) else None,
+                 self._resolve_label(
+                     stem, os.path.basename(os.path.dirname(path))))
+            )
+
+    def _resolve_label(self, stem: str, parent: str) -> int:
+        if self._label_map is not None and stem in self._label_map:
+            v = self._label_map[stem]
+            if isinstance(v, str):
+                return self._name_to_idx.get(v.lower(), -1)
+            return int(v)
+        try:
+            return int(parent)
+        except ValueError:
+            return self._name_to_idx.get(
+                parent.replace("_", " ").lower(), -1
+            )
+
+    def __len__(self) -> int:
+        return len(self._items)
+
+    def __getitem__(self, i: int):
+        from perceiverio_pytorch_tpu.utils.image import load_video
+
+        path, wav_path, label = self._items[i]
+        t = self.num_frames
+        h, w = self.image_size
+        video = load_video(path, max_frames=t, resize=(w, h))  # [T,H,W,3]
+        if video.shape[0] == 0:
+            raise ValueError(f"no decodable frames in {path}")
+        if video.shape[0] < t:
+            video = np.concatenate(
+                [video, np.repeat(video[-1:], t - video.shape[0], axis=0)]
+            )
+        video = np.transpose(
+            np.round(video * 255.0).astype(np.uint8), (0, 3, 1, 2)
+        )
+        if wav_path is not None:
+            import scipy.io.wavfile
+
+            _, audio = scipy.io.wavfile.read(wav_path)
+            if audio.dtype == np.int16:
+                audio = audio.astype(np.float32) / 2**15
+            audio = np.asarray(audio, np.float32).reshape(audio.shape[0], -1)
+            audio = audio[: self.n_audio, :1]
+            if audio.shape[0] < self.n_audio:
+                audio = np.pad(
+                    audio, ((0, self.n_audio - audio.shape[0]), (0, 0))
+                )
+        else:
+            audio = np.zeros((self.n_audio, 1), np.float32)
+        return video, audio, np.asarray(label, np.int32)
 
 
 def dataset_iterator(

@@ -63,7 +63,10 @@ def multimodal_autoencode_loss(
     """Weighted sum of per-modality reconstruction/CE losses.
 
     ``weights``: per-modality multipliers; unspecified modalities default
-    to 1.0 (a partial dict like ``{"label": 2.0}`` is fine).
+    to 1.0 (a partial dict like ``{"label": 2.0}`` is fine).  Negative
+    label targets mean "unlabeled" (VideoClipDataset yields -1 when a clip
+    has no resolvable class): those examples contribute zero to the label
+    term and are excluded from its mean.
     """
     weights = dict(weights or {})
     total = 0.0
@@ -76,9 +79,13 @@ def multimodal_autoencode_loss(
             (outputs["audio"] - targets["audio"]) ** 2
         )
     if "label" in outputs:
-        total += weights.get("label", 1.0) * jnp.mean(
-            optax.softmax_cross_entropy_with_integer_labels(
-                outputs["label"], targets["label"]
-            )
+        labels = targets["label"]
+        valid = labels >= 0
+        ce = optax.softmax_cross_entropy_with_integer_labels(
+            outputs["label"], jnp.maximum(labels, 0)
+        )
+        total += weights.get("label", 1.0) * (
+            jnp.sum(jnp.where(valid, ce, 0.0))
+            / jnp.maximum(jnp.sum(valid), 1)
         )
     return total

@@ -91,3 +91,76 @@ def test_evaluate_classification_smoke(tmp_path, monkeypatch):
                      checkpoint=ck)
     assert result["images"] == 32
     assert result["top1"] > 0.6
+
+
+def test_train_flow_from_files_smoke(tmp_path, monkeypatch):
+    """train_flow --data-dir: Sintel-style scene -> uint8 crops -> steps."""
+    import numpy as np
+    from PIL import Image
+
+    from perceiverio_pytorch_tpu.utils.flow_io import write_flo
+
+    scene = tmp_path / "data" / "scene_a"
+    (scene / "frames").mkdir(parents=True)
+    (scene / "flow").mkdir()
+    rng = np.random.RandomState(0)
+    for i in range(1, 5):  # 4 frames -> 3 pairs
+        Image.fromarray(rng.randint(0, 255, (40, 56, 3), np.uint8)).save(
+            scene / "frames" / f"frame_{i:04d}.png"
+        )
+    for i in range(1, 4):
+        write_flo(str(scene / "flow" / f"frame_{i:04d}.flo"),
+                  rng.randn(40, 56, 2).astype(np.float32))
+
+    monkeypatch.chdir(tmp_path)
+    mod = _load("train_flow")
+    state = mod.main(steps=2, batch_size=2, data_dir=str(tmp_path / "data"))
+    assert int(state.step) == 2
+    rows = _read_metrics("flow_metrics.jsonl")
+    assert all(np.isfinite(r["loss"]) for r in rows if "loss" in r)
+
+
+def test_train_mlm_from_text_smoke(tmp_path, monkeypatch):
+    """train_mlm --text-file: byte windows + static MLM corruption, with a
+    held-out eval split scored by the Trainer's eval_fn."""
+    import numpy as np
+
+    corpus = tmp_path / "corpus.txt"
+    corpus.write_text("the quick brown fox jumps over the lazy dog. " * 40)
+
+    monkeypatch.chdir(tmp_path)
+    mod = _load("train_mlm")
+    mod.main(steps=2, batch_size=2, seq_len=64, text_file=str(corpus))
+    rows = _read_metrics("mlm_metrics.jsonl")
+    assert any("loss" in r for r in rows)
+    assert any("eval_loss" in r for r in rows)  # held-out windows scored
+    assert all(np.isfinite(r["loss"]) for r in rows if "loss" in r)
+
+
+def test_train_multimodal_from_clips_smoke(tmp_path, monkeypatch):
+    """train_multimodal --data-dir: real clip decode incl. an unlabeled
+    clip (label -1 masked out of the CE)."""
+    cv2 = pytest.importorskip("cv2")
+    del cv2
+    import numpy as np
+    import scipy.io.wavfile
+
+    from perceiverio_pytorch_tpu.utils.image import save_video
+
+    rng = np.random.RandomState(0)
+    d = tmp_path / "data" / "7"
+    d.mkdir(parents=True)
+    save_video(str(d / "a.avi"), rng.rand(2, 16, 16, 3).astype(np.float32))
+    scipy.io.wavfile.write(str(d / "a.wav"), 48000,
+                           (rng.rand(300) * 2**14).astype(np.int16))
+    u = tmp_path / "data" / "unlabeled"
+    u.mkdir()
+    save_video(str(u / "b.avi"), rng.rand(2, 16, 16, 3).astype(np.float32))
+
+    monkeypatch.chdir(tmp_path)
+    mod = _load("train_multimodal")
+    state = mod.main(steps=2, batch_size=2, n_chunks=2,
+                     data_dir=str(tmp_path / "data"))
+    assert int(state.step) == 2
+    rows = _read_metrics("multimodal_metrics.jsonl")
+    assert all(np.isfinite(r["loss"]) for r in rows if "loss" in r)
