@@ -67,15 +67,23 @@ def main(steps=30, batch_size=8, full_scale=False, mesh_shape=None, fsdp=False,
                 if quant else policy)
 
     hw = (224, 224) if full_scale else (32, 32)
-    dataset = None
+    dataset = eval_items = None
     if data_dir is not None:
         # real data: root/<class>/*.png, decoded by a thread pool, shipped
-        # uint8 and normalized on device (4x less host->device traffic)
-        from perceiverio_pytorch_tpu.training import ImageFolderDataset
+        # uint8 and normalized on device (4x less host->device traffic).
+        # The last 2*batch_size images (in the deterministic sorted order)
+        # are held out: the Trainer scores eval_loss + eval_top1 on them.
+        from perceiverio_pytorch_tpu.training import ImageFolderDataset, Subset
 
-        dataset = ImageFolderDataset(data_dir, image_size=hw)
-        num_classes = len(dataset.class_names)
-        print(f"{len(dataset)} images, {num_classes} classes from {data_dir}")
+        full = ImageFolderDataset(data_dir, image_size=hw)
+        num_classes = len(full.class_names)
+        n_eval = min(2 * batch_size, max(len(full) - batch_size, 0))
+        dataset = Subset(full, range(len(full) - n_eval))
+        if n_eval:
+            eval_items = [full[i] for i in
+                          range(len(full) - n_eval, len(full))]
+        print(f"{len(full)} images, {num_classes} classes from {data_dir}"
+              f" ({len(dataset)} train / {n_eval} eval)")
     else:
         num_classes = 1000 if full_scale else 4
 
@@ -122,6 +130,16 @@ def main(steps=30, batch_size=8, full_scale=False, mesh_shape=None, fsdp=False,
             **model_state, **mutated,
         }
 
+    def eval_fn(params, model_state, img, labels):
+        # inference pathway: BN uses the EMA stats, no mutation
+        logits = model.apply({"params": params, **model_state}, _prep(img))
+        return {
+            "eval_loss": classification_cross_entropy(logits, labels),
+            "eval_top1": jnp.mean(
+                (jnp.argmax(logits, -1) == labels).astype(jnp.float32)
+            ),
+        }
+
     mesh = None
     if mesh_shape is not None:
         from perceiverio_pytorch_tpu.parallel import make_mesh
@@ -143,8 +161,15 @@ def main(steps=30, batch_size=8, full_scale=False, mesh_shape=None, fsdp=False,
         log_every=10,
         checkpoint_dir=checkpoint_dir,
         checkpoint_every=0 if checkpoint_dir is None else max(steps // 2, 1),
+        eval_fn=None if eval_items is None else eval_fn,
+        eval_every=max(steps // 2, 1),
     )
     state = trainer.init_state(variables["params"], model_state=aux)
+    eval_batches = None
+    if eval_items is not None:
+        fields = tuple(np.stack(f) for f in zip(*eval_items))
+        eval_batches = list(epoch_batches(fields, batch_size, shuffle=False,
+                                          drop_remainder=False))
 
     # epochs=None reshuffles every epoch (a fresh epoch_batches() per
     # loop iteration would replay the same seed-0 permutation)
@@ -161,7 +186,7 @@ def main(steps=30, batch_size=8, full_scale=False, mesh_shape=None, fsdp=False,
 
     state = trainer.fit(
         state, lambda s: prefetch_to_device(batches(s), 2),
-        num_steps=steps, resume=resume,
+        num_steps=steps, eval_batches=eval_batches, resume=resume,
     )
     print(f"finished at step {int(state.step)}")
     return state

@@ -97,17 +97,28 @@ def main(steps=30, batch_size=None, full_scale=False, mesh_shape=None, fsdp=Fals
         )
         hw = (32, 48)
 
-    dataset = None
+    dataset = eval_items = None
     if data_dir is not None:
         # real data: Sintel-style frames/ + flow/ scene tree(s), cropped to
         # the model grid (crops preserve flow values; resizes would not),
-        # frames shipped uint8 and normalized on device
-        from perceiverio_pytorch_tpu.training import FlowPairDataset
+        # frames shipped uint8 and normalized on device.  The last
+        # 2*batch_size pairs (center-cropped, no augmentation) are held
+        # out: the Trainer scores eval AEPE on them.
+        from perceiverio_pytorch_tpu.training import (
+            FlowPairDataset,
+            Subset,
+            dataset_iterator,
+        )
 
-        dataset = FlowPairDataset(data_dir, crop_size=hw, augment=augment)
-        print(f"{len(dataset)} frame pairs from {data_dir}")
-        from perceiverio_pytorch_tpu.training import dataset_iterator
-
+        full = FlowPairDataset(data_dir, crop_size=hw, augment=augment)
+        n_eval = min(2 * batch_size, max(len(full) - batch_size, 0))
+        dataset = Subset(full, range(len(full) - n_eval))
+        if n_eval:
+            center = FlowPairDataset(data_dir, crop_size=hw, augment=False)
+            eval_items = [center[i] for i in
+                          range(len(center) - n_eval, len(center))]
+        print(f"{len(full)} frame pairs from {data_dir}"
+              f" ({len(dataset)} train / {n_eval} eval)")
         img1, img2, flow = next(dataset_iterator(dataset, batch_size,
                                                  num_workers=0))
     else:
@@ -132,6 +143,11 @@ def main(steps=30, batch_size=None, full_scale=False, mesh_shape=None, fsdp=Fals
                           _prep(b))
         return flow_endpoint_error(out, gt), model_state
 
+    def eval_fn(params, model_state, a, b, gt):
+        out = model.apply({"params": params, **model_state}, _prep(a),
+                          _prep(b))
+        return {"eval_epe": flow_endpoint_error(out, gt)}
+
     mesh = None
     if mesh_shape is not None:
         from perceiverio_pytorch_tpu.parallel import make_mesh
@@ -153,8 +169,15 @@ def main(steps=30, batch_size=None, full_scale=False, mesh_shape=None, fsdp=Fals
         log_every=10,
         checkpoint_dir=checkpoint_dir,
         checkpoint_every=0 if checkpoint_dir is None else max(steps // 2, 1),
+        eval_fn=None if eval_items is None else eval_fn,
+        eval_every=max(steps // 2, 1),
     )
     state = trainer.init_state(variables["params"], model_state=consts)
+    eval_batches = None
+    if eval_items is not None:
+        fields = tuple(np.stack(f) for f in zip(*eval_items))
+        eval_batches = list(epoch_batches(fields, batch_size, shuffle=False,
+                                          drop_remainder=False))
 
     # epochs=None reshuffles every epoch (a fresh epoch_batches() per
     # loop iteration would replay the same seed-0 permutation)
@@ -171,7 +194,7 @@ def main(steps=30, batch_size=None, full_scale=False, mesh_shape=None, fsdp=Fals
 
     state = trainer.fit(
         state, lambda s: prefetch_to_device(batches(s), 2),
-        num_steps=steps, resume=resume,
+        num_steps=steps, eval_batches=eval_batches, resume=resume,
     )
     print(f"finished at step {int(state.step)}")
     return state

@@ -91,6 +91,9 @@ def test_evaluate_classification_smoke(tmp_path, monkeypatch):
                      checkpoint=ck)
     assert result["images"] == 32
     assert result["top1"] > 0.6
+    rows = _read_metrics("classification_metrics.jsonl")
+    # the held-out split is scored during training (BN eval pathway)
+    assert any("eval_top1" in r for r in rows)
 
 
 def test_train_flow_from_files_smoke(tmp_path, monkeypatch):
@@ -118,6 +121,8 @@ def test_train_flow_from_files_smoke(tmp_path, monkeypatch):
     assert int(state.step) == 2
     rows = _read_metrics("flow_metrics.jsonl")
     assert all(np.isfinite(r["loss"]) for r in rows if "loss" in r)
+    # a held-out pair is scored during training (center crop, no augment)
+    assert any("eval_epe" in r for r in rows)
 
 
 def test_train_mlm_from_text_smoke(tmp_path, monkeypatch):
