@@ -43,6 +43,14 @@ def _index_batches(
     so their data order, reshuffling and ``start_batch`` fast-forward
     semantics are identical by construction."""
     rng = np.random.default_rng(seed)
+    if drop_remainder and n < batch_size:
+        # would yield zero batches per epoch -- with epochs=None that is an
+        # infinite empty generator (a hang at the first next()), so fail loud
+        raise ValueError(
+            f"dataset has {n} examples but batch_size={batch_size} with"
+            " drop_remainder=True yields no batches; shrink the batch or"
+            " pass drop_remainder=False"
+        )
     epoch = 0
     to_skip = start_batch
     while epochs is None or epoch < epochs:

@@ -186,14 +186,16 @@ class TextFileDataset:
         offset = 0
         for path in expanded:
             with open(path, "rb") as f:
-                ids = np.asarray(tokenizer.to_int(f.read()), np.int32)
+                # int16 holds the 262-id byte vocab: half the resident
+                # corpus memory; windows are widened to int32 on access
+                ids = np.asarray(tokenizer.to_int(f.read()), np.int16)
             chunks.append(ids)
             starts.extend(
                 range(offset, offset + len(ids) - seq_len + 1, stride)
             )
             offset += len(ids)
         self._tokens = (np.concatenate(chunks) if chunks
-                        else np.zeros((0,), np.int32))
+                        else np.zeros((0,), np.int16))
         self._starts = np.asarray(starts, np.int64)
         if len(self._starts) == 0:
             raise ValueError(
@@ -206,7 +208,7 @@ class TextFileDataset:
 
     def __getitem__(self, i: int) -> Tuple[np.ndarray]:
         s = self._starts[i]
-        return (self._tokens[s : s + self.seq_len],)
+        return (self._tokens[s : s + self.seq_len].astype(np.int32),)
 
 
 class MLMDataset:

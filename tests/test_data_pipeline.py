@@ -166,3 +166,19 @@ def test_trainer_callable_batches_resume_exact_data_order(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(s2.params["w"]), np.asarray(s3.params["w"])
     )
+
+
+def test_batch_smaller_dataset_fails_loud():
+    """n < batch_size with drop_remainder would be an infinite EMPTY
+    generator under epochs=None (a hang at the first next()); both
+    iterators must raise instead."""
+    import numpy as np
+    import pytest
+
+    from perceiverio_pytorch_tpu.training import batch_iterator
+
+    with pytest.raises(ValueError, match="yields no batches"):
+        next(batch_iterator((np.arange(3),), 8, epochs=None))
+    # drop_remainder=False still yields the short batch
+    (short,) = next(batch_iterator((np.arange(3),), 8, drop_remainder=False))
+    assert short.shape == (3,)
