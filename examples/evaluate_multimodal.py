@@ -47,7 +47,7 @@ from perceiverio_pytorch_tpu.utils.labels import kinetics700_labels
 def _resolve_label(stem, parent, labels_file_map, name_to_idx):
     if labels_file_map is not None and stem in labels_file_map:
         v = labels_file_map[stem]
-        return name_to_idx.get(v) if isinstance(v, str) else int(v)
+        return name_to_idx.get(v.lower()) if isinstance(v, str) else int(v)
     try:
         return int(parent)
     except ValueError:

@@ -88,3 +88,17 @@ def test_torch_checkpoint_roundtrip_reproduces_metrics(clip_dir, tmp_path):
     reloaded = mod.main(str(clip_dir), small=True, torch_checkpoint=pth)
     assert reloaded["video_psnr"] == base["video_psnr"]
     assert reloaded["audio_psnr"] == base["audio_psnr"]
+
+
+def test_resolve_label_cases():
+    """Label resolution: labels-file values (int and case-insensitive name),
+    parent-directory integers/names, and None when unresolvable."""
+    mod = _load("evaluate_multimodal")
+    name_to_idx = {"playing piano": 42}
+    r = mod._resolve_label
+    assert r("clip", "x", {"clip": 7}, name_to_idx) == 7
+    # string values resolve through the (lowercased) class-name index
+    assert r("clip", "x", {"clip": "Playing Piano"}, name_to_idx) == 42
+    assert r("clip", "5", None, name_to_idx) == 5
+    assert r("clip", "playing_piano", None, name_to_idx) == 42
+    assert r("clip", "unknown_class", None, name_to_idx) is None
