@@ -1,4 +1,4 @@
-"""Benchmark: ImageNet conv-prep classification throughput on one TPU chip.
+"""Benchmark: the four reference workloads on one TPU chip.
 
 Headline metric (BASELINE.md): images/sec/chip for the
 FOURIER_POS_CONVNET ClassificationPerceiver (512 latents x 1024 channels,
@@ -9,13 +9,25 @@ classification_perceiver.py:35-58).
 The reference publishes no numbers and is a single-GPU eager PyTorch
 implementation; ``vs_baseline`` therefore reports the speedup of the
 production bf16 policy over the same model run in the reference-faithful
-fp32 XLA configuration on the same chip (our parity-mode baseline).
+fp32 XLA configuration on the same chip (our parity-mode baseline).  The
+baseline is PINNED per chip type in the committed ``bench_baselines.json``
+(median + band over >=3 fresh processes; see that file for protocol) so a
+noisy fresh re-measurement cannot silently move every "Nx" claim; pass
+``--remeasure-baseline`` to measure it fresh instead.
 
-Prints exactly one JSON line.
+A bare ``python bench.py`` emits one JSON line per inference workload --
+flow (/root/reference/perceiver_io/flow_perceiver.py:34-42), byte MLM
+(language_perceiver.py:24-31), multimodal Kinetics
+(multimodal_perceiver.py:137-146) -- with the ImageNet headline LAST (the
+driver parses the final stdout line).  A wall-clock budget (--budget /
+$BENCH_BUDGET_S) skips secondary tasks on a cold compile cache so the
+headline always prints.
 """
 
 import argparse
 import json
+import os
+import sys
 import time
 
 import jax
@@ -438,12 +450,53 @@ def bench_serving(quant=None):
     )
 
 
-def main(quant=None):
-    from perceiverio_pytorch_tpu import PARITY, PERFORMANCE
+_BATCH = 16  # best measured throughput point on one v5e chip
+_REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+_PIN_PATH = os.path.join(_REPO_DIR, "bench_baselines.json")
+_CACHE_PATH = os.path.join(_REPO_DIR, ".bench_baseline.json")
+
+
+def _device_kind():
+    return jax.devices()[0].device_kind
+
+
+def measure_fp32_baseline(img, params):
+    """Measure the reference-faithful fp32 baseline fresh (slow compile).
+
+    The baseline is the reference's computation: fp32 everywhere, erf GELU,
+    XLA attention, and the full 1000-row query decode (the reference's
+    postprocessor discards rows 1..999 -- classification_perceiver.py:
+    103-125 decodes them anyway, so the baseline must too).
+    """
+    from perceiverio_pytorch_tpu import PARITY
+    from perceiverio_pytorch_tpu.models import ClassificationPerceiver, PrepType
+
+    base_model = ClassificationPerceiver(
+        prep_type=PrepType.FOURIER_POS_CONVNET, policy=PARITY,
+        single_query_decode=False,
+    )
+    return _throughput(base_model, params, img, iters=10)
+
+
+def _pinned_baseline(batch):
+    """Committed per-chip-type baseline (median of >=3 fresh processes)."""
+    try:
+        with open(_PIN_PATH) as f:
+            pins = json.load(f)
+        entry = pins.get(_device_kind())
+        if entry and entry.get("batch") == batch:
+            return entry["fp32_images_per_sec_median"]
+    except Exception:
+        pass
+    return None
+
+
+def main(quant=None, remeasure_baseline=False):
+    from perceiverio_pytorch_tpu import PERFORMANCE
     from perceiverio_pytorch_tpu.models import ClassificationPerceiver, PrepType
     from perceiverio_pytorch_tpu.utils.params import cast_variables_for_inference
 
-    batch = 16  # best measured throughput point on one v5e chip
+    batch = _BATCH
     img = jnp.asarray(
         np.random.RandomState(0).randn(batch, 3, 224, 224), jnp.float32
     )
@@ -456,31 +509,26 @@ def main(quant=None):
     params_bf16 = cast_variables_for_inference(params)
     perf_ips = _throughput(perf_model, params_bf16, img)
 
-    # The fp32 parity-mode baseline is deterministic for a given chip; cache
-    # it so repeat benchmark runs skip its (slow) second compile.
-    import os
-
-    cache_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                              ".bench_baseline.json")
-    base_ips = None
-    if os.path.exists(cache_path):
+    # Baseline resolution order: committed pin for this chip type (stable
+    # "Nx" claims) -> local .bench_baseline.json cache (unknown chips, skip
+    # the slow recompile) -> fresh measurement.  --remeasure-baseline forces
+    # a fresh measurement and refreshes the local cache.
+    base_ips = None if remeasure_baseline else _pinned_baseline(batch)
+    if base_ips is None and not remeasure_baseline:
         try:
-            with open(cache_path) as f:
+            with open(_CACHE_PATH) as f:
                 cached = json.load(f)
             if cached.get("batch") == batch:
                 base_ips = cached["fp32_images_per_sec"]
         except Exception:
             base_ips = None
     if base_ips is None:
-        base_model = ClassificationPerceiver(
-            prep_type=PrepType.FOURIER_POS_CONVNET, policy=PARITY,
-            # the baseline is the reference-faithful computation: the
-            # reference decodes all 1000 query rows (and discards 999)
-            single_query_decode=False,
-        )
-        base_ips = _throughput(base_model, params, img, iters=10)
-        with open(cache_path, "w") as f:
-            json.dump({"batch": batch, "fp32_images_per_sec": base_ips}, f)
+        base_ips = measure_fp32_baseline(img, params)
+        with open(_CACHE_PATH, "w") as f:
+            json.dump({"batch": batch, "fp32_images_per_sec": base_ips,
+                       "device_kind": _device_kind()}, f)
+        print(f"measured fp32 baseline: {base_ips:.2f} img/s "
+              f"on {_device_kind()!r}", file=sys.stderr)
 
     print(
         json.dumps(
@@ -498,13 +546,32 @@ def main(quant=None):
 if __name__ == "__main__":
     parser = argparse.ArgumentParser()
     parser.add_argument(
-        "--task", default="imagenet",
+        "--task", default="all",
         choices=["imagenet", "flow", "mlm", "multimodal", "all", "training",
                  "serving"],
-        help="headline metric (default), a secondary task metric, 'all' for "
-             "one JSON line per inference task, 'training' for the four "
-             "full-scale training-step metrics, or 'serving' for the "
-             "micro-batching request throughput",
+        help="'all' (default): one JSON line per inference task with the "
+             "imagenet headline LAST; or a single task metric; 'training' "
+             "for the four full-scale training-step metrics; 'serving' for "
+             "the micro-batching request throughput",
+    )
+    parser.add_argument(
+        "--budget", type=float,
+        default=float(os.environ.get("BENCH_BUDGET_S", "1800")),
+        help="wall-clock budget in seconds for --task all: secondary tasks "
+             "are skipped (stderr note) when the remaining budget would not "
+             "cover them plus the headline, so the headline always prints "
+             "last even on a cold compile cache",
+    )
+    parser.add_argument(
+        "--remeasure-baseline", action="store_true",
+        help="ignore the committed bench_baselines.json pin and the local "
+             "cache; measure the fp32 parity baseline fresh in this process "
+             "(used to establish/verify the pinned band)",
+    )
+    parser.add_argument(
+        "--no-compile-cache", action="store_true",
+        help="disable the persistent XLA compilation cache (on by default: "
+             "repeat runs skip the multi-minute full-scale compiles)",
     )
     parser.add_argument(
         "--quant", nargs="?", const="dynamic", default=None,
@@ -524,6 +591,12 @@ if __name__ == "__main__":
              " (utils.profiling.op_stats)",
     )
     args = parser.parse_args()
+    if not args.no_compile_cache:
+        from perceiverio_pytorch_tpu.utils.compilation_cache import (
+            enable_compilation_cache,
+        )
+
+        enable_compilation_cache()
     if args.profile:
         jax.profiler.start_trace(args.profile)
     task = args.task
@@ -538,12 +611,30 @@ if __name__ == "__main__":
     elif task == "serving":
         bench_serving(quant=args.quant)
     elif task == "all":
-        main(quant=args.quant)
-        bench_flow(quant=args.quant)
-        bench_mlm(quant=args.quant)
-        bench_multimodal(quant=args.quant)
+        # Secondary tasks first, headline LAST (the driver parses the final
+        # stdout line).  Cost estimates are warm-ish compile-cache numbers
+        # with cold-cache headroom; the reserve keeps enough budget for the
+        # headline task even if every estimate is blown.
+        t_start = time.monotonic()
+        est = {"flow": 360.0, "mlm": 180.0, "multimodal": 360.0}
+        reserve = 480.0  # headline compile+run allowance
+        for name, fn in (
+            ("flow", bench_flow),
+            ("mlm", bench_mlm),
+            ("multimodal", bench_multimodal),
+        ):
+            elapsed = time.monotonic() - t_start
+            if elapsed + est[name] + reserve > args.budget:
+                print(
+                    f"bench: skipping {name} (elapsed {elapsed:.0f}s + "
+                    f"est {est[name]:.0f}s + headline reserve {reserve:.0f}s"
+                    f" exceeds budget {args.budget:.0f}s)", file=sys.stderr,
+                )
+                continue
+            fn(quant=args.quant)
+        main(quant=args.quant, remeasure_baseline=args.remeasure_baseline)
     else:
-        main(quant=args.quant)
+        main(quant=args.quant, remeasure_baseline=args.remeasure_baseline)
     if args.profile:
         jax.profiler.stop_trace()
         from perceiverio_pytorch_tpu.utils.profiling import op_stats
