@@ -47,7 +47,11 @@ from perceiverio_pytorch_tpu.utils.labels import kinetics700_labels
 def _resolve_label(stem, parent, labels_file_map, name_to_idx):
     if labels_file_map is not None and stem in labels_file_map:
         v = labels_file_map[stem]
-        return name_to_idx.get(v.lower()) if isinstance(v, str) else int(v)
+        if isinstance(v, str):
+            # Same normalization as the parent-directory path below:
+            # underscore-style class names ("playing_piano") resolve too.
+            return name_to_idx.get(v.replace("_", " ").lower())
+        return int(v)
     try:
         return int(parent)
     except ValueError:

@@ -416,7 +416,9 @@ class VideoClipDataset:
         if self._label_map is not None and stem in self._label_map:
             v = self._label_map[stem]
             if isinstance(v, str):
-                return self._name_to_idx.get(v.lower(), -1)
+                # Same normalization as the parent-directory fallback:
+                # underscore-style class names ("playing_piano") resolve.
+                return self._name_to_idx.get(v.replace("_", " ").lower(), -1)
             return int(v)
         try:
             return int(parent)

@@ -292,6 +292,17 @@ def test_video_clip_dataset(tmp_path):
         labels_file=str(tmp_path / "labels.json"),
     )
     assert int(mapped[0][2]) == 9
+    # string labels-file values: underscore-style names normalize like
+    # directory names (underscores -> spaces, lowercased)
+    with open(tmp_path / "labels.json", "w") as f:
+        json.dump({"a": "Some_Class"}, f)
+    mapped_str = VideoClipDataset(
+        str(tmp_path), num_frames=2, image_size=(16, 16),
+        audio_samples_per_frame=128,
+        class_names=["other", "some class"],
+        labels_file=str(tmp_path / "labels.json"),
+    )
+    assert int(mapped_str[0][2]) == 1
 
 
 def test_family_datasets_through_iterator(flow_scene, text_files):

@@ -99,6 +99,8 @@ def test_resolve_label_cases():
     assert r("clip", "x", {"clip": 7}, name_to_idx) == 7
     # string values resolve through the (lowercased) class-name index
     assert r("clip", "x", {"clip": "Playing Piano"}, name_to_idx) == 42
+    # underscore-style names normalize the same way as directory names
+    assert r("clip", "x", {"clip": "Playing_Piano"}, name_to_idx) == 42
     assert r("clip", "5", None, name_to_idx) == 5
     assert r("clip", "playing_piano", None, name_to_idx) == 42
     assert r("clip", "unknown_class", None, name_to_idx) is None

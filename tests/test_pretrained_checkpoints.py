@@ -31,7 +31,12 @@ def _find_ckpt(name):
         path = os.path.join(d, name)
         if os.path.isfile(path):
             return path
-    pytest.skip(f"pretrained checkpoint {name} not available")
+    pytest.skip(
+        f"pretrained checkpoint {name} not available -- download it from the"
+        " reference README's Google-Drive folder into ./pytorch_checkpoints"
+        " and this test runs with zero extra work (exact commands:"
+        " docs/WEIGHTS.md)"
+    )
 
 
 @pytest.mark.slow
