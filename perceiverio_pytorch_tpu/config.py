@@ -50,27 +50,6 @@ class Policy:
         Pallas flash over the local KV shard + global lse merge -- ring
         attention; O(block) memory instead of [Tq, Tk/n] local logits), or
         "auto" (flash when the local shard is long enough).
-      fold_flash_pad: when a site will run the Pallas flash kernel and its
-        head dims are not 128-lane aligned (flow: d=322 single-head), fold
-        the lane padding into the q/k/v/output projection weights (zero
-        kernel columns) so the GEMMs emit lane-aligned activations directly.
-        Numerically exact (zero columns contribute zero; the softmax scale
-        stays 1/sqrt(logical d)).  Default OFF: measured in-model on flow,
-        folding ALONE is ~5% slower (35.4 vs 37.1 pairs/s) because XLA
-        already fuses the D-pad into the sequence-axis pad it must do
-        anyway, so folding only added +19% projection FLOPs -- it pays off
-        only once the token axis is also block-aligned upstream.
-      seq_align: block-align the long token/query axes at the model level
-        (PerceiverIO pads the preprocessed tokens to a flash block_k
-        multiple before the encoder cross-attend and the decoder query to a
-        block_q multiple, slicing outputs after the small final layer).
-        The flash wrapper's per-site jnp.pads then become no-ops; the
-        kernel masks the key tail via its existing static length check, so
-        nothing extra runs inside it.  Only active at sites that dispatch
-        to the flash kernel.  Combine with fold_flash_pad to also remove
-        the head-dim padding copies.  Measured NEUTRAL at flow scale
-        (PERFORMANCE.md: XLA fuses the wrapper pads anyway); off by
-        default, available for configs with wider pad fractions.
       fold_query_pad: fold the decoder query's constant channel padding
         through LayerNorm + the Q projection analytically instead of
         materialising the padded concat.  Multimodal decode queries are
@@ -106,13 +85,7 @@ class Policy:
     sp_axis: str = "model"
     sp_min_kv: int = 32768
     sp_impl: str = "auto"
-    fold_flash_pad: bool = False
-    seq_align: bool = False
     fold_query_pad: bool = False
-    # Single-pass E[x^2]-E[x]^2 layer-norm variance instead of the
-    # reference-faithful two-pass form.  ~1e-5 accuracy cost per norm;
-    # enable only if measured to pay on the target workload.
-    fast_layer_norm: bool = False
     # Flash-kernel block sizes (None = kernel defaults, 512x1024, further
     # shrunk to fit VMEM).  Exposed for tuning and for interpreter-mode
     # parity tests at full model scale, where large blocks keep the grid
@@ -145,6 +118,31 @@ class Policy:
     pp_axis: str = "pipe"
     pp_microbatches: int = 2
     pp_circ_repeats: int = 1
+    # Compile-time lever for DISTINCT-layer stacks (flow ships 24 distinct
+    # self-attends in one block, MLM 26 -- flow_perceiver.py:34-42,
+    # language_perceiver.py:24-31).  The default unrolled tracing emits L
+    # copies of the layer body into the HLO, which costs minutes of XLA
+    # compile at flow scale (274 s forward through a remote compile
+    # service).  With layer scan, the per-layer param subtrees are stacked
+    # on a leading [L, ...] axis at apply time (checkpoint layout unchanged
+    # -- the tree still holds per-layer children "0".."23") and ONE
+    # lax.scan runs the layer body, so the body is traced and compiled
+    # once: the whole flow bench (init + forward compile + run) fits in
+    # 120 s cold.  Numerically exact; differentiable; dropout draws an
+    # independent folded key per layer.  COST: ~4% steady-state throughput
+    # at full scale (flow 36.6-36.9 vs 38.3-38.4 pairs/s, MLM 1028-1034 vs
+    # 1067-1075 seq/s, one-process A/Bs; lax.scan unroll=2/4/8 measured
+    # WORSE, the cost is the stacked-param materialisation + lost
+    # cross-layer fusion, not loop overhead).  Default OFF because the
+    # persistent compilation cache (utils/compilation_cache) amortises the
+    # unrolled compile to once per machine; switch to "auto"/"on" for
+    # compile-bound cold starts (CI, first-boot serving rollouts,
+    # interactive experimentation).  "auto" engages when the stack has at
+    # least layer_scan_min distinct layers; init and mutable-quant_stats
+    # calibration passes always run unrolled (variable creation cannot
+    # happen under scan).
+    layer_scan: str = "off"
+    layer_scan_min: int = 16
     # Selective rematerialisation: when a model is built with remat=True,
     # this names a jax.checkpoint_policies entry controlling WHAT the
     # wrapped block stacks save for the backward pass.  None = full remat

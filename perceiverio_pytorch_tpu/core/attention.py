@@ -23,7 +23,6 @@ Differences by design (TPU-first, not a port):
 from __future__ import annotations
 
 import dataclasses
-import math
 from typing import Any, NamedTuple, Optional, Tuple
 
 import flax.linen as nn
@@ -38,10 +37,7 @@ from perceiverio_pytorch_tpu.config import (
     quant_enabled,
     quant_mode,
 )
-from perceiverio_pytorch_tpu.ops.attention import (
-    attention_path,
-    multihead_attention,
-)
+from perceiverio_pytorch_tpu.ops.attention import multihead_attention
 from perceiverio_pytorch_tpu.ops.attention_xla import make_cross_attention_mask
 from perceiverio_pytorch_tpu.utils.initializers import variance_scaling
 
@@ -89,43 +85,28 @@ class FoldedQuery(NamedTuple):
         return pos.shape[-1] + pad.shape[-1]
 
 
-def _layer_norm(name: str, fast: bool = False):
+def _layer_norm(name: str):
     # torch nn.LayerNorm default eps=1e-5; keep normalisation in fp32 with the
-    # two-pass variance (fast E[x^2]-E[x]^2 variance costs ~1e-5 of accuracy
-    # that compounds through deep residual stacks).  ``fast`` switches to the
-    # single-pass form (Policy.fast_layer_norm).
+    # two-pass variance (a single-pass E[x^2]-E[x]^2 variance costs ~1e-5 of
+    # accuracy that compounds through deep residual stacks, and measured
+    # NEUTRAL at flow scale -- XLA fuses the two-pass form).
     return nn.LayerNorm(
-        epsilon=1e-5, dtype=jnp.float32, use_fast_variance=fast, name=name
+        epsilon=1e-5, dtype=jnp.float32, use_fast_variance=False, name=name
     )
 
 
-_LANE = 128  # TPU lane width; the flash kernel pads head dims to this
+class _QuantDense(nn.Module):
+    """``nn.Dense`` twin that additionally understands ``Policy.quant``.
 
-
-class _FoldPadDense(nn.Module):
-    """``nn.Dense`` twin whose kernel can be zero-padded per attention head
-    at apply time.
-
-    When the flash kernel runs on a site whose head dim is not lane-aligned
-    (flow's d=322 single-head cross-attends), the wrapper would otherwise pad
-    the [B, 182k, D] activations in HBM (~140 MB copied per layer use).
-    Padding the tiny [C, D] kernel instead makes the projection GEMM emit
-    lane-aligned activations directly -- the MXU pads its output tiles to
-    128 lanes anyway, so the extra zero columns are free.  Exact: zero
-    columns produce zero activations, contribute zero logits/outputs.
-
-    Parameter names and shapes match ``nn.Dense`` ("kernel"/"bias", unpadded)
-    so checkpoints and the torch adapter are unaffected.
-
-    ``fold_axis``: "out" pads the per-head *output* columns (q/k/v
-    projections); "in" pads the per-head *input* rows (the final output
-    projection, whose input is the flash kernel's lane-aligned result).
+    Parameter names and shapes match ``nn.Dense`` ("kernel"/"bias") so
+    checkpoints and the torch adapter are unaffected.  With ``quant`` unset
+    it is exactly a Dense layer; with int8 modes the GEMM routes through the
+    int8 MXU path (ops/quant.py) and ``int8_static`` sites carry an ``amax``
+    scalar in the "quant_stats" collection, recorded during calibration
+    passes (ops.quant.calibrate).
     """
 
     features: int
-    num_heads: int
-    fold_axis: str = "out"
-    in_features: Optional[int] = None  # required for fold_axis="in"
     use_bias: bool = True
     kernel_init: Any = nn.initializers.lecun_normal()
     bias_init: Any = nn.initializers.zeros
@@ -144,10 +125,8 @@ class _FoldPadDense(nn.Module):
     quant: Optional[str] = None
 
     @nn.compact
-    def __call__(self, x, head_pad: int = 0):
-        in_features = (
-            self.in_features if self.fold_axis == "in" else x.shape[-1]
-        )
+    def __call__(self, x):
+        in_features = x.shape[-1]
         kernel = self.param(
             "kernel", self.kernel_init, (in_features, self.features),
             self.param_dtype,
@@ -158,24 +137,6 @@ class _FoldPadDense(nn.Module):
             if self.use_bias
             else None
         )
-        if head_pad:
-            h = self.num_heads
-            if self.fold_axis == "out":
-                d = self.features // h
-                kernel = jnp.pad(
-                    kernel.reshape(in_features, h, d),
-                    ((0, 0), (0, 0), (0, head_pad)),
-                ).reshape(in_features, h * (d + head_pad))
-                if bias is not None:
-                    bias = jnp.pad(
-                        bias.reshape(h, d), ((0, 0), (0, head_pad))
-                    ).reshape(h * (d + head_pad))
-            else:
-                d = in_features // h
-                kernel = jnp.pad(
-                    kernel.reshape(h, d, self.features),
-                    ((0, 0), (0, head_pad), (0, 0)),
-                ).reshape(h * (d + head_pad), self.features)
         quant = self.quant
         if quant == "int8_static":
             amax = self.variable(
@@ -249,25 +210,22 @@ class Attention(nn.Module):
         self._out = out
 
         dense_kwargs = dict(
-            num_heads=self.num_heads,
             dtype=self.policy.compute_dtype,
             param_dtype=self.policy.param_dtype,
             bias_init=nn.initializers.zeros,
             quant=quant_mode(self.policy),
         )
-        self.proj_q = _FoldPadDense(
+        self.proj_q = _QuantDense(
             qk_out, kernel_init=variance_scaling(self.init_scale), **dense_kwargs
         )
-        self.proj_k = _FoldPadDense(
+        self.proj_k = _QuantDense(
             qk_out, kernel_init=variance_scaling(self.init_scale), **dense_kwargs
         )
-        self.proj_v = _FoldPadDense(
+        self.proj_v = _QuantDense(
             v_out, kernel_init=variance_scaling(self.init_scale), **dense_kwargs
         )
-        self.final = _FoldPadDense(
+        self.final = _QuantDense(
             out,
-            fold_axis="in",
-            in_features=v_out,
             use_bias=self.with_final_bias,
             kernel_init=variance_scaling(
                 self.final_init_scale_multiplier * self.init_scale
@@ -275,7 +233,7 @@ class Attention(nn.Module):
             **dense_kwargs,
         )
 
-    def _project_q_folded(self, fq: "FoldedQuery", head_pad: int = 0):
+    def _project_q_folded(self, fq: "FoldedQuery"):
         """Project a factored decoder query: LayerNorm + proj_q with the
         constant pad channels folded out analytically.
 
@@ -301,16 +259,6 @@ class Attention(nn.Module):
         """
         kernel = self.proj_q.variables["params"]["kernel"]
         bias = self.proj_q.variables["params"]["bias"]
-        if head_pad:
-            h = self.num_heads
-            d = self._qk_out // h
-            kernel = jnp.pad(
-                kernel.reshape(kernel.shape[0], h, d),
-                ((0, 0), (0, 0), (0, head_pad)),
-            ).reshape(kernel.shape[0], h * (d + head_pad))
-            bias = jnp.pad(
-                bias.reshape(h, d), ((0, 0), (0, head_pad))
-            ).reshape(h * (d + head_pad))
         w32 = kernel.astype(jnp.float32)
         b32 = bias.astype(jnp.float32)
         gamma = fq.ln_scale.astype(jnp.float32)
@@ -331,21 +279,14 @@ class Attention(nn.Module):
             sumsq_p = jnp.sum(p32 * p32)
             c2 = float(p32.shape[0])
             mu = (jnp.sum(x32, axis=-1) + sum_p) / total_c  # [B, T]
-            if self.policy.fast_layer_norm:
-                # Single-pass E[x^2] - mu^2, matching use_fast_variance.
-                var = (
-                    jnp.sum(x32 * x32, axis=-1) + sumsq_p
-                ) / total_c - mu * mu
-            else:
-                # Variance: two-pass over the per-token pos channels
-                # (matching use_fast_variance=False where it matters),
-                # algebraic for the constant pad half -- sum((p - mu)^2) =
-                # sum(p^2) - 2*mu*sum(p) + C2*mu^2 exactly, with only
-                # per-token scalars (a broadcast [B, T, C2] reduction here
-                # measured 96 GB/s on TPU).
-                dx = x32 - mu[..., None]
-                pad_ss = sumsq_p - 2.0 * mu * sum_p + c2 * mu * mu
-                var = (jnp.sum(dx * dx, axis=-1) + pad_ss) / total_c
+            # Variance: two-pass over the per-token pos channels (matching
+            # use_fast_variance=False where it matters), algebraic for the
+            # constant pad half -- sum((p - mu)^2) = sum(p^2) - 2*mu*sum(p)
+            # + C2*mu^2 exactly, with only per-token scalars (a broadcast
+            # [B, T, C2] reduction here measured 96 GB/s on TPU).
+            dx = x32 - mu[..., None]
+            pad_ss = sumsq_p - 2.0 * mu * sum_p + c2 * mu * mu
+            var = (jnp.sum(dx * dx, axis=-1) + pad_ss) / total_c
             inv_sigma = jax.lax.rsqrt(var + eps)  # [B, T]
             # The one per-token GEMM, on the narrow pos channels, in the
             # compute dtype (the unfolded path also feeds the MXU in
@@ -392,55 +333,21 @@ class Attention(nn.Module):
             self.make_rng("dropout") if dropout_rate > 0.0 else None
         )
         folded_q = isinstance(inputs_q, FoldedQuery)
-        q_len = inputs_q.num_tokens if folded_q else inputs_q.shape[1]
 
-        # When this site will run the Pallas flash kernel and its head dims
-        # are not lane-aligned, fold the kernel's padding into the projection
-        # weights: the GEMMs then emit lane-aligned activations directly and
-        # the wrapper's jnp.pad / output slice become no-ops (flow: saves
-        # ~140 MB of [B, 182k, 384] pad copies per layer use).  Exact math;
-        # the softmax scale stays 1/sqrt(logical d).
         d_qk = self._qk_out // self.num_heads
         d_v = self._v_out // self.num_heads
-        pad_qk = (-d_qk) % _LANE
-        pad_v = (-d_v) % _LANE
-        path = attention_path(
-            self.policy.attn_impl,
-            q_len=q_len,
-            kv_len=inputs_k.shape[1],
-            flash_min_kv=self.policy.flash_min_kv,
-            flash_min_self=self.policy.flash_min_self,
-            flash_long_q_min_kv=self.policy.flash_long_q_min_kv,
-            attention_mask=attention_mask,
-            attention_bias=attention_bias,
-            dropout_rate=dropout_rate,
-            return_matrix=return_matrix,
-            interpret=self.policy.interpret,
-            sp_mesh=self.policy.sp_mesh,
-            sp_min_kv=self.policy.sp_min_kv,
-            backend=self.policy.backend,
-        )
-        fold = (
-            self.policy.fold_flash_pad
-            and path == "flash"
-            and bool(pad_qk or pad_v)
-        )
-        if not fold:
-            pad_qk = pad_v = 0
-        softmax_scale = 1.0 / math.sqrt(d_qk) if fold else None
-
         if folded_q:
-            q = self._project_q_folded(inputs_q, head_pad=pad_qk)
+            q = self._project_q_folded(inputs_q)
         else:
-            q = self.proj_q(inputs_q, head_pad=pad_qk)
-        k = self.proj_k(inputs_k, head_pad=pad_qk)
-        v = self.proj_v(inputs_v, head_pad=pad_v)
+            q = self.proj_q(inputs_q)
+        k = self.proj_k(inputs_k)
+        v = self.proj_v(inputs_v)
 
         batch, q_time, _ = q.shape
         kv_time = k.shape[1]
-        q = q.reshape(batch, q_time, self.num_heads, d_qk + pad_qk)
-        k = k.reshape(batch, kv_time, self.num_heads, d_qk + pad_qk)
-        v = v.reshape(batch, kv_time, self.num_heads, d_v + pad_v)
+        q = q.reshape(batch, q_time, self.num_heads, d_qk)
+        k = k.reshape(batch, kv_time, self.num_heads, d_qk)
+        v = v.reshape(batch, kv_time, self.num_heads, d_v)
 
         result = multihead_attention(
             q,
@@ -463,7 +370,6 @@ class Attention(nn.Module):
             sp_min_kv=self.policy.sp_min_kv,
             sp_impl=self.policy.sp_impl,
             interpret=self.policy.interpret,
-            softmax_scale=softmax_scale,
             kv_logical_len=kv_logical_len,
             backend=self.policy.backend,
             flash_block_q=self.policy.flash_block_q,
@@ -472,7 +378,7 @@ class Attention(nn.Module):
         if return_matrix:
             attention_matrix, result = result
 
-        result = self.final(result, head_pad=pad_v)
+        result = self.final(result)
         if return_matrix:
             return attention_matrix, result
         return result
@@ -491,23 +397,22 @@ class MLP(nn.Module):
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
         out_channels = self.out_channels or self.in_channels
-        # _FoldPadDense with num_heads=1 is an nn.Dense twin (same param
-        # names/shapes/init) that additionally understands Policy.quant.
+        # _QuantDense is an nn.Dense twin (same param names/shapes/init)
+        # that additionally understands Policy.quant.
         dense_kwargs = dict(
-            num_heads=1,
             dtype=self.policy.compute_dtype,
             param_dtype=self.policy.param_dtype,
             kernel_init=variance_scaling(self.init_scale),
             bias_init=nn.initializers.zeros,
             quant=quant_mode(self.policy),
         )
-        x = _FoldPadDense(
+        x = _QuantDense(
             self.widening_factor * self.in_channels, name="fc1", **dense_kwargs
         )(x)
         # torch F.gelu defaults to the exact erf-based form; the performance
         # policy swaps in the tanh approximation (see config.Policy).
         x = jax.nn.gelu(x, approximate=self.policy.gelu_approximate)
-        x = _FoldPadDense(out_channels, name="fc2", **dense_kwargs)(x)
+        x = _QuantDense(out_channels, name="fc2", **dense_kwargs)(x)
         if self.dropout_prob > 0.0 and not deterministic:
             x = nn.Dropout(rate=self.dropout_prob, deterministic=False)(x)
         return x
@@ -548,9 +453,8 @@ class SelfAttention(nn.Module):
             init_scale=self.dense_init_scale,
             policy=self.policy,
         )
-        fast = self.policy.fast_layer_norm
-        self.layer_norm1 = _layer_norm("layer_norm1", fast)
-        self.layer_norm2 = _layer_norm("layer_norm2", fast)
+        self.layer_norm1 = _layer_norm("layer_norm1")
+        self.layer_norm2 = _layer_norm("layer_norm2")
         # Post-attention dropout (transformer_primitives.py post-attn drop).
         # Defined here, not inline in __call__: this module uses setup(), so
         # submodules may not be created at call time (flax
@@ -654,10 +558,9 @@ class CrossAttention(nn.Module):
             init_scale=self.mlp_init_scale,
             policy=sub_policy,
         )
-        fast = self.policy.fast_layer_norm
-        self.layer_norm_q = _layer_norm("layer_norm_q", fast)
-        self.layer_norm_kv = _layer_norm("layer_norm_kv", fast)
-        self.layer_norm2 = _layer_norm("layer_norm2", fast)
+        self.layer_norm_q = _layer_norm("layer_norm_q")
+        self.layer_norm_kv = _layer_norm("layer_norm_kv")
+        self.layer_norm2 = _layer_norm("layer_norm2")
         # Defined in setup (not inline in __call__): see SelfAttention.setup.
         self.post_attn_dropout = nn.Dropout(rate=self.dropout_prob)
 

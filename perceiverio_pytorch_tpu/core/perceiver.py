@@ -34,11 +34,6 @@ from perceiverio_pytorch_tpu.core.attention import (
     FoldedQuery,
     SelfAttention,
 )
-from perceiverio_pytorch_tpu.ops.attention import attention_path
-from perceiverio_pytorch_tpu.ops.pallas.flash_attention import (
-    DEFAULT_BLOCK_K,
-    DEFAULT_BLOCK_Q,
-)
 from perceiverio_pytorch_tpu.utils.initializers import lecun_normal, zeros as zeros_init
 
 ModuleOrDict = Union[None, nn.Module, Mapping[str, nn.Module]]
@@ -115,9 +110,77 @@ class _SelfAttendStack(nn.Module):
     def __call__(self, latents, deterministic: bool = True):
         if self._use_pipeline():
             return self._pipelined(latents, deterministic), ()
+        if self._use_layer_scan():
+            return self._layer_scanned(latents, deterministic), ()
         for layer in self.layers:
             latents = layer(latents, deterministic=deterministic)
         return latents, ()
+
+    def _use_layer_scan(self) -> bool:
+        """Scan the distinct layers with stacked params (Policy.layer_scan)?
+
+        Unrolled tracing emits one layer body per distinct layer into the
+        HLO -- minutes of XLA compile at flow/MLM depth (24/26 layers).
+        Structural passes stay unrolled: init (params don't exist yet) and
+        mutable quant_stats calibration (amax variables are created/folded
+        in place, which cannot happen under lax.scan).
+        """
+        pol = self.policy
+        if pol.layer_scan not in ("auto", "on", "off"):
+            raise ValueError(
+                f"Policy.layer_scan must be 'auto', 'on' or 'off'; got"
+                f" {pol.layer_scan!r}"
+            )
+        if pol.layer_scan == "off" or self.num_self_attends < 2:
+            return False
+        if self.is_initializing() or self.is_mutable_collection("quant_stats"):
+            return False
+        if pol.layer_scan == "on":
+            return True
+        return self.num_self_attends >= pol.layer_scan_min
+
+    def _layer_scanned(self, latents, deterministic: bool = True):
+        """One lax.scan over the distinct layers, params stacked [L, ...].
+
+        The variable tree keeps the per-layer children ("0".."23": checkpoint
+        layout, torch-adapter paths, and parity tests are untouched); only
+        the traced program changes -- the layer body compiles ONCE and the
+        stacked params stream through it.  Exact vs the unrolled loop (same
+        dtypes, same op order per layer).  Dropout folds one base key per
+        layer index, so each application site draws an independent mask (the
+        masks differ from the unrolled path's flax-derived ones, which is
+        fine -- dropout needs independence, not a particular assignment).
+        """
+        all_vars = self.variables
+        names = [str(i) for i in range(self.num_self_attends)]
+        per_layer = [
+            {coll: tree[n] for coll, tree in all_vars.items() if n in tree}
+            for n in names
+        ]
+        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *per_layer)
+        layer = self.layers[0].clone(parent=None)
+        if not deterministic and self.dropout_prob > 0.0:
+            base = self.make_rng("dropout")
+
+            def body(h, xs):
+                v, i = xs
+                out = layer.apply(
+                    v, h, deterministic=False,
+                    rngs={"dropout": jax.random.fold_in(base, i)},
+                )
+                return out, ()
+
+            latents, _ = jax.lax.scan(
+                body, latents,
+                (stacked, jnp.arange(self.num_self_attends)),
+            )
+        else:
+
+            def body(h, v):
+                return layer.apply(v, h, deterministic=True), ()
+
+            latents, _ = jax.lax.scan(body, latents, stacked)
+        return latents
 
     def _use_pipeline(self) -> bool:
         """Route through the GPipe schedule (Policy.pp_mesh)?
@@ -656,7 +719,7 @@ class PerceiverIO(nn.Module):
             flat_inputs, input_mask=input_mask, deterministic=deterministic
         )
 
-        outputs = self._decode_aligned(
+        outputs = self.decoder(
             decoder_query,
             latents,
             query_mask=query_mask,
@@ -680,104 +743,14 @@ class PerceiverIO(nn.Module):
             )
         return inputs, modality_sizes, inputs_without_pos, flat_inputs
 
-    def _align_gate(self, q_len, kv_len, dropout_rate, deterministic) -> bool:
-        """True iff a cross-attend at (q_len, kv_len) dispatches to the
-        single-chip flash kernel -- the only path where block-aligning the
-        token axis pays (the kernel masks the tail statically for free)."""
-        pol = self.policy
-        return (
-            attention_path(
-                pol.attn_impl,
-                q_len=q_len,
-                kv_len=kv_len,
-                flash_min_kv=pol.flash_min_kv,
-                flash_min_self=pol.flash_min_self,
-                flash_long_q_min_kv=pol.flash_long_q_min_kv,
-                dropout_rate=0.0 if deterministic else dropout_rate,
-                interpret=pol.interpret,
-                sp_mesh=pol.sp_mesh,
-                sp_min_kv=pol.sp_min_kv,
-                backend=pol.backend,
-            )
-            == "flash"
-        )
-
     def _encode_flat(self, flat_inputs, *, input_mask=None, deterministic=True):
         encoder_query = self.encoder.latents(flat_inputs)
-        kv_logical = None
-        if self.policy.seq_align:
-            m = flat_inputs.shape[1]
-            block_k = self.policy.flash_block_k or DEFAULT_BLOCK_K
-            pad = -m % block_k
-            if pad and self._align_gate(
-                self.num_latents,
-                m,
-                # the rate the cross-attend's multihead_attention dispatches
-                # on is the ATTENTION dropout (dropout_attn_prob, 0 as the
-                # encoder constructs it) -- not the MLP dropout_prob; gating
-                # on the latter would skip alignment in training configs
-                # whose attention still takes the flash kernel
-                self.encoder.cross_attend.dropout_attn_prob,
-                deterministic,
-            ):
-                # Pad the token axis to the flash block size HERE, where XLA
-                # fuses the pad into the preprocess concat that produces the
-                # array, instead of inside the flash wrapper where it copies
-                # the (wider, per-layer) projected K and V.
-                flat_inputs = jnp.pad(flat_inputs, ((0, 0), (0, pad), (0, 0)))
-                if input_mask is not None:
-                    input_mask = jnp.pad(input_mask, ((0, 0), (0, pad)))
-                else:
-                    kv_logical = m
         return self.encoder(
             flat_inputs,
             encoder_query,
             input_mask=input_mask,
             deterministic=deterministic,
-            kv_logical_len=kv_logical,
         )
-
-    def _decode_aligned(
-        self, decoder_query, latents, *, query_mask=None, deterministic=True
-    ):
-        """Run the decoder, block-aligning the (long) query axis when the
-        decoding cross-attend takes the flash kernel.  Garbage pad rows are
-        independent of the real rows (attention is row-wise) and are sliced
-        off right after the decoder, where the channel count is small."""
-        if isinstance(decoder_query, FoldedQuery):
-            # The folded query is projected inside Attention; any block
-            # alignment of the query axis happens on the (narrower)
-            # projected Q in the flash wrapper.
-            return self.decoder(
-                decoder_query,
-                latents,
-                query_mask=query_mask,
-                deterministic=deterministic,
-            )
-        tq = decoder_query.shape[1]
-        pad = 0
-        if self.policy.seq_align:
-            block_q = self.policy.flash_block_q or DEFAULT_BLOCK_Q
-            pad = -tq % block_q
-            if pad and self._align_gate(
-                tq, self.num_latents, 0.0, deterministic
-            ):
-                decoder_query = jnp.pad(
-                    decoder_query, ((0, 0), (0, pad), (0, 0))
-                )
-                if query_mask is not None:
-                    query_mask = jnp.pad(query_mask, ((0, 0), (0, pad)))
-            else:
-                pad = 0
-        outputs = self.decoder(
-            decoder_query,
-            latents,
-            query_mask=query_mask,
-            deterministic=deterministic,
-        )
-        if pad:
-            outputs = outputs[:, :tq]
-        return outputs
 
     def encode(self, inputs, *, pos=None, input_mask=None, deterministic=True):
         """Preprocess + encode once; returns (latents, preprocess state)."""
@@ -806,7 +779,7 @@ class PerceiverIO(nn.Module):
             inputs_without_pos,
             subsampled_points=subsampled_output_points,
         )
-        outputs = self._decode_aligned(
+        outputs = self.decoder(
             decoder_query,
             latents,
             query_mask=query_mask,

@@ -355,61 +355,6 @@ def test_invalid_configurations_raise():
         )
 
 
-def test_seq_align_matches_unaligned():
-    """Policy(seq_align=True) block-aligns the token and query axes at the
-    model level when a cross-attend dispatches to the flash kernel; outputs
-    and gradients must match the unaligned model (same params)."""
-    import perceiverio_pytorch_tpu.core.perceiver as pm
-    from perceiverio_pytorch_tpu.config import Policy
-
-    orig = pm.DEFAULT_BLOCK_Q, pm.DEFAULT_BLOCK_K
-    pm.DEFAULT_BLOCK_Q, pm.DEFAULT_BLOCK_K = 16, 16
-    try:
-        def build(seq_align):
-            pol = Policy(
-                attn_impl="flash", flash_min_kv=8, flash_min_self=100000,
-                interpret=True, seq_align=seq_align,
-            )
-            return PerceiverIO(
-                num_blocks=1, num_self_attends_per_block=1,
-                num_latents=4, num_latent_channels=32,
-                final_project=True, final_project_out_channels=8,
-                input_channels=12,
-                output_queries=FourierQuery(
-                    output_index_dims=(3, 7), num_bands=4,
-                    max_resolution=(3, 7),
-                ),
-                policy=pol,
-            )
-
-        x = jnp.asarray(np.random.RandomState(0).randn(2, 10, 12), jnp.float32)
-        mask = jnp.asarray(np.random.RandomState(3).rand(2, 10) > 0.3)
-        base, aligned = build(False), build(True)
-        params = jax.jit(base.init)(jax.random.PRNGKey(0), x)
-
-        for m in (None, mask):
-            out_a = jax.jit(base.apply)(params, x, input_mask=m)
-            out_b = jax.jit(aligned.apply)(params, x, input_mask=m)
-            assert out_a.shape == out_b.shape  # pad sliced back off
-            np.testing.assert_allclose(
-                np.asarray(out_a), np.asarray(out_b), rtol=1e-5, atol=1e-5
-            )
-
-        ga = jax.jit(jax.grad(lambda p: (base.apply(p, x) ** 2).sum()))(params)
-        gb = jax.jit(jax.grad(lambda p: (aligned.apply(p, x) ** 2).sum()))(
-            params
-        )
-        for a, b in zip(
-            jax.tree_util.tree_leaves(ga), jax.tree_util.tree_leaves(gb)
-        ):
-            if a.size:
-                np.testing.assert_allclose(
-                    np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-3
-                )
-    finally:
-        pm.DEFAULT_BLOCK_Q, pm.DEFAULT_BLOCK_K = orig
-
-
 def test_flow_inference_waves_match_wide_batch():
     """FlowInference's scanned fixed-size waves must equal the single wide
     batched call exactly (same per-tile math; only the dispatch shape
