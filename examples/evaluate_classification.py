@@ -87,6 +87,22 @@ def main(data_dir=None, checkpoint=None, torch_checkpoint=None,
     if full_scale and not quant:
         variables = cast_variables_for_inference(variables)
 
+    if quant == "static":
+        # PTQ calibration: restored checkpoints carry no useful quant_stats
+        # (and init saw a zeros example), so fill each site's max|x| from
+        # the first few evaluation batches before scoring
+        # (ops.quant.calibrate; same recipe as serve.py --quant static).
+        from perceiverio_pytorch_tpu.ops.quant import calibrate
+
+        calib = []
+        for img, _ in dataset_iterator(dataset, batch_size, num_workers=4):
+            calib.append(
+                (normalize_imagenet(jnp.asarray(img, jnp.float32)),)
+            )
+            if len(calib) >= 2:
+                break
+        variables = calibrate(model, variables, calib)
+
     k = min(5, num_classes)
 
     def forward(v, img):

@@ -51,14 +51,21 @@ def _chunks(text: str, seq_len: int, tokenizer: BytesTokenizer):
 
 def main(text_file=None, checkpoint=None, torch_checkpoint=None,
          full_scale=False, batch_size=8, mask_rate=0.15, seed=0,
-         limit=None, partial_decode=True):
+         limit=None, partial_decode=True, quant=None):
+    import dataclasses
+
+    from perceiverio_pytorch_tpu import Policy
+
+    policy = PERFORMANCE if full_scale else Policy()
+    if quant:
+        policy = dataclasses.replace(policy, quant=f"int8_{quant}")
     if full_scale:
-        model = LanguagePerceiver(policy=PERFORMANCE)
+        model = LanguagePerceiver(policy=policy)
         seq_len = 2048
     else:
         model = LanguagePerceiver(
             max_seq_len=256, embed_dim=64, num_self_attends_per_block=4,
-            num_latents=64, num_latent_channels=256,
+            num_latents=64, num_latent_channels=256, policy=policy,
         )
         seq_len = 256
 
@@ -77,6 +84,24 @@ def main(text_file=None, checkpoint=None, torch_checkpoint=None,
     variables = restore_eval_variables(variables, checkpoint, torch_checkpoint)
 
     n_masked = max(1, int(round(mask_rate * seq_len)))
+
+    if quant == "static":
+        # PTQ calibration: fill each int8 site's max|x| from one
+        # representative (corrupted) batch before scoring -- restored
+        # checkpoints carry no useful quant_stats (ops.quant.calibrate;
+        # same recipe as evaluate_classification / serve.py).
+        from perceiverio_pytorch_tpu.ops.quant import calibrate
+
+        calib_tokens = np.array(seqs[:batch_size])
+        calib_pos = np.random.RandomState(seed).choice(
+            seq_len, n_masked, replace=False
+        )
+        calib_tokens[:, calib_pos] = MASK_TOKEN
+        variables = calibrate(
+            model, variables,
+            [(jnp.asarray(calib_tokens),
+              jnp.ones((len(calib_tokens), seq_len), bool))],
+        )
 
     if partial_decode:
 
@@ -154,6 +179,11 @@ if __name__ == "__main__":
     parser.add_argument("--full-decode", action="store_true",
                         help="decode all positions instead of only the"
                              " masked ones (same numbers, more FLOPs)")
+    parser.add_argument("--quant", nargs="?", const="dynamic", default=None,
+                        choices=["dynamic", "static"],
+                        help="int8 projections (static calibrates on the"
+                             " first batch); use to measure the PTQ"
+                             " accuracy delta vs the exact run")
     from perceiverio_pytorch_tpu.utils.compilation_cache import (
         add_cache_arg,
         enable_cache_if_requested,
@@ -166,4 +196,4 @@ if __name__ == "__main__":
          torch_checkpoint=args.torch_checkpoint, full_scale=args.full_scale,
          batch_size=args.batch_size, mask_rate=args.mask_rate,
          seed=args.seed, limit=args.limit,
-         partial_decode=not args.full_decode)
+         partial_decode=not args.full_decode, quant=args.quant)
