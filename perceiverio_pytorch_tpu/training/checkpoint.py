@@ -258,8 +258,14 @@ def restore_eval_variables(
         tree = restore_variables(checkpoint)  # template-free (sidecar-aware)
         if isinstance(tree, dict) and "step" in tree and "params" in tree:
             params = tree.get("ema_params") or tree["params"]
-            return {**variables, "params": params,
-                    **(tree.get("model_state") or {})}
+            extra = tree.get("model_state") or {}
+            if isinstance(params, dict) and "params" in params:
+                # TrainState.params held the FULL variables dict (the MLM
+                # demo trains directly on model.init's output); splicing it
+                # under another "params" key would double-nest.  Merge its
+                # collections instead.
+                return {**variables, **params, **extra}
+            return {**variables, "params": params, **extra}
         return restore_variables(checkpoint, variables)
     if torch_checkpoint:
         from perceiverio_pytorch_tpu.utils.torch_checkpoint import (

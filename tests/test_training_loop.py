@@ -468,6 +468,42 @@ def test_restore_refuses_to_drop_model_state(tmp_path):
         restore_train_state(path, bare)
 
 
+def test_restore_eval_variables_full_variables_params(tmp_path):
+    """Trainer checkpoints whose TrainState.params is the FULL variables
+    dict (the MLM demo trains directly on model.init's output) must restore
+    through restore_eval_variables without double-nesting "params"
+    (regression: evaluate_mlm --checkpoint raised
+    ApplyScopeInvalidVariablesStructureError)."""
+    import optax
+
+    from perceiverio_pytorch_tpu.training.checkpoint import (
+        restore_eval_variables,
+        save_train_state,
+    )
+
+    model = LanguagePerceiver(**TINY)
+    tokens = jnp.zeros((2, 32), jnp.int32)
+    mask = jnp.ones((2, 32), bool)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), tokens, mask)
+    tx = optax.adamw(1e-3)
+    # the full variables dict as TrainState.params -- train_mlm convention
+    state = create_train_state(variables, tx)
+    path = str(tmp_path / "ck")
+    save_train_state(path, state)
+
+    template = jax.jit(model.init)(jax.random.PRNGKey(1), tokens, mask)
+    restored = restore_eval_variables(template, checkpoint=path)
+    assert set(restored) == set(variables)
+    assert "params" not in restored["params"]  # no double nesting
+    # restored values come from the checkpoint, not the template
+    a = jax.tree.leaves(restored["params"])[0]
+    b = jax.tree.leaves(variables["params"])[0]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # and the restored tree applies cleanly
+    out = jax.jit(model.apply)(restored, tokens, mask)
+    assert np.isfinite(np.asarray(out)).all()
+
+
 def test_classification_train_step_updates_batch_stats():
     """deterministic=False must run BatchNorm in batch-stats mode and allow
     mutable EMA updates through the conv preprocessor."""
