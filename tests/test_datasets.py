@@ -305,6 +305,56 @@ def test_video_clip_dataset(tmp_path):
     assert int(mapped_str[0][2]) == 1
 
 
+def test_per_epoch_dynamic_masks_and_crops(text_files, flow_scene):
+    """The getitem_at_epoch protocol: epoch 0 reproduces the historical
+    static masks/crops bit-exactly, later epochs draw fresh ones, the
+    iterator feeds the ABSOLUTE epoch (start_batch included) so resume is
+    exact, and dynamic_masks=False restores the static behaviour."""
+    from perceiverio_pytorch_tpu.training import (
+        FlowPairDataset,
+        MLMDataset,
+        TextFileDataset,
+        dataset_iterator,
+    )
+
+    base = TextFileDataset(str(text_files / "a.txt"), seq_len=20)
+    dyn = MLMDataset(base, seed=5)
+    static = MLMDataset(base, seed=5, dynamic_masks=False)
+
+    # epoch 0 == __getitem__ == historical static masks
+    np.testing.assert_array_equal(dyn.getitem_at_epoch(0, 0)[2], dyn[0][2])
+    np.testing.assert_array_equal(dyn[0][2], static.getitem_at_epoch(0, 1)[2])
+    # later epochs: fresh positions (targets unchanged)
+    c0, t0, m0 = dyn.getitem_at_epoch(0, 0)
+    c1, t1, m1 = dyn.getitem_at_epoch(0, 1)
+    assert (m0 != m1).any()
+    np.testing.assert_array_equal(t0, t1)
+    # deterministic per (seed, epoch, index)
+    np.testing.assert_array_equal(m1, dyn.getitem_at_epoch(0, 1)[2])
+
+    # the iterator derives the epoch from the absolute batch counter:
+    # a 2-epoch run's later batches equal a start_batch resume's first ones
+    n_batches = len(base) // 2
+    full = list(dataset_iterator(dyn, 2, epochs=2, num_workers=2))
+    resumed = list(dataset_iterator(dyn, 2, epochs=2, num_workers=0,
+                                    start_batch=n_batches))
+    assert len(full) == 2 * n_batches and len(resumed) == n_batches
+    for a, b in zip(full[n_batches:], resumed):
+        for fa, fb in zip(a, b):
+            np.testing.assert_array_equal(fa, fb)
+    # and epoch-1 batches differ from epoch-0 batches in mask positions
+    assert (full[0][2] != full[n_batches][2]).any()
+
+    # FlowPairDataset: augmented crops move across epochs, epoch 0 stable
+    flow = FlowPairDataset(str(flow_scene), crop_size=(8, 12), augment=True)
+    a0 = flow.getitem_at_epoch(0, 0)
+    np.testing.assert_array_equal(a0[0], flow[0][0])
+    diffs = [
+        (flow.getitem_at_epoch(0, e)[0] != a0[0]).any() for e in (1, 2, 3)
+    ]
+    assert any(diffs)  # some epoch picks a different crop origin
+
+
 def test_family_datasets_through_iterator(flow_scene, text_files):
     """The new datasets collate through the shared threaded iterator."""
     from perceiverio_pytorch_tpu.training import (
