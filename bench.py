@@ -543,7 +543,7 @@ def main(quant=None, remeasure_baseline=False):
     )
 
 
-if __name__ == "__main__":
+def cli(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument(
         "--task", default="all",
@@ -590,7 +590,7 @@ if __name__ == "__main__":
              " that drove the round-2/3 optimizations"
              " (utils.profiling.op_stats)",
     )
-    args = parser.parse_args()
+    args = parser.parse_args(argv)
     if not args.no_compile_cache:
         from perceiverio_pytorch_tpu.utils.compilation_cache import (
             enable_compilation_cache,
@@ -648,3 +648,7 @@ if __name__ == "__main__":
                   f"  {r['avg_self_us']:>8.2f}  {r['occurrences'] or 0:>5}"
                   f"  {str(r['flop_rate'] or '-'):>12}"
                   f"  {str(r['bandwidth'] or '-'):>12}  {r['bound_by'] or '-'}")
+
+
+if __name__ == "__main__":
+    cli()

@@ -39,6 +39,31 @@ def test_committed_pin_is_well_formed():
         assert e["batch"] == 16  # the headline batch bench.py measures at
 
 
+def test_task_all_runs_headline_last_and_budget_skips(monkeypatch):
+    """The driver parses the FINAL stdout line: --task all must run the
+    secondary tasks first and the imagenet headline last, and the budget
+    guard must skip secondaries (never the headline) when the wall-clock
+    budget cannot cover them."""
+    bench = _load_bench()
+    calls = []
+    monkeypatch.setattr(bench, "bench_flow", lambda quant=None: calls.append("flow"))
+    monkeypatch.setattr(bench, "bench_mlm", lambda quant=None: calls.append("mlm"))
+    monkeypatch.setattr(
+        bench, "bench_multimodal", lambda quant=None: calls.append("multimodal")
+    )
+    monkeypatch.setattr(
+        bench, "main",
+        lambda quant=None, remeasure_baseline=False: calls.append("imagenet"),
+    )
+
+    bench.cli(["--task", "all", "--no-compile-cache"])
+    assert calls == ["flow", "mlm", "multimodal", "imagenet"]
+
+    calls.clear()
+    bench.cli(["--task", "all", "--no-compile-cache", "--budget", "1"])
+    assert calls == ["imagenet"]  # all secondaries skipped, headline kept
+
+
 def test_pinned_baseline_resolution(monkeypatch, tmp_path):
     bench = _load_bench()
     monkeypatch.setattr(bench, "_device_kind", lambda: "TPU v5 lite")
