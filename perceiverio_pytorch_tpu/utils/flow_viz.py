@@ -81,6 +81,28 @@ def flow_to_image(
     return flow_uv_to_colors(u / rad_max, v / rad_max, convert_to_bgr)
 
 
+def plot_flow_legend(size: int = 500, show: bool = True) -> np.ndarray:
+    """Render the color-wheel legend over the unit disk; returns [size,
+    size, 3] uint8.
+
+    Capability match for /root/reference/utils/flow_utils.py:21-38: the
+    (u, v) in [-1, 1]^2 meshgrid pushed through ``flow_uv_to_colors``,
+    axes ticked at -1/0/1.  ``show=False`` skips the matplotlib display
+    (headless tests/docs use the returned array directly).
+    """
+    u, v = np.meshgrid(np.linspace(-1, 1, size), np.linspace(-1, 1, size))
+    wheel = flow_uv_to_colors(u, v)
+    if show:
+        import matplotlib.pyplot as plt
+
+        plt.imshow(wheel)
+        ticks = [0, (size - 1) / 2, size - 1]
+        plt.xticks(ticks, [-1, 0, 1])
+        plt.yticks(ticks, [-1, 0, 1])
+        plt.show()
+    return wheel
+
+
 def flow_error_image(
     flow_pred: np.ndarray, flow_gt: np.ndarray, log_scale: bool = True
 ) -> np.ndarray:
@@ -89,3 +111,21 @@ def flow_error_image(
     if log_scale:
         err = np.log1p(err)
     return err / max(err.max(), 1e-5)
+
+
+def get_error_image(flow, gt_flow, valid=None):
+    """Reference-signature endpoint-error visualisation -> ``PIL.Image``.
+
+    Capability match for /root/reference/utils/flow_utils.py:155-176:
+    [H, W, 2] predicted/ground-truth flows, optional validity mask, error
+    scaled linearly to uint8 greyscale.  ``flow_error_image`` is the
+    array-valued variant (adds log scaling).
+    """
+    from PIL import Image
+
+    error = np.sqrt(np.sum((np.asarray(flow) - np.asarray(gt_flow)) ** 2,
+                           axis=2))
+    if valid is not None:
+        error = error * valid
+    error = error / max(float(np.max(error)), 1e-12) * 255
+    return Image.fromarray(error.astype(np.uint8))

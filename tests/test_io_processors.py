@@ -206,6 +206,40 @@ def test_flow_viz_shapes():
     assert img.shape == (6, 8, 3) and img.dtype == np.uint8
 
 
+def test_plot_flow_legend_renders_wheel():
+    """Reference flow_utils.py:21-38: the legend IS flow_uv_to_colors over
+    the [-1, 1]^2 meshgrid; spot-check the center (zero flow -> white)."""
+    from perceiverio_pytorch_tpu.utils.flow_viz import (
+        flow_uv_to_colors,
+        plot_flow_legend,
+    )
+
+    wheel = plot_flow_legend(size=41, show=False)
+    assert wheel.shape == (41, 41, 3) and wheel.dtype == np.uint8
+    u, v = np.meshgrid(np.linspace(-1, 1, 41), np.linspace(-1, 1, 41))
+    np.testing.assert_array_equal(wheel, flow_uv_to_colors(u, v))
+    assert (wheel[20, 20] >= 250).all()  # zero flow renders ~white
+
+
+def test_get_error_image_reference_contract():
+    """Reference flow_utils.py:155-176: [H,W,2] flows -> uint8 PIL image,
+    linear scale to 255 at the max error, optional validity mask."""
+    from perceiverio_pytorch_tpu.utils.flow_viz import get_error_image
+
+    pred = np.zeros((4, 5, 2), np.float32)
+    gt = np.zeros((4, 5, 2), np.float32)
+    gt[1, 2] = (3.0, 4.0)  # EPE 5 at one pixel
+    gt[0, 0] = (0.0, 2.5)  # EPE 2.5 at another
+    img = get_error_image(pred, gt)
+    arr = np.asarray(img)
+    assert arr.shape == (4, 5) and arr.dtype == np.uint8
+    assert arr[1, 2] == 255 and arr[0, 0] == 127 and arr[3, 4] == 0
+    valid = np.ones((4, 5), np.float32)
+    valid[1, 2] = 0.0
+    arr_masked = np.asarray(get_error_image(pred, gt, valid))
+    assert arr_masked[1, 2] == 0 and arr_masked[0, 0] == 255
+
+
 def test_image_postprocessor_conv_upsample_functional():
     """The reference leaves the conv postprocessor as a NotImplementedError
     stub (postprocessors.py:66-88); ours is functional."""

@@ -12,13 +12,15 @@ a test instead of a judge.
 
 import ast
 import glob
+import importlib
 import os
+import re
 
 import pytest
 
 _REF = "/root/reference"
-_DOC = os.path.join(os.path.dirname(__file__), os.pardir, "docs",
-                    "MIGRATION.md")
+_REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), os.pardir))
+_DOC = os.path.join(_REPO, "docs", "MIGRATION.md")
 
 
 def _reference_public_symbols():
@@ -61,3 +63,113 @@ def test_every_reference_symbol_is_in_migration_doc():
         "reference symbols absent from docs/MIGRATION.md:\n  "
         + "\n  ".join(missing)
     )
+
+
+def _symbol_index_rows():
+    """(left cell, right cell) for each row of the doc's symbol-index
+    table (skipping the header and the '--' no-reference-equivalent
+    rows)."""
+    with open(_DOC) as f:
+        lines = f.read().split("\n")
+    start = next(
+        i for i, ln in enumerate(lines) if ln.startswith("## Symbol index")
+    )
+    rows = []
+    for ln in lines[start:]:
+        if " | " not in ln or "---|" in ln or ln.startswith("—"):
+            continue
+        left, _, right = ln.partition(" | ")
+        if "`" in left and "`" in right:
+            rows.append((left.strip(), right.strip()))
+    return rows
+
+
+def _left_symbol_names(left):
+    """Expand the left cell's backtick span into bare symbol names.
+
+    Handles ``mod.{A, B}`` groups (with optional shared suffix, e.g.
+    ``{Embedding,Image}Preprocessor``) and ``A / B / C`` lists; returns
+    the final dotted component of each expansion.  A ``*`` wildcard
+    yields nothing (the names are not enumerated in the doc).
+    """
+    span = re.search(r"`([^`]+)`", left).group(1)
+    m = re.match(r"^(.*?)\{([^}]*)\}(.*)$", span)
+    parts = (
+        [f"{m.group(1)}{item.strip()}{m.group(3)}"
+         for item in m.group(2).split(",")]
+        if m else [p.strip() for p in span.split(" / ")]
+    )
+    names = []
+    for p in parts:
+        name = p.split(".")[-1].split("(")[0].strip()
+        if name and "*" not in name:
+            names.append(name)
+    return names
+
+
+def _resolve_target(target):
+    """Resolve a right-cell target to a repo object or file.
+
+    Returns the imported object for dotted paths (``None`` for file
+    targets, which are only existence-checked); raises if the claimed
+    target does not exist.
+    """
+    if "/" in target or target.endswith(".py") or "*" in target:
+        assert glob.glob(os.path.join(_REPO, target)), (
+            f"doc claims file target {target!r} but no such path exists"
+        )
+        return None
+    if target.startswith("jnp."):
+        import jax.numpy as jnp
+
+        obj = jnp
+        rest = target.split(".")[1:]
+    else:
+        parts = target.split(".")
+        obj, rest = None, None
+        for i in range(len(parts), 0, -1):
+            name = "perceiverio_pytorch_tpu." + ".".join(parts[:i])
+            try:
+                obj = importlib.import_module(name)
+                rest = parts[i:]
+                break
+            except ImportError:
+                continue
+        assert obj is not None, (
+            f"doc claims target {target!r} but no module prefix of it"
+            " imports under perceiverio_pytorch_tpu"
+        )
+    for attr in rest:
+        assert hasattr(obj, attr), (
+            f"doc claims target {target!r} but {obj.__name__!r} has no"
+            f" attribute {attr!r}"
+        )
+        obj = getattr(obj, attr)
+    return obj
+
+
+def test_symbol_index_targets_resolve():
+    """Every mapped target in the doc's symbol index actually exists, and
+    rows annotated 'same names'/'same behaviour' really expose each listed
+    reference symbol — a claimed-but-absent symbol (the round-4
+    ``plot_flow_legend`` gap) fails here instead of slipping through on
+    doc-presence alone."""
+    rows = _symbol_index_rows()
+    assert len(rows) >= 20, f"symbol-index parse looks broken: {len(rows)}"
+    failures = []
+    for left, right in rows:
+        target = re.search(r"`([^`]+)`", right).group(1)
+        try:
+            obj = _resolve_target(target)
+        except AssertionError as e:
+            failures.append(str(e))
+            continue
+        promises_names = "same names" in right or "same behaviour" in right
+        if promises_names and obj is not None and hasattr(obj, "__file__"):
+            for name in _left_symbol_names(left):
+                if not hasattr(obj, name):
+                    failures.append(
+                        f"{target!r} promises {name!r} (row: {left[:60]}...)"
+                        " but does not expose it"
+                    )
+    assert not failures, "\n  ".join(["symbol-index over-claims:"] + failures)

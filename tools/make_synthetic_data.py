@@ -16,6 +16,8 @@ Produces:
   <root>/imagenet_med/{train,val}/class_XX/*.png     16 classes, mid SNR
   <root>/imagenet_med_valhard/val/class_XX/*.png     degraded-SNR val
   <root>/text/corpus_{train,val}.txt                 ~3 MB template text
+  <root>/flow_synth/{train,val}/scene_XX/{frames,flow}/   Sintel-style
+  <root>/kinetics_synth/{train,val}/<class idx>/*.avi+.wav  labeled clips
 
 Measurement recipe (see PERFORMANCE.md "int8 task-accuracy certification"):
   python examples/train_classification.py --full-scale \
@@ -29,11 +31,27 @@ Measurement recipe (see PERFORMANCE.md "int8 task-accuracy certification"):
       --checkpoint-dir /tmp/ckpt_mlm
   python examples/evaluate_mlm.py --full-scale \
       --text-file <root>/text/corpus_val.txt --checkpoint ... [--quant ...]
+
+Flow / multimodal full-scale certification recipe (PERFORMANCE.md "flow +
+multimodal training certification"):
+  python examples/train_flow.py --full-scale \
+      --data-dir <root>/flow_synth/train --steps 3000 \
+      --checkpoint-dir /tmp/ckpt_flow
+  python examples/evaluate_flow.py \
+      --data-dir <root>/flow_synth/val/scene_00 --checkpoint /tmp/ckpt_flow/...
+  python examples/train_multimodal.py --full-scale \
+      --data-dir <root>/kinetics_synth/train --steps 2000 \
+      --checkpoint-dir /tmp/ckpt_mm
+  python examples/evaluate_multimodal.py \
+      --data-dir <root>/kinetics_synth/val --checkpoint /tmp/ckpt_mm/...
 """
 
 import argparse
 import os
+import sys
 import zlib
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 from PIL import Image
@@ -124,15 +142,111 @@ def make_text(root):
     print("text done", len(text))
 
 
+def make_flow(root, *, hw=(368, 496), max_shift=3):
+    """Sintel-style scenes: frame i+1 = integer roll of frame i.
+
+    Frames are 4x-upsampled noise quantized to uint8 BEFORE rolling, so
+    frame pairs are related by an EXACT integer translation and the
+    committed .flo ground truth (constant field, channel 0 horizontal) is
+    exact except at the <1% wrap border.  Same distribution as
+    examples/train_flow.synthetic_flow_pairs, but file-backed — this is
+    the tree behind the full-scale flow training certification.
+    """
+    h, w = hw
+    for split, n_scenes, n_frames in (("train", 12, 13), ("val", 2, 7)):
+        for s in range(n_scenes):
+            d = os.path.join(root, "flow_synth", split, f"scene_{s:02d}")
+            os.makedirs(os.path.join(d, "frames"), exist_ok=True)
+            os.makedirs(os.path.join(d, "flow"), exist_ok=True)
+            r = np.random.RandomState(_seed("flow", split, s))
+            base = r.uniform(0, 255, (3, h // 4 + 1, w // 4 + 1))
+            frame = np.kron(base, np.ones((1, 4, 4)))[:, :h, :w]
+            frame = np.clip(frame, 0, 255).astype(np.uint8)  # [3, H, W]
+            for i in range(n_frames):
+                Image.fromarray(np.transpose(frame, (1, 2, 0))).save(
+                    os.path.join(d, "frames", f"frame_{i + 1:04d}.png")
+                )
+                if i == n_frames - 1:
+                    break
+                dy, dx = r.randint(-max_shift, max_shift + 1, 2)
+                flow = np.zeros((2, h, w), np.float32)
+                flow[0], flow[1] = dx, dy
+                from perceiverio_pytorch_tpu.utils.flow_io import write_flo
+
+                write_flo(
+                    os.path.join(d, "flow", f"frame_{i + 1:04d}.flo"), flow
+                )
+                frame = np.roll(frame, (dy, dx), axis=(1, 2))
+    print("flow_synth done")
+
+
+def make_clips(root, *, n_classes=9, num_frames=16, hw=(224, 224),
+               sample_rate=48000, samples_per_frame=1920):
+    """Labeled video clips: drifting gratings + class-keyed sine audio.
+
+    Class c (directories named by the integer label so VideoClipDataset /
+    evaluate_multimodal resolve it without a labels file) renders a
+    grating at orientation pi*c/n drifting over the 16 frames, with a wav
+    sidecar sine at a class-keyed frequency — the label is recoverable
+    from either modality, which is what the masked-label autoencoding
+    objective (input_mask_probs[label]=1.0) has to learn.
+    """
+    import scipy.io.wavfile
+
+    h, w = hw
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    n_audio = num_frames * samples_per_frame
+    t_audio = np.arange(n_audio, dtype=np.float32) / sample_rate
+    from perceiverio_pytorch_tpu.utils.image import save_video
+
+    for split, per in (("train", 8), ("val", 2)):
+        for c in range(n_classes):
+            d = os.path.join(root, "kinetics_synth", split, str(c))
+            os.makedirs(d, exist_ok=True)
+            theta = np.pi * c / n_classes
+            carrier = (np.cos(theta) * xx + np.sin(theta) * yy) * 0.12
+            for i in range(per):
+                r = np.random.RandomState(_seed("clips", split, c, i))
+                speed = r.uniform(0.5, 1.5) * (1 if r.rand() < 0.5 else -1)
+                phase0 = r.uniform(0, 2 * np.pi)
+                frames = []
+                for f in range(num_frames):
+                    g = np.sin(carrier + phase0 + speed * f)
+                    rgb = np.stack([
+                        0.5 + 0.35 * g,
+                        0.5 + 0.35 * g * r.uniform(0.8, 1.0),
+                        0.5 + 0.35 * g * r.uniform(0.8, 1.0),
+                    ], -1)
+                    frames.append(np.clip(rgb, 0, 1))
+                save_video(os.path.join(d, f"clip_{i:03d}.avi"),
+                           np.asarray(frames, np.float32))
+                freq = 220.0 * (1.25 ** c) * r.uniform(0.98, 1.02)
+                wav = 0.5 * np.sin(2 * np.pi * freq * t_audio)
+                scipy.io.wavfile.write(
+                    os.path.join(d, f"clip_{i:03d}.wav"), sample_rate,
+                    (wav * 2**15).astype(np.int16),
+                )
+    print("kinetics_synth done")
+
+
 if __name__ == "__main__":
     p = argparse.ArgumentParser()
     p.add_argument("--root", default="/tmp/data")
+    p.add_argument("--only", default=None,
+                   choices=["imagenet", "text", "flow", "clips"],
+                   help="generate one tree instead of all of them")
     args = p.parse_args()
-    make_easy(args.root)
-    make_gratings(args.root, "imagenet_med", n_classes=16, amplitude=40,
-                  noise=48, per_split={"train": 100, "val": 25},
-                  splits=("train", "val"))
-    make_gratings(args.root, "imagenet_med_valhard", n_classes=16,
-                  amplitude=20, noise=58, per_split={"val": 25},
-                  splits=("val",))
-    make_text(args.root)
+    if args.only in (None, "imagenet"):
+        make_easy(args.root)
+        make_gratings(args.root, "imagenet_med", n_classes=16, amplitude=40,
+                      noise=48, per_split={"train": 100, "val": 25},
+                      splits=("train", "val"))
+        make_gratings(args.root, "imagenet_med_valhard", n_classes=16,
+                      amplitude=20, noise=58, per_split={"val": 25},
+                      splits=("val",))
+    if args.only in (None, "text"):
+        make_text(args.root)
+    if args.only in (None, "flow"):
+        make_flow(args.root)
+    if args.only in (None, "clips"):
+        make_clips(args.root)
