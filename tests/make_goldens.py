@@ -52,7 +52,7 @@ def _round_weights_f16(torch_model):
                 v.copy_(v.half().float())
 
 
-def _save(name, sd, inputs, outputs, kwargs, extra=None):
+def _save(name, sd, inputs, outputs, kwargs, extra=None, grads=None):
     os.makedirs(GOLDEN_DIR, exist_ok=True)
     payload = {}
     for k, v in sd.items():
@@ -64,6 +64,11 @@ def _save(name, sd, inputs, outputs, kwargs, extra=None):
         payload[f"sd::{k}"] = a
     payload.update({f"in::{k}": v for k, v in inputs.items()})
     payload.update({f"out::{k}": v for k, v in outputs.items()})
+    # gradients stay fp32: they are NOT on the f16 grid, and the parity
+    # tolerance (rtol 2e-4) is finer than f16 resolution
+    payload.update(
+        {f"grad::{k}": to_numpy(v) for k, v in (grads or {}).items()}
+    )
     payload["meta"] = np.frombuffer(
         json.dumps({"kwargs": kwargs, **(extra or {})}).encode(), np.uint8
     )
@@ -156,8 +161,76 @@ def multimodal():
           {k: to_numpy(v) for k, v in out.items()}, kwargs)
 
 
+def language_grads():
+    """Freeze the language GRADIENT oracle (mirrors
+    test_models_parity.test_language_gradient_parity: seed 3, MSE loss,
+    tied-embedding double accumulation through torch autograd)."""
+    import torch
+    from perceiver_io.language_perceiver import LanguagePerceiver
+
+    kwargs = dict(vocab_size=262, max_seq_len=32, embed_dim=16,
+                  num_self_attends_per_block=2, num_blocks=1, num_latents=8,
+                  num_latent_channels=64)
+    m = LanguagePerceiver(**kwargs).train()
+    randomize_state_dict(m, seed=3)
+    _round_weights_f16(m)
+    sd = {k: v.clone() for k, v in m.state_dict().items()}
+    rng = np.random.RandomState(3)
+    tokens = rng.randint(0, 262, (2, 32)).astype(np.int64)
+    mask = np.ones((2, 32), bool)
+    mask[:, 24:] = False
+    target = rng.randn(2, 32, 262).astype(np.float32)
+    out = m(torch.from_numpy(tokens), torch.from_numpy(mask))
+    loss = ((out - torch.from_numpy(target)) ** 2).mean()
+    loss.backward()
+    grads = {
+        k: v.grad.clone()
+        for k, v in m.state_dict(keep_vars=True).items()
+        if v.grad is not None
+    }
+    _save("language_grads", sd,
+          {"tokens": tokens, "mask": mask, "target": target},
+          {"loss": np.float32(loss.detach().numpy())}, kwargs, grads=grads)
+
+
+def classification_grads():
+    """Freeze the conv-classification GRADIENT oracle (mirrors
+    test_models_parity.test_classification_gradient_parity_convnet: seed 4,
+    eval-mode BatchNorm, MSE loss through the conv/maxpool pathway)."""
+    import torch
+    from perceiver_io.classification_perceiver import (
+        ClassificationPerceiver, PrepType)
+
+    kwargs = dict(num_classes=7, img_size=(32, 32),
+                  num_self_attends_per_block=2, num_blocks=1, num_latents=8,
+                  num_latent_channels=32)
+    m = ClassificationPerceiver(
+        prep_type=PrepType.FOURIER_POS_CONVNET, **kwargs).eval()
+    randomize_state_dict(m, seed=4)
+    _round_weights_f16(m)
+    sd = {k: v.clone() for k, v in m.state_dict().items()}
+    rng = np.random.RandomState(4)
+    img = rng.randn(2, 3, 32, 32).astype(np.float32)
+    target = rng.randn(2, 7).astype(np.float32)
+    out = m(torch.from_numpy(img))
+    loss = ((out - torch.from_numpy(target)) ** 2).mean()
+    loss.backward()
+    grads = {
+        # BN running stats are buffers without grads; zero-fill so the
+        # adapter's template walk (which expects every leaf) stays happy
+        k: (v.grad.clone() if getattr(v, "grad", None) is not None
+            else torch.zeros_like(v))
+        for k, v in m.state_dict(keep_vars=True).items()
+    }
+    _save("classification_convnet_grads", sd,
+          {"img": img, "target": target},
+          {"loss": np.float32(loss.detach().numpy())}, kwargs, grads=grads)
+
+
 if __name__ == "__main__":
     language()
     classification()
     flow()
     multimodal()
+    language_grads()
+    classification_grads()
