@@ -8,7 +8,7 @@ resolutions):
       flow/    frame_0001.flo ...                  (gt for pair i, i+1)
 
     python examples/evaluate_flow.py --data-dir /data/sintel/alley_1 \\
-        [--torch-checkpoint flow.pth | --checkpoint ckpt | --random-init]
+        [--torch-checkpoint flow.pth | --checkpoint ckpt | random init]
 
 Prints one JSON line: AEPE, 1/3/5-px accuracy, Fl outliers, pairs/sec.
 """

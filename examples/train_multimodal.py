@@ -62,7 +62,8 @@ def synthetic_clips(n: int, num_frames, hw, n_audio, num_classes, seed=0):
 
 
 def main(steps=20, batch_size=1, n_chunks=None, full_scale=False,
-         checkpoint_dir=None, resume=False, data_dir=None, labels_file=None):
+         checkpoint_dir=None, resume=False, data_dir=None, labels_file=None,
+         lr=None, checkpoint_every=None):
     if full_scale:
         # dots_saveable measured 214.3 vs 227.1 ms/step full-remat here
         # (PERFORMANCE.md item 12); the other model families keep full remat.
@@ -133,7 +134,7 @@ def main(steps=20, batch_size=1, n_chunks=None, full_scale=False,
     trainer = Trainer(
         loss_fn,
         build_optimizer(
-            1e-4 if full_scale else 1e-3, schedule="cosine",
+            lr or (1e-4 if full_scale else 1e-3), schedule="cosine",
             total_steps=steps, warmup_steps=max(steps // 10, 1),
             clip_norm=1.0,
         ),
@@ -142,7 +143,8 @@ def main(steps=20, batch_size=1, n_chunks=None, full_scale=False,
         metrics_path="./multimodal_metrics.jsonl",
         log_every=5,
         checkpoint_dir=checkpoint_dir,
-        checkpoint_every=0 if checkpoint_dir is None else max(steps // 2, 1),
+        checkpoint_every=0 if checkpoint_dir is None else (
+            checkpoint_every or max(steps // 2, 1)),
     )
     state = trainer.init_state(variables["params"], model_state=consts)
 
@@ -183,6 +185,13 @@ if __name__ == "__main__":
                              " default: synthetic clips")
     parser.add_argument("--labels-file", default=None,
                         help="JSON: clip stem -> class index or name")
+    parser.add_argument("--lr", type=float, default=None,
+                        help="peak learning rate (default 1e-4 full-scale,"
+                             " 1e-3 tiny)")
+    parser.add_argument("--checkpoint-every", type=int, default=None,
+                        help="steps between checkpoints (default steps//2;"
+                             " set lower on flaky transports so --resume"
+                             " loses less work)")
     from perceiverio_pytorch_tpu.utils.compilation_cache import (
         add_cache_arg,
         enable_cache_if_requested,
@@ -194,4 +203,5 @@ if __name__ == "__main__":
     main(args.steps, args.batch_size, n_chunks=args.n_chunks,
          full_scale=args.full_scale, checkpoint_dir=args.checkpoint_dir,
          resume=args.resume, data_dir=args.data_dir,
-         labels_file=args.labels_file)
+         labels_file=args.labels_file, lr=args.lr,
+         checkpoint_every=args.checkpoint_every)

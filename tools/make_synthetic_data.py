@@ -199,12 +199,14 @@ def make_clips(root, *, n_classes=9, num_frames=16, hw=(224, 224),
     t_audio = np.arange(n_audio, dtype=np.float32) / sample_rate
     from perceiverio_pytorch_tpu.utils.image import save_video
 
-    for split, per in (("train", 8), ("val", 2)):
+    for split, per in (("train", 60), ("val", 2)):
         for c in range(n_classes):
             d = os.path.join(root, "kinetics_synth", split, str(c))
             os.makedirs(d, exist_ok=True)
             theta = np.pi * c / n_classes
-            carrier = (np.cos(theta) * xx + np.sin(theta) * yy) * 0.12
+            # coarse grating (wavelength ~90 px) so the latent bottleneck
+            # can represent it; orientation carries the class
+            carrier = (np.cos(theta) * xx + np.sin(theta) * yy) * 0.07
             for i in range(per):
                 r = np.random.RandomState(_seed("clips", split, c, i))
                 speed = r.uniform(0.5, 1.5) * (1 if r.rand() < 0.5 else -1)
@@ -220,7 +222,11 @@ def make_clips(root, *, n_classes=9, num_frames=16, hw=(224, 224),
                     frames.append(np.clip(rgb, 0, 1))
                 save_video(os.path.join(d, f"clip_{i:03d}.avi"),
                            np.asarray(frames, np.float32))
-                freq = 220.0 * (1.25 ** c) * r.uniform(0.98, 1.02)
+                # class-keyed LOW frequencies (30-103 Hz: phase advances
+                # <0.22 rad per 16-sample patch, so the waveform is smooth
+                # in the decoder's patch-index fourier features — higher
+                # frequencies measured unlearnable at certification scale)
+                freq = 30.0 * (1.167 ** c) * r.uniform(0.98, 1.02)
                 wav = 0.5 * np.sin(2 * np.pi * freq * t_audio)
                 scipy.io.wavfile.write(
                     os.path.join(d, f"clip_{i:03d}.wav"), sample_rate,
