@@ -18,10 +18,21 @@ noisy fresh re-measurement cannot silently move every "Nx" claim; pass
 A bare ``python bench.py`` emits one JSON line per inference workload --
 flow (/root/reference/perceiver_io/flow_perceiver.py:34-42), byte MLM
 (language_perceiver.py:24-31), multimodal Kinetics
-(multimodal_perceiver.py:137-146) -- with the ImageNet headline LAST (the
-driver parses the final stdout line).  A wall-clock budget (--budget /
-$BENCH_BUDGET_S) skips secondary tasks on a cold compile cache so the
-headline always prints.
+(multimodal_perceiver.py:137-146) -- plus one full-scale TRAINING metric
+(the MLM step) and the int8_static classification line, with the ImageNet
+headline LAST (the driver parses the final stdout line).  A wall-clock
+budget (--budget / $BENCH_BUDGET_S) skips secondary tasks on a cold
+compile cache so the headline always prints.
+
+Every inference metric divides by its own pinned fp32 parity baseline
+(bench_baselines.json ``tasks`` sub-entries, same median-of->=3-fresh-
+processes protocol as the headline pin).  The MLM baseline is the pure
+fp32 XLA PARITY policy; flow/multimodal baselines keep fp32 + exact erf
+GELU but stream the 182k/53k-token attends through the numerically
+equivalent flash kernel (their fp32 XLA logits -- 24 GB / 1.3 GB per
+layer -- cannot materialise on one chip), so those multiples are
+conservative.  Training metrics keep vs_baseline 1.0: the reference has
+no training loop at all (SURVEY.md section 4).
 """
 
 import argparse
@@ -35,66 +46,96 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _throughput(model, params, img, iters=20, warmup=3):
-    # A device->host fetch is the only reliable completion barrier on remote
-    # TPU transports (block_until_ready can return before execution drains),
-    # so chain the outputs and fetch a scalar once per timing region.  The
-    # reduction is jitted INTO the measured function: an eager .sum() on the
-    # remote transport dispatches a separate XLA computation per call and
-    # inflates wall time (CLAUDE.md environment quirks).
-    fn = jax.jit(lambda p, x: model.apply(p, x).sum())
-    acc = fn(params, img)
+def _timed(fn, args, iters, warmup):
+    """Mean seconds/call of a jitted fn whose output is a scalar.
+
+    A device->host fetch is the only reliable completion barrier on remote
+    TPU transports (block_until_ready can return before execution drains),
+    so chain the outputs and fetch a scalar once per timing region.  The
+    reduction must be jitted INTO the measured function: an eager .sum() on
+    the remote transport dispatches a separate XLA computation per call and
+    inflates wall time (CLAUDE.md environment quirks).
+    """
+    acc = fn(*args)
     for _ in range(warmup):
-        acc = acc + fn(params, img)
+        acc = acc + fn(*args)
     float(acc)
     t0 = time.perf_counter()
     acc = None
     for _ in range(iters):
-        out = fn(params, img)
+        out = fn(*args)
         acc = out if acc is None else acc + out
     float(acc)
-    dt = (time.perf_counter() - t0) / iters
-    return img.shape[0] / dt
+    return (time.perf_counter() - t0) / iters
 
 
-def bench_flow(quant=None):
-    """Secondary metric: Sintel-flow frame-pairs/sec, one 368x496 tile."""
-    from perceiverio_pytorch_tpu import PERFORMANCE
+def _throughput(model, params, img, iters=20, warmup=3):
+    fn = jax.jit(lambda p, x: model.apply(p, x).sum())
+    return img.shape[0] / _timed(fn, (params, img), iters, warmup)
+
+
+def _fp32_baseline_policy(task):
+    """The reference-faithful fp32 policy each secondary task's baseline
+    runs under.
+
+    MLM fits the pure-XLA fp32 attention path (PARITY).  Flow and
+    multimodal cannot: the 182k/53k-token cross-attend logits are 24 GB /
+    1.3 GB per layer in fp32 XLA, which is exactly why the reference
+    config only ever ran them with chunking on big-HBM GPUs -- so their
+    baselines keep fp32 + exact erf GELU + no query-pad folding and let
+    ``attn_impl="auto"`` stream the huge attends through the (numerically
+    equivalent, online-softmax) flash kernel.  That is the FASTEST honest
+    fp32 rendering of the reference computation on this chip; the multiple
+    it yields is conservative.
+    """
+    import dataclasses
+
+    from perceiverio_pytorch_tpu import PARITY
+
+    if task == "mlm":
+        return PARITY
+    return dataclasses.replace(PARITY, attn_impl="auto")
+
+
+def _measure_flow(policy, batch, cast=False):
     from perceiverio_pytorch_tpu.models import FlowPerceiver
     from perceiverio_pytorch_tpu.utils.params import cast_variables_for_inference
 
-    batch = 2  # best measured throughput point (hides pipeline bubbles)
-    model = FlowPerceiver(policy=_quant_policy(PERFORMANCE, quant, "latent"))
+    model = FlowPerceiver(policy=policy)
     i1 = jnp.asarray(
         np.random.RandomState(0).randn(batch, 3, 368, 496) * 0.5, jnp.float32
     )
     i2 = jnp.asarray(
         np.random.RandomState(1).randn(batch, 3, 368, 496) * 0.5, jnp.float32
     )
-    params = cast_variables_for_inference(
-        jax.jit(model.init)(jax.random.PRNGKey(0), i1[:1], i2[:1])
-    )
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), i1[:1], i2[:1])
+    if cast:
+        params = cast_variables_for_inference(params)
     fn = jax.jit(lambda p, a, b: model.apply(p, a, b).sum())
-    acc = fn(params, i1, i2)
-    for _ in range(2):
-        acc = acc + fn(params, i1, i2)
-    float(acc)
-    t0 = time.perf_counter()
-    acc = None
-    iters = 8
-    for _ in range(iters):
-        out = fn(params, i1, i2)
-        acc = out if acc is None else acc + out
-    float(acc)
-    dt = (time.perf_counter() - t0) / iters
+    return batch / _timed(fn, (params, i1, i2), iters=8, warmup=2)
+
+
+def bench_flow(quant=None, remeasure_baseline=False):
+    """Secondary metric: Sintel-flow frame-pairs/sec, one 368x496 tile."""
+    from perceiverio_pytorch_tpu import PERFORMANCE
+
+    batch = 2  # best measured throughput point (hides pipeline bubbles)
+    perf = _measure_flow(
+        _quant_policy(PERFORMANCE, quant, "latent"), batch, cast=True
+    )
+    base = _task_baseline(
+        "flow",
+        lambda: _measure_flow(_fp32_baseline_policy("flow"), batch),
+        remeasure_baseline,
+    )
     print(
         json.dumps(
             {
                 "metric": "sintel_flow_frame_pairs_per_sec_per_chip"
                 + (f"_int8_{quant}" if quant else ""),
-                "value": round(batch / dt, 2),
+                "value": round(perf, 2),
                 "unit": "frame-pairs/sec",
-                "vs_baseline": 1.0,
+                "vs_baseline": round(perf / base, 3),
             }
         )
     )
@@ -117,92 +158,89 @@ def _quant_policy(base, quant, scope="all"):
     return dataclasses.replace(base, quant=f"int8_{quant}", quant_scope=scope)
 
 
-def bench_mlm(quant=None):
-    """Secondary metric: byte-MLM sequences/sec (2048 tokens, masked)."""
-    from perceiverio_pytorch_tpu import PERFORMANCE
+def _measure_mlm(policy, batch, cast=False):
     from perceiverio_pytorch_tpu.models import LanguagePerceiver
     from perceiverio_pytorch_tpu.utils.params import cast_variables_for_inference
 
-    # Measured optimum (one-process sweep: 8: 983, 16: 1015, 32: 1047-1072,
-    # 64: 1034 seq/s).
-    batch = 32
-    policy = _quant_policy(PERFORMANCE, quant)
     model = LanguagePerceiver(policy=policy)
     tokens = jnp.asarray(
         np.random.RandomState(0).randint(0, 262, (batch, 2048)), jnp.int32
     )
     mask = jnp.ones((batch, 2048), bool)
-    params = cast_variables_for_inference(
-        jax.jit(model.init)(jax.random.PRNGKey(0), tokens, mask)
-    )
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), tokens, mask)
+    if cast:
+        params = cast_variables_for_inference(params)
     fn = jax.jit(lambda p, t, m: model.apply(p, t, m).sum())
-    acc = fn(params, tokens, mask)
-    for _ in range(3):
-        acc = acc + fn(params, tokens, mask)
-    float(acc)
-    t0 = time.perf_counter()
-    acc = None
-    iters = 20
-    for _ in range(iters):
-        out = fn(params, tokens, mask)
-        acc = out if acc is None else acc + out
-    float(acc)
-    dt = (time.perf_counter() - t0) / iters
+    return batch / _timed(fn, (params, tokens, mask), iters=20, warmup=3)
+
+
+def bench_mlm(quant=None, remeasure_baseline=False):
+    """Secondary metric: byte-MLM sequences/sec (2048 tokens, masked)."""
+    from perceiverio_pytorch_tpu import PERFORMANCE
+
+    # Measured optimum (one-process sweep: 8: 983, 16: 1015, 32: 1047-1072,
+    # 64: 1034 seq/s).
+    batch = 32
+    perf = _measure_mlm(_quant_policy(PERFORMANCE, quant), batch, cast=True)
+    base = _task_baseline(
+        "mlm",
+        lambda: _measure_mlm(_fp32_baseline_policy("mlm"), batch),
+        remeasure_baseline,
+    )
     print(
         json.dumps(
             {
                 "metric": "byte_mlm_sequences_per_sec_per_chip"
                 + (f"_int8_{quant}" if quant else ""),
-                "value": round(batch / dt, 2),
+                "value": round(perf, 2),
                 "unit": "seq/sec",
-                "vs_baseline": 1.0,
+                "vs_baseline": round(perf / base, 3),
             }
         )
     )
 
 
-def bench_multimodal(quant=None):
-    """Secondary metric: Kinetics clips/sec (805k output queries/clip)."""
-    from perceiverio_pytorch_tpu import PERFORMANCE
+def _measure_multimodal(policy, n_chunks, cast=False):
     from perceiverio_pytorch_tpu.models import MultiModalPerceiver
     from perceiverio_pytorch_tpu.utils.params import cast_variables_for_inference
+
+    model = MultiModalPerceiver(policy=policy)
+    imgs = jnp.zeros((1, 16, 3, 224, 224), jnp.float32)
+    aud = jnp.zeros((1, 16 * 1920, 1), jnp.float32)
+    params = jax.jit(lambda k, i, a: model.init(k, i, a, n_chunks))(
+        jax.random.PRNGKey(0), imgs, aud
+    )
+    if cast:
+        params = cast_variables_for_inference(params)
+    fn = jax.jit(lambda p, i, a: model.apply(p, i, a, n_chunks)["image"].sum())
+    return 1.0 / _timed(fn, (params, imgs, aud), iters=5, warmup=3)
+
+
+def bench_multimodal(quant=None, remeasure_baseline=False):
+    """Secondary metric: Kinetics clips/sec (805k output queries/clip)."""
+    from perceiverio_pytorch_tpu import PERFORMANCE
 
     # Measured sweet spot post query-pad fold (one-process sweep: 8: 16.9,
     # 16: 17.2, 32: 16.1-16.5, 64: 16.4 clips/s); outputs are chunk-count
     # invariant.
     n_chunks = 16
-    model = MultiModalPerceiver(
-        policy=_quant_policy(PERFORMANCE, quant, "latent")
+    perf = _measure_multimodal(
+        _quant_policy(PERFORMANCE, quant, "latent"), n_chunks, cast=True
     )
-    imgs = jnp.zeros((1, 16, 3, 224, 224), jnp.float32)
-    aud = jnp.zeros((1, 16 * 1920, 1), jnp.float32)
-    params = cast_variables_for_inference(
-        jax.jit(lambda k, i, a: model.init(k, i, a, n_chunks))(
-            jax.random.PRNGKey(0), imgs, aud
-        )
+    base = _task_baseline(
+        "multimodal",
+        lambda: _measure_multimodal(_fp32_baseline_policy("multimodal"),
+                                    n_chunks),
+        remeasure_baseline,
     )
-    fn = jax.jit(lambda p, i, a: model.apply(p, i, a, n_chunks)["image"].sum())
-    acc = fn(params, imgs, aud)
-    float(acc)
-    for _ in range(3):
-        acc = acc + fn(params, imgs, aud)
-    float(acc)
-    t0 = time.perf_counter()
-    acc = None
-    iters = 5
-    for _ in range(iters):
-        out = fn(params, imgs, aud)
-        acc = out if acc is None else acc + out
-    float(acc)
-    dt = (time.perf_counter() - t0) / iters
     print(
         json.dumps(
             {
                 "metric": "kinetics_autoencode_clips_per_sec_per_chip"
                 + (f"_int8_{quant}" if quant else ""),
-                "value": round(1.0 / dt, 3),
+                "value": round(perf, 3),
                 "unit": "clips/sec",
-                "vs_baseline": 1.0,
+                "vs_baseline": round(perf / base, 3),
             }
         )
     )
@@ -223,31 +261,17 @@ def _time_steps(step, state, batch, warmup=3, iters=15):
     return (time.perf_counter() - t0) / iters * 1e3
 
 
-def bench_training():
-    """Full-scale TRAINING step throughput, one chip, all four families.
-
-    The eager reference cannot represent the flow/multimodal steps on one
-    device at all (PERFORMANCE.md); vs_baseline is 1.0 like the other
-    secondary metrics.  Configs are the measured optima: MLM batch 16,
-    classification batch 8 + remat, flow batch 1 + remat, multimodal
-    batch 1 n_chunks 16 + dots_saveable selective remat.
-    """
-    import dataclasses
-
+def bench_training_mlm():
+    """One driver-captured TRAINING metric: the full-scale MLM step
+    (fastest-compiling family), batch 16 = the measured optimum.  The
+    eager reference has no training loop at all (SURVEY.md §5), so like
+    the other training metrics vs_baseline is 1.0.  Also emitted
+    (budget-guarded) by the default ``--task all`` run."""
     from perceiverio_pytorch_tpu import PERFORMANCE
-    from perceiverio_pytorch_tpu.models import (
-        ClassificationPerceiver,
-        FlowPerceiver,
-        LanguagePerceiver,
-        MultiModalPerceiver,
-        PrepType,
-    )
+    from perceiverio_pytorch_tpu.models import LanguagePerceiver
     from perceiverio_pytorch_tpu.training import (
         build_optimizer,
-        classification_cross_entropy,
-        flow_endpoint_error,
         masked_token_cross_entropy,
-        multimodal_autoencode_loss,
     )
     from perceiverio_pytorch_tpu.training.trainer import (
         create_train_state,
@@ -256,8 +280,6 @@ def bench_training():
 
     rng = np.random.RandomState(0)
     tx = build_optimizer(1e-4)
-
-    # --- MLM ---
     B = 16
     model = LanguagePerceiver(policy=PERFORMANCE)
     tokens = jnp.asarray(rng.randint(6, 262, (B, 2048)), jnp.int32)
@@ -277,6 +299,41 @@ def bench_training():
         "metric": "byte_mlm_train_seq_per_sec_per_chip",
         "value": round(B / ms * 1e3, 1), "unit": "seq/sec", "vs_baseline": 1.0,
     }))
+
+
+def bench_training():
+    """Full-scale TRAINING step throughput, one chip, all four families.
+
+    The eager reference cannot represent the flow/multimodal steps on one
+    device at all (PERFORMANCE.md); vs_baseline is 1.0 like the other
+    secondary metrics.  Configs are the measured optima: MLM batch 16,
+    classification batch 8 + remat, flow batch 1 + remat, multimodal
+    batch 1 n_chunks 16 + dots_saveable selective remat.
+    """
+    import dataclasses
+
+    from perceiverio_pytorch_tpu import PERFORMANCE
+    from perceiverio_pytorch_tpu.models import (
+        ClassificationPerceiver,
+        FlowPerceiver,
+        MultiModalPerceiver,
+        PrepType,
+    )
+    from perceiverio_pytorch_tpu.training import (
+        build_optimizer,
+        classification_cross_entropy,
+        flow_endpoint_error,
+        multimodal_autoencode_loss,
+    )
+    from perceiverio_pytorch_tpu.training.trainer import (
+        create_train_state,
+        make_train_step,
+    )
+
+    rng = np.random.RandomState(0)
+    tx = build_optimizer(1e-4)
+
+    bench_training_mlm()
 
     # --- classification (BatchNorm state through the step) ---
     B = 8
@@ -478,17 +535,91 @@ def measure_fp32_baseline(img, params):
     return _throughput(base_model, params, img, iters=10)
 
 
-def _pinned_baseline(batch):
+# Operating point each task's baseline is pinned at; a pin/cache entry
+# only resolves when its recorded config matches (so changing the bench
+# batch invalidates stale baselines instead of silently reusing them).
+_TASK_CONFIGS = {
+    "imagenet": {"batch": 16},
+    "flow": {"batch": 2},
+    "mlm": {"batch": 32},
+    "multimodal": {"n_chunks": 16},
+}
+
+
+def _pinned_task_baseline(task, config):
     """Committed per-chip-type baseline (median of >=3 fresh processes)."""
     try:
         with open(_PIN_PATH) as f:
             pins = json.load(f)
         entry = pins.get(_device_kind())
-        if entry and entry.get("batch") == batch:
-            return entry["fp32_images_per_sec_median"]
+        if not entry:
+            return None
+        if task == "imagenet":
+            if entry.get("batch") == config["batch"]:
+                return entry["fp32_images_per_sec_median"]
+            return None
+        t = entry.get("tasks", {}).get(task)
+        if t and all(t.get(k) == v for k, v in config.items()):
+            return t["fp32_median"]
     except Exception:
         pass
     return None
+
+
+def _pinned_baseline(batch):
+    return _pinned_task_baseline("imagenet", {"batch": batch})
+
+
+def _cached_task_baseline(task, config):
+    """Local (uncommitted) measurement cache for chips with no pin."""
+    try:
+        with open(_CACHE_PATH) as f:
+            cached = json.load(f)
+        if task == "imagenet" and cached.get("batch") == config["batch"]:
+            return cached["fp32_images_per_sec"]  # legacy layout
+        t = cached.get("tasks", {}).get(task)
+        if t and t.get("config") == config:
+            return t["value"]
+    except Exception:
+        pass
+    return None
+
+
+def _store_task_baseline(task, config, value):
+    try:
+        with open(_CACHE_PATH) as f:
+            cached = json.load(f)
+    except Exception:
+        cached = {}
+    if task == "imagenet":  # keep the legacy keys the headline reads
+        cached.update({"batch": config["batch"],
+                       "fp32_images_per_sec": value,
+                       "device_kind": _device_kind()})
+    cached.setdefault("tasks", {})[task] = {
+        "config": config, "value": value, "device_kind": _device_kind(),
+    }
+    with open(_CACHE_PATH, "w") as f:
+        json.dump(cached, f)
+
+
+def _task_baseline(task, measure, remeasure=False):
+    """Resolve a task's fp32 parity baseline: committed pin for this chip
+    type (stable "Nx" claims) -> local cache (unknown chips, skip the slow
+    recompile) -> fresh measurement.  ``remeasure`` forces a fresh
+    measurement and refreshes the local cache (the protocol for
+    establishing/verifying the committed pins)."""
+    config = _TASK_CONFIGS[task]
+    if not remeasure:
+        base = _pinned_task_baseline(task, config)
+        if base is None:
+            base = _cached_task_baseline(task, config)
+        if base is not None:
+            return base
+    base = measure()
+    _store_task_baseline(task, config, base)
+    print(f"measured fp32 {task} baseline: {base:.3f}"
+          f" on {_device_kind()!r}", file=sys.stderr)
+    return base
 
 
 def main(quant=None, remeasure_baseline=False):
@@ -509,26 +640,10 @@ def main(quant=None, remeasure_baseline=False):
     params_bf16 = cast_variables_for_inference(params)
     perf_ips = _throughput(perf_model, params_bf16, img)
 
-    # Baseline resolution order: committed pin for this chip type (stable
-    # "Nx" claims) -> local .bench_baseline.json cache (unknown chips, skip
-    # the slow recompile) -> fresh measurement.  --remeasure-baseline forces
-    # a fresh measurement and refreshes the local cache.
-    base_ips = None if remeasure_baseline else _pinned_baseline(batch)
-    if base_ips is None and not remeasure_baseline:
-        try:
-            with open(_CACHE_PATH) as f:
-                cached = json.load(f)
-            if cached.get("batch") == batch:
-                base_ips = cached["fp32_images_per_sec"]
-        except Exception:
-            base_ips = None
-    if base_ips is None:
-        base_ips = measure_fp32_baseline(img, params)
-        with open(_CACHE_PATH, "w") as f:
-            json.dump({"batch": batch, "fp32_images_per_sec": base_ips,
-                       "device_kind": _device_kind()}, f)
-        print(f"measured fp32 baseline: {base_ips:.2f} img/s "
-              f"on {_device_kind()!r}", file=sys.stderr)
+    base_ips = _task_baseline(
+        "imagenet", lambda: measure_fp32_baseline(img, params),
+        remeasure_baseline,
+    )
 
     print(
         json.dumps(
@@ -601,11 +716,14 @@ def cli(argv=None):
         jax.profiler.start_trace(args.profile)
     task = args.task
     if task == "flow":
-        bench_flow(quant=args.quant)
+        bench_flow(quant=args.quant,
+                   remeasure_baseline=args.remeasure_baseline)
     elif task == "mlm":
-        bench_mlm(quant=args.quant)
+        bench_mlm(quant=args.quant,
+                  remeasure_baseline=args.remeasure_baseline)
     elif task == "multimodal":
-        bench_multimodal(quant=args.quant)
+        bench_multimodal(quant=args.quant,
+                         remeasure_baseline=args.remeasure_baseline)
     elif task == "training":
         bench_training()
     elif task == "serving":
@@ -614,15 +732,32 @@ def cli(argv=None):
         # Secondary tasks first, headline LAST (the driver parses the final
         # stdout line).  Cost estimates are warm-ish compile-cache numbers
         # with cold-cache headroom; the reserve keeps enough budget for the
-        # headline task even if every estimate is blown.
+        # headline task even if every estimate is blown.  The default
+        # emission also carries one training metric (MLM, the fastest
+        # compile) and -- when no explicit --quant overrides every line --
+        # the int8_static classification line, so the repo's biggest perf
+        # claims are driver-captured, not builder-claimed.
         t_start = time.monotonic()
-        est = {"flow": 360.0, "mlm": 180.0, "multimodal": 360.0}
+        est = {"flow": 360.0, "mlm": 180.0, "multimodal": 360.0,
+               "mlm_train": 240.0, "imagenet_int8": 300.0}
         reserve = 480.0  # headline compile+run allowance
-        for name, fn in (
-            ("flow", bench_flow),
-            ("mlm", bench_mlm),
-            ("multimodal", bench_multimodal),
-        ):
+        secondaries = [
+            ("flow", lambda: bench_flow(
+                quant=args.quant,
+                remeasure_baseline=args.remeasure_baseline)),
+            ("mlm", lambda: bench_mlm(
+                quant=args.quant,
+                remeasure_baseline=args.remeasure_baseline)),
+            ("multimodal", lambda: bench_multimodal(
+                quant=args.quant,
+                remeasure_baseline=args.remeasure_baseline)),
+            ("mlm_train", bench_training_mlm),
+        ]
+        if args.quant is None:
+            secondaries.append(
+                ("imagenet_int8", lambda: main(quant="static"))
+            )
+        for name, fn in secondaries:
             elapsed = time.monotonic() - t_start
             if elapsed + est[name] + reserve > args.budget:
                 print(
@@ -631,7 +766,7 @@ def cli(argv=None):
                     f" exceeds budget {args.budget:.0f}s)", file=sys.stderr,
                 )
                 continue
-            fn(quant=args.quant)
+            fn()
         main(quant=args.quant, remeasure_baseline=args.remeasure_baseline)
     else:
         main(quant=args.quant, remeasure_baseline=args.remeasure_baseline)
